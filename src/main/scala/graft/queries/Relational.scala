@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Core relational coverage: grouped aggregation, joins of every kind,
+  * windows, sort/top-k, distinct, set ops, rollup/cube, scalar functions
+  * (SURVEY.md §2.11 — capabilities the reference lacks but a complete
+  * engine must have).
+  *
+  * Scale notes: dimension-side joins are explicitly broadcast; fact-fact
+  * aggregation pre-aggregates before joining where possible; every query
+  * is expressible as a single Catalyst plan (no driver loops).
+  */
+object Relational extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: TPC-H Q1-shaped grouped aggregation over the fact table.
+    // Partial (map-side) aggregation makes the shuffle carry only
+    // |groups| x |partitions| rows — the plan that survives 100 TB.
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multi-way star join: fact x 4 dims. All dims are broadcast — zero
+    // shuffle for the join itself; the only exchange is the final groupBy.
+    "join_star" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Left outer join with pre-aggregation BEFORE the join: the fact side
+    // is reduced to one row per key first, so the join input is minimal.
+    "join_left" -> ((s, dir) => {
+      val part = Tables(s, dir, "part")
+      val liAgg = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      part.join(liAgg, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), col("p_brand"),
+          coalesce(col("qty"), lit(0.0)).as("qty"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Semi join (EXISTS): customers that have at least one urgent order.
+    "join_semi" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === lit("1-URGENT"))
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no urgent order.
+    "join_anti" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === lit("1-URGENT"))
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Global sort + top-k: Spark runs TakeOrderedAndProject — a per-
+    // partition heap + driver merge of k rows, not a full sort.
+    "sort_topk" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .limit(10)
+    }),
+
+    // Distinct over a low-cardinality pair — partial dedup map-side.
+    "distinct_pairs" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Set ops the reference lacks entirely: intersect / except.
+    "set_intersect" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+    "set_except" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Rollup: hierarchical subtotals in one pass (Expand + single shuffle).
+    "rollup_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // Window functions: rank-per-group (top-3 orders per customer) and a
+    // running sum — both shuffle once on the partition key.
+    "window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // l_extendedprice disambiguates (verified unique at sf0.01/sf0.1).
+    "window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "lineitem")
+        .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // Scalar function library: string / date / math over orders.
+    "scalar_funcs" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          substring(col("o_orderpriority"), 1, 1).as("prio1"),
+          length(col("o_orderpriority")).as("prio_len"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          round(abs(col("o_totalprice") - lit(1000.0)), 2).as("delta"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_star" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "join_left" ->
+      """SELECT p_partkey, p_brand, coalesce(qty, 0.0) AS qty
+         FROM part LEFT JOIN (
+           SELECT l_partkey, round(sum(l_quantity), 2) AS qty
+           FROM lineitem GROUP BY 1
+         ) ON p_partkey = l_partkey
+         ORDER BY p_partkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "sort_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10""",
+    "distinct_pairs" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+         FROM lineitem
+         ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""",
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+         upper(o_orderstatus) AS status_u,
+         substring(o_orderpriority, 1, 1) AS prio1,
+         length(o_orderpriority) AS prio_len,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         round(abs(o_totalprice - 1000.0), 2) AS delta,
+         round(sqrt(o_totalprice), 6) AS sqrt_price
+         FROM orders ORDER BY o_orderkey""")
+}
