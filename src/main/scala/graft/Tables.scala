@@ -15,5 +15,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via
+    * the legacy conf and surface a microsecond TimestampType column —
+    * the same truncation DuckDB applies when casting TIMESTAMP_NS to
+    * TIMESTAMP. `ts div 1000` keeps the math in integer space (a double
+    * division would lose precision on epoch-nanos magnitudes). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 }
