@@ -23,9 +23,14 @@ object Tables {
     * the legacy conf and surface a microsecond TimestampType column —
     * the same truncation DuckDB applies when casting TIMESTAMP_NS to
     * TIMESTAMP. `ts div 1000` keeps the math in integer space (a double
-    * division would lose precision on epoch-nanos magnitudes). */
+    * division would lose precision on epoch-nanos magnitudes).
+    *
+    * The legacy conf should be set at session build (Verify/Bench do);
+    * the guarded set below only covers foreign sessions (tests) and
+    * never mutates a session that already has it. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(k).forall(_ != "true")) spark.conf.set(k, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -31,21 +31,32 @@ object GraftOps {
       df.select(col(name))
     }
 
-    /** Cell by (row position under `order`, column). Distributed rank
-      * filter, no driver collect. reference: get/get_value
-      * (dataframe.rs:111-134). */
+    /** Cell by (row position under `order`, column). The prefix of
+      * rowPos+1 rows is fetched with TakeOrderedAndProject (per-partition
+      * heap + driver merge of rowPos+1 rows — no global sort, no RDD hop),
+      * then the last row of the prefix is the target. Positions are
+      * user-supplied small numbers, so the prefix is bounded.
+      * reference: get/get_value (dataframe.rs:111-134). */
     def cellAt(rowPos: Long, name: String, order: Seq[Column]): DataFrame = {
       requireCols(name)
-      df.withRowIndex("_idx", order)
-        .filter(col("_idx") === lit(rowPos))
+      df.orderBy(order: _*).limit(rowPos.toInt + 1)
+        .orderBy(order.map(_.desc): _*).limit(1)
         .select(col(name))
     }
 
-    /** Subset by row positions x optional column list. reference: loc
-      * (dataframe.rs:392-438). */
+    /** Subset by row positions x optional column list. Same bounded-prefix
+      * strategy as cellAt: TakeOrderedAndProject fetches max(positions)+1
+      * rows, then a row_number window over that small prefix (single
+      * partition is fine — the prefix is bounded by the largest requested
+      * position) assigns the 0-based index. Stays in Catalyst end to end.
+      * reference: loc (dataframe.rs:392-438). */
     def locRows(positions: Seq[Long], cols: Option[Seq[String]], order: Seq[Column]): DataFrame = {
+      require(positions.nonEmpty, "loc: empty position list")
       cols.foreach(cs => requireCols(cs: _*))
-      val keep = df.withRowIndex("_idx", order)
+      val prefix = df.orderBy(order: _*).limit(positions.max.toInt + 1)
+      val w = Window.orderBy(order: _*)
+      val keep = prefix
+        .withColumn("_idx", row_number().over(w) - lit(1))
         .filter(col("_idx").isin(positions: _*))
       cols.fold(keep.drop("_idx"))(cs => keep.select(cs.map(col): _*))
     }
@@ -132,19 +143,30 @@ object GraftOps {
     /** Tidy per-numeric-column stats. reference: describe
       * (dataframe.rs:599-658) emits count/mean/std/min/25/50/75/max; the
       * reference's frame layout is broken (SURVEY §2.4) so we emit one
-      * row per column instead. Exact (interpolated) percentiles; sample
-      * stddev (the reference is internally inconsistent, we pick one). */
-    def describeStats(): DataFrame = {
+      * row per column instead. Sample stddev (the reference is internally
+      * inconsistent, we pick one).
+      *
+      * Percentiles are approximate by default (`approx_percentile`, a
+      * mergeable t-digest-style sketch with bounded memory): exact
+      * `percentile` is a TypedImperativeAggregate that buffers every value
+      * of the column in one aggregation buffer — with a single global
+      * group that is one executor holding the whole column, an OOM at
+      * 100 TB. `exact = true` opts back into interpolated exact
+      * percentiles for small/test data where bit-exact quantiles matter. */
+    def describeStats(exact: Boolean = false): DataFrame = {
       val numCols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
       require(numCols.nonEmpty, "describe: no numeric columns")
+      def pct(v: Column, p: Double): Column =
+        if (exact) percentile(v, lit(p))
+        else approx_percentile(v, lit(p), lit(10000)).cast(DoubleType)
       val perCol = numCols.map { c =>
         val v = col(c).cast(DoubleType)
         struct(lit(c).as("column"), count(v).as("count"),
           avg(v).as("mean"), stddev_samp(v).as("stddev"),
           min(v).as("min"),
-          percentile(v, lit(0.25)).as("p25"),
-          percentile(v, lit(0.5)).as("p50"),
-          percentile(v, lit(0.75)).as("p75"),
+          pct(v, 0.25).as("p25"),
+          pct(v, 0.5).as("p50"),
+          pct(v, 0.75).as("p75"),
           max(v).as("max"))
       }
       // One distributed aggregate for all columns, then explode: a single
@@ -209,9 +231,12 @@ object GraftOps {
 
     // ----- positional index util (SURVEY §1.3) ------------------------------
 
-    /** Opt-in row index: sorts under `order` (distributed range sort),
-      * then zipWithIndex (no extra shuffle; one lightweight job to count
-      * partition sizes). Never ambient — only positional ops pay for it. */
+    /** Opt-in full row index: sorts under `order` (distributed range
+      * sort), then zipWithIndex (no extra shuffle; one lightweight job to
+      * count partition sizes). The RDD hop drops out of whole-stage
+      * codegen, so this is reserved for ops that genuinely need an index
+      * on EVERY row (`concatColumns`' positional zip); bounded positional
+      * access (cellAt/locRows) uses the TakeOrdered prefix path instead. */
     def withRowIndex(idxName: String, order: Seq[Column]): DataFrame = {
       val sorted = if (order.isEmpty) df else df.orderBy(order: _*)
       val schema = StructType(sorted.schema.fields :+ StructField(idxName, LongType, nullable = false))

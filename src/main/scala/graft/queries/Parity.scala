@@ -28,8 +28,13 @@ object Parity extends QueryModule {
         Seq("id", "name", "score")).orderBy(col("id"))),
 
     // §2.2 projection / access
+    // The sort exists only for hash determinism; c_custkey tiebreak keeps
+    // range partitioning from degenerating to ~5 reducers on the 5-value
+    // segment key (output is unchanged: equal-key rows are identical).
     "parity_column" -> ((s, dir) =>
-      Tables(s, dir, "customer").columnValues("c_mktsegment").orderBy(col("c_mktsegment"))),
+      Tables(s, dir, "customer")
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+        .columnValues("c_mktsegment")),
     "parity_cell_get" -> ((s, dir) =>
       Tables(s, dir, "customer").cellAt(41L, "c_name", Seq(col("c_custkey")))),
     "parity_loc" -> ((s, dir) =>
@@ -77,7 +82,7 @@ object Parity extends QueryModule {
     }),
     "parity_describe" -> ((s, dir) =>
       Tables(s, dir, "customer").select(col("c_acctbal"), col("c_nationkey"))
-        .describeStats()
+        .describeStats(exact = true) // bit-exact quantiles for the DuckDB hash compare
         .select(col("column"), col("count"),
           round(col("mean"), 6).as("mean"), round(col("stddev"), 6).as("stddev"),
           col("min"), round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
