@@ -39,8 +39,13 @@ object GraftOps {
       * reference: get/get_value (dataframe.rs:111-134). */
     def cellAt(rowPos: Long, name: String, order: Seq[Column]): DataFrame = {
       requireCols(name)
+      // row_number over the bounded prefix (not "last row of the prefix"):
+      // an out-of-range position then yields an empty result instead of
+      // silently returning the final row of a shorter table.
+      val w = Window.orderBy(order: _*)
       df.orderBy(order: _*).limit(rowPos.toInt + 1)
-        .orderBy(order.map(_.desc): _*).limit(1)
+        .withColumn("_idx", row_number().over(w) - lit(1))
+        .filter(col("_idx") === lit(rowPos))
         .select(col(name))
     }
 
