@@ -52,26 +52,52 @@ object TextFunctions {
       rnd.nextInt(MinHashPrime.toInt).toLong))
   }
 
-  /** k-wide MinHash signature of a shingle array. One xxhash64 pass maps
-    * shingles to [0, P); each permutation is a linear probe over that
-    * array — all inside one codegen'd projection, no shuffle. Empty
-    * shingle sets degrade to the max sentinel P. */
-  def minhashSignature(sh: Column, k: Int): Column = {
-    val base = transform(sh, s => pmod(xxhash64(s), lit(MinHashPrime)))
-    array(minhashParams(k).map { case (a, b) =>
-      coalesce(
-        array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinHashPrime)))),
-        lit(MinHashPrime))
+  /** Shingle array -> base hash array in [0, P): the one xxhash64 pass
+    * every MinHash permutation probes. Materialize this as its OWN
+    * column before calling `minhashSignature` — inlining it k times
+    * multiplies the expression tree by k and stalls Catalyst/codegen. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(MinHashPrime)))
+
+  /** k-wide MinHash signature over a pre-hashed shingle column (see
+    * `shingleHashes`). The permutation parameters ride along as ONE
+    * literal array of (a, b) structs and the signature is a single
+    * nested `transform` — a tight double loop in codegen. (The naive
+    * formulation — an `array(...)` of k independent array_min lanes —
+    * duplicates the probe loop k times in the expression tree; at k=128
+    * that stalled Catalyst + Janino for minutes per plan.) Empty shingle
+    * sets degrade to the max sentinel P. */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val params = array(minhashParams(k).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
+    // The size() guard double-references `hashes` so CollapseProject
+    // keeps it a materialized column: inlined, the hash array would be
+    // recomputed once per permutation (k-fold interpreted re-eval).
+    when(size(hashes) >= 0,
+      transform(params, p =>
+        coalesce(
+          array_min(transform(hashes,
+            h => pmod(h * p.getField("a") + p.getField("b"), lit(MinHashPrime)))),
+          lit(MinHashPrime))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** LSH band keys: the signature is cut into k/r bands of r rows; each
     * band hashes to one bucket key. Two docs are candidates iff they
-    * collide in >= 1 band — P(candidate) = 1-(1-J^r)^(k/r). */
+    * collide in >= 1 band — P(candidate) = 1-(1-J^r)^(k/r).
+    *
+    * The `when(size(sig) === k)` guard is load-bearing beyond
+    * validation: it makes `sig` multi-referenced, which stops
+    * CollapseProject from inlining the whole k-wide signature expression
+    * into the per-band lambda (interpreted HOF eval would then recompute
+    * the signature once PER BAND — a k/r-fold slowdown). */
   def minhashBands(sig: Column, k: Int, r: Int): Column = {
     require(k % r == 0, s"band rows $r must divide signature width $k")
-    transform(sequence(lit(0), lit(k / r - 1)),
-      b => xxhash64(concat_ws(",", transform(slice(sig, b * lit(r) + lit(1), lit(r)), _.cast("string")))))
+    when(size(sig) === k,
+      transform(sequence(lit(0), lit(k / r - 1)),
+        b => xxhash64(concat_ws(",", transform(slice(sig, b * lit(r) + lit(1), lit(r)), _.cast("string"))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   // ---- SimHash ------------------------------------------------------------
@@ -100,6 +126,19 @@ object TextFunctions {
   def simhashChunks(fp: Column): Column =
     array((0 until 4).map(i =>
       shiftright(fp, 16 * i).bitwiseAND(lit(65535L))): _*)
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** Rolling polynomial (Karp-Rabin) fingerprint over the normalized
+    * characters: acc = (acc*31 + codepoint) mod 1e9+7. One sequential
+    * `aggregate` pass inside codegen; modulus applied per step keeps the
+    * accumulator far from Long overflow. Engine-portable (no xxhash):
+    * any system with a fold over codepoints reproduces it exactly. */
+  val FingerprintMod: Long = 1000000007L
+
+  def rollingFingerprint(text: Column): Column =
+    aggregate(split(normalize(text), ""), lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(FingerprintMod)))
 
   // ---- quality ------------------------------------------------------------
 

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.graft.NativeExpressions
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for the LLM-data-pipeline surface:
+  * exact (content fingerprint), exact n-gram Jaccard (inverted-index
+  * join), MinHash+LSH (banded candidate generation + exact rerank) and
+  * SimHash (pigeonhole chunk buckets). The reference engine has no dedup
+  * at all (SURVEY §2.11); these are the north-star additions, shaped for
+  * the 100 TB case: every method is candidate-generation-by-key — a
+  * groupBy/join on a derived key — never an all-pairs comparison.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content MD5. Returns one row
+    * per duplicated fingerprint: (fp, n_copies, keep_id = min id).
+    * Map-side partial aggregation; the shuffle carries one row per
+    * distinct fingerprint. MD5 (not xxhash) so fingerprints are portable
+    * across engines and runs. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** (id, sh) projection: distinct word n-gram shingles per document;
+    * documents shorter than n tokens drop out (no shingles to match).
+    *
+    * `toks` is staged as its own column on purpose: the shingle lambda
+    * slices it once per n-gram, and Spark evaluates higher-order
+    * functions interpreted — if the tokenizer (regex normalize + split)
+    * were inlined into the lambda it would re-run PER SHINGLE, turning a
+    * linear pass into O(doc_len x shingles). A multi-referenced
+    * non-trivial alias is exactly what CollapseProject refuses to
+    * inline, so the tokenizer runs once per document. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      // size(toks) >= n <=> the shingle set is non-empty. Filtering on
+      // the TOKEN count (not size(sh) > 0) matters: predicate pushdown
+      // substitutes aliases, and a filter on sh would re-run the whole
+      // inlined shingle pipeline per row below the projections.
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+
+  /** EXACT n-gram Jaccard near-duplicate pairs via the inverted-index
+    * join: explode shingles, self-join on the shingle, count shared
+    * shingles per pair, then Jaccard = c / (|A| + |B| - c). Emits
+    * (i, j, jac) for jac >= threshold, i < j.
+    *
+    * Scale shape: the self-join shuffles on the shingle key — documents
+    * sharing no shingle never meet. The known hazard is hot shingles
+    * (boilerplate phrases shared by millions of docs): `maxDocFreq`
+    * drops shingles occurring in more than that many documents before
+    * the join. Dropping only *frequent* shingles barely moves Jaccard
+    * for true near-dups while removing the quadratic blowup; 0 disables
+    * the cutoff (exact, used by the oracle-checked query at test SF). */
+  def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Long = 0L): DataFrame = {
+    // repartition spreads the per-document shingle computation across
+    // cores/executors (a small parquet file is otherwise ONE input
+    // partition doing all the interpreted HOF work) and acts as a
+    // materialization barrier for the shingle arrays.
+    val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    // explode_OUTER on purpose: for a plain explode the optimizer infers
+    // a `size(sh) > 0` filter and pushes it below every projection,
+    // substituting aliases — the pushed predicate then re-evaluates the
+    // whole inlined shingle chain per input row (interpreted, per-
+    // shingle regex). The outer generator infers nothing; the cheap
+    // isNotNull on the OUTPUT column keeps the same row set.
+    val exploded = d.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val ex =
+      if (maxDocFreq <= 0) exploded
+      else {
+        val hot = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("s")
+        exploded.join(hot, Seq("s"), "left_anti")
+      }
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nb"), "j")
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** MinHash + banded-LSH near-duplicate pairs with an exact Jaccard
+    * rerank. Candidate pairs come from colliding in >= 1 of k/r bands
+    * (P = 1-(1-J^r)^(k/r); k=64, r=4 gives ~0.999 recall at J=0.8 and
+    * ~1e-15 miss at J=0.97), then the exact shingle-set Jaccard
+    * filters false positives, so precision is 1 and the emitted pairs
+    * match `nearDupPairsExact` whenever recall holds.
+    *
+    * Scale shape: signatures are one codegen'd projection (no shuffle);
+    * candidates come from a self-join on (band position, band hash) —
+    * each document meets only its bucket-mates, never the corpus. */
+  def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 64, r: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    // Staged projections: hashes -> signature -> bands. Each stage
+    // references the previous COLUMN, so the k-wide signature tree is
+    // built once instead of being inlined into all k/r band slices
+    // (which multiplies the expression tree ~k-fold and stalls the
+    // optimizer before a single row is read).
+    val d = shingleSets(df, idCol, textCol, n)
+      .repartition(col("doc_id")) // spread signature work; see nearDupPairsExact
+      .withColumn("hsh", shingleHashes(col("sh")))
+      // native codegen'd expression: one fused k x |hsh| loop (the HOF
+      // formulation is interpreted at ~µs per lambda step)
+      .withColumn("sig", NativeExpressions.minhashSignature(col("hsh"), k))
+      .withColumn("bands", minhashBands(col("sig"), k, r))
+      // second barrier: both candidate self-join sides hang off this
+      // exchange, so ReuseExchange computes the signatures once.
+      .repartition(col("doc_id"))
+    // (band position, band hash) is the bucket key: the position must be
+    // part of the key or hashes from different bands could collide.
+    // posexplode_OUTER + isNotNull instead of posexplode: see
+    // nearDupPairsExact — an inferred size() filter would otherwise push
+    // the whole signature chain into a per-row scan predicate.
+    val ex = d.select(col("doc_id"), posexplode_outer(col("bands")).as(Seq("p", "bk")))
+      .filter(col("bk").isNotNull)
+    val cand = ex.as("a")
+      .join(ex.as("b"),
+        col("a.p") === col("b.p") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val withSets = cand
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+    withSets.filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprint over hashed
+    * shingles, candidates from the 4x16-bit chunk pigeonhole (Hamming
+    * distance <= 3 GUARANTEES agreement on >= 1 chunk, so recall is 1
+    * for the d<=3 band), verified with the true Hamming distance.
+    * Emits (i, j) pairs with distance <= maxHamming. */
+  def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val d = shingleSets(df, idCol, textCol, n)
+      .repartition(col("doc_id")) // spread fingerprint work; see nearDupPairsExact
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      // native codegen'd expression: one pass over the hashes with 64
+      // vote counters (the nested-aggregate HOF version re-walks the
+      // array once per bit, interpreted)
+      .withColumn("fp", NativeExpressions.simhash64(col("hs")))
+      .withColumn("chunks", simhashChunks(col("fp")))
+      .repartition(col("doc_id")) // shared by both join sides via ReuseExchange
+    // outer + isNotNull: see nearDupPairsExact on inferred-filter pushdown
+    val ex = d.select(col("doc_id"), col("fp"), posexplode_outer(col("chunks")).as(Seq("p", "ck")))
+      .filter(col("ck").isNotNull)
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.p") === col("b.p") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .distinct()
+      .filter(hamming64(col("fa"), col("fb")) <= maxHamming)
+      .select(col("i"), col("j"))
+  }
+}

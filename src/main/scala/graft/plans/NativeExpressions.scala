@@ -1,0 +1,152 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the sketching hot path.
+  *
+  * The higher-order-function formulations of SimHash/MinHash are
+  * evaluated INTERPRETED by Spark (array lambdas never enter
+  * whole-stage codegen), at microseconds per lambda step — k=64
+  * permutations x ~10^2 shingles per document adds up to milliseconds
+  * per row. These expressions generate (and interpret, as fallback) a
+  * tight primitive loop instead: one pass over the hash array, all-long
+  * arithmetic, no per-step boxing. Semantics are identical to the
+  * TextFunctions HOF versions (pinned by NativeExprSpec).
+  */
+object NativeExpressions {
+  def simhash64(hashes: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(hashes)))
+
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val params = TextFunctions.minhashParams(k)
+    ExpressionUtils.column(MinHashSignatureExpr(
+      ExpressionUtils.expression(hashes),
+      params.map(_._1).toArray, params.map(_._2).toArray,
+      TextFunctions.MinHashPrime))
+  }
+}
+
+/** 64-bit SimHash of an array<bigint> of token/shingle hashes: bit b of
+  * the result is set iff more element hashes have bit b set than not
+  * (+1/-1 votes, strict majority). */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** k-wide MinHash signature of an array<bigint> of hashes already
+  * reduced into [0, prime): out(p) = min over h of (h*a_p + b_p) mod
+  * prime, or the `prime` sentinel for an empty array. Equivalent to the
+  * staged HOF formulation but a single fused loop. */
+case class MinHashSignatureExpr(child: Expression, as: Array[Long], bs: Array[Long], prime: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(as.length == bs.length && as.nonEmpty, "minhash: mismatched permutation params")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val out = Array.fill(k)(prime)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var p = 0
+      while (p < k) {
+        val v = (h * as(p) + bs(p)) % prime
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val k = as.length
+      s"""
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, ${prime}L);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $p = 0; $p < $k; $p++) {
+         |    long $v = ($h * $asRef[$p] + $bsRef[$p]) % ${prime}L;
+         |    if ($v < $out[$p]) $out[$p] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline queries over `documents` / `embeddings` / `events`:
+  * deduplication (exact, exact n-gram Jaccard, MinHash-LSH, SimHash),
+  * text profiling (language ID, token/quality stats, fingerprints) and
+  * similarity search (cosine top-k, sign-LSH ANN). The reference engine
+  * has none of this (SURVEY §2.11) — it is the north-star surface the
+  * brief demands for training-data pipelines.
+  *
+  * Every oracle here is plain DuckDB SQL recomputing the same semantics
+  * (the dedup primitives were deliberately chosen to be engine-portable:
+  * MD5 content keys, polynomial fingerprints, exact Jaccard reranks).
+  */
+object Pipeline extends QueryModule {
+
+  /** SQL fragment: normalized whitespace-token array of `text`. */
+  private val toksSql =
+    """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+
+  /** SQL for the exact 3-gram Jaccard pair list (shared by the near-dup
+    * oracles; mirrors Dedup.nearDupPairsExact at threshold 0.5). */
+  private val nearPairsSql =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql toks FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                       for i in generate_series(1, len(toks) - 2)])) s
+          FROM t WHERE len(toks) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) n FROM sh GROUP BY 1
+        ), pairs AS (
+          SELECT a.doc_id i, b.doc_id j, count(*) c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT pairs.i AS i, pairs.j AS j,
+               round(c::DOUBLE / (na.n + nb.n - c), 6) AS jac
+        FROM pairs
+        JOIN sizes na ON na.doc_id = pairs.i
+        JOIN sizes nb ON nb.doc_id = pairs.j
+        WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5"""
+
+  /** SQL mirror of TextFunctions.langId: argmax of marker-word hits with
+    * the fixed priority-order tiebreak, 'und' when nothing hits. */
+  private val langIdSql: String = {
+    def hits(words: Seq[String]): String =
+      s"len(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+    val scores = LangMarkers.map { case (lang, words) => lang -> hits(words) }
+    val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s > 0 AND $s = $best THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val stopHitsSql =
+    s"len(list_filter(toks, x -> list_contains([${Stopwords.map(w => s"'$w'").mkString(",")}], x)))"
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- deduplication ------------------------------------------------------
+
+    // Exact dedup, robust to case/whitespace mangling. The synthetic
+    // corpus has no exact duplicates, so the query injects them
+    // deterministically: a shouting, re-padded copy of every doc_id<100
+    // document must collapse onto its original's fingerprint.
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mangled = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      Dedup.exactDupGroups(docs.unionByName(mangled), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs (inverted-index join).
+    "dedup_near" -> ((s, dir) =>
+      Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("i"), col("j"))),
+
+    // MinHash-LSH candidates + exact rerank: same answer as dedup_near
+    // (banded LSH at k=128/r=8 has ~1-3e-11 miss probability at the
+    // J>=0.97 separation this corpus has), found without the full
+    // inverted-index join.
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDupPairsMinhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("i"), col("j"))),
+
+    // SimHash chunk-bucket near-dup pair list (ids only — Hamming radius
+    // 3 over 64-bit fingerprints of the shingle sets). A deliberately
+    // stricter notion than Jaccard 0.5: rows-only driver check, exact
+    // semantics pinned by DedupSpec.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("i"), col("j"))),
+
+    // ---- text analysis ------------------------------------------------------
+
+    // Per-document profile: token counts, language ID, stopword quality
+    // ratios, mean token length. One codegen'd projection, no shuffle
+    // except the output sort.
+    "text_profile" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val norm = normalize(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        length(norm).as("n_chars_norm"),
+        langId(t).as("lang_id"),
+        wordHits(t, Stopwords).as("stop_hits"),
+        round(wordHits(t, Stopwords).cast("double") / size(t), 6).as("stop_ratio"),
+        round((length(norm) - size(t) + 1).cast("double") / size(t), 6).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level token statistics (two tiny aggregates cross-joined).
+    "token_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val perDoc = docs.select(size(tokens(col("text"))).as("n"))
+        .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("total_docs"),
+          round(avg(col("n")), 6).as("avg_tokens_per_doc"))
+      val distinctToks = docs.select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      perDoc.crossJoin(distinctToks)
+        .select(col("total_tokens"), col("total_docs"),
+          col("avg_tokens_per_doc"), col("distinct_tokens"))
+    }),
+
+    // Per-document rolling polynomial fingerprint (engine-portable).
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity search --------------------------------------------------
+
+    // Brute-force cosine top-10 against the vec_id=0 probe: the exact
+    // baseline. Single scan + broadcast of one probe row +
+    // TakeOrderedAndProject — no shuffle of the embedding table.
+    "knn_cosine" -> ((s, dir) =>
+      SimilaritySearch.topKCosine(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
+
+    // Multi-table sign-LSH ANN with exact rerank: the HIGH-similarity
+    // retrieval path (see SimilaritySearch.topKCosineLsh — this corpus's
+    // nearest neighbors sit at cos ~0.3, where the exact scan is the
+    // right plan; AnnSpec pins recall >= 0.9 in the intended cos >= 0.95
+    // regime). Approximate by design => no SQL oracle (rows-only check).
+    "ann_cosine_lsh" -> ((s, dir) =>
+      SimilaritySearch.topKCosineLsh(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
+
+    // ---- events -------------------------------------------------------------
+
+    // Tumbling 10-minute window aggregation over the event stream table
+    // (the batch face of the streaming surface; StreamOps runs the same
+    // shape incrementally). Window start serialized as a string so the
+    // cross-engine timestamp comparison is unambiguous.
+    "events_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, concat('  ', upper(text), '   ')
+           FROM documents WHERE doc_id < 100
+         )
+         SELECT fp, count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) fp
+               FROM all_docs)
+         GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    "dedup_near" -> (nearPairsSql + " ORDER BY i, j"),
+    "dedup_minhash" -> (nearPairsSql + " ORDER BY i, j"),
+    // dedup_simhash has NO oracle on purpose: Hamming<=3 over SimHash is
+    // its own (stricter) similarity notion, not Jaccard>=0.5 — on this
+    // corpus it keeps only the J>=0.985-ish pairs — and DuckDB cannot
+    // recompute xxhash64-based fingerprints anyway. DedupSpec pins its
+    // semantics (subset of the exact-Jaccard pairs, finds 1-token edits).
+    "text_profile" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens, length(norm) AS n_chars_norm,
+            $langIdSql AS lang_id,
+            $stopHitsSql AS stop_hits,
+            round($stopHitsSql::DOUBLE / len(toks), 6) AS stop_ratio,
+            round((length(norm) - len(toks) + 1)::DOUBLE / len(toks), 6) AS avg_tok_len
+          FROM (SELECT doc_id, $toksSql toks,
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) norm
+                FROM documents)
+          ORDER BY doc_id""",
+    "token_stats" ->
+      s"""SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+            count(*) AS total_docs,
+            round(avg(len(toks)), 6) AS avg_tokens_per_doc,
+            (SELECT count(DISTINCT t) FROM
+              (SELECT unnest(toks2) t FROM
+                (SELECT $toksSql toks2 FROM documents))) AS distinct_tokens
+          FROM (SELECT $toksSql toks FROM documents)""",
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                [CAST(ascii(c) AS BIGINT)
+                 for c in string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '')]),
+              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+          FROM documents ORDER BY doc_id""",
+    "knn_cosine" ->
+      """WITH p AS (SELECT embedding::DOUBLE[] pe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(e, pe) /
+                 (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) AS cos
+         FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0), p
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    "events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** Recall contract for sign-LSH approximate similarity search. LSH
+  * bucketing is a HIGH-similarity retrieval structure: recall is pinned
+  * on a corpus with genuinely similar vectors (small perturbations,
+  * cos >= ~0.97). On weak-similarity data (the synthetic embeddings'
+  * nearest neighbors sit at cos ~0.3) no bucketing scheme can prune and
+  * recall simultaneously — the exact knn_cosine scan is the right plan
+  * there, which the similarity-equality test also exercises. */
+class AnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dim = 64
+
+  /** 3 clusters of 20 near-identical vectors + 140 random ones. */
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Seq.fill(3)(unit())
+    val rows = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 20).map { i =>
+        val v = c.map(_ + rnd.nextGaussian() * 0.02)
+        (ci * 1000L + i, v.toSeq)
+      }
+    } ++ (0 until 140).map(i => (9000L + i, unit().toSeq))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("multi-table sign-LSH recall@10 >= 0.9 for high-similarity neighbors") {
+    val df = clustered.cache()
+    val exact = SimilaritySearch.topKCosine(df, "vec_id", "embedding", 1000L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SimilaritySearch.topKCosineLsh(df, "vec_id", "embedding", 1000L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("ANN similarities are exact cosines (only the candidate set is approximate)") {
+    val dir = "/root/testdata/sf0.001"
+    val exactMap = SparkEntry.queries("knn_cosine")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("ann_cosine_lsh")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(approx.nonEmpty)
+    approx.filter { case (id, _) => exactMap.contains(id) }.foreach { case (id, cos) =>
+      assert(cos == exactMap(id), s"vec $id cosine mismatch")
+    }
+  }
+}

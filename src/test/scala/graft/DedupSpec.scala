@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Behavioral coverage for the dedup operator family on controlled
+  * corpora (the driver's oracle gate covers the registered queries on
+  * the synthetic tables; these specs pin edge semantics). */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy cat and runs far away home"), // 1 token off 1
+    (3L, "completely different text about spark partitions shuffles and big joins"),
+    (4L, "THE  quick   brown fox jumps over the lazy dog and runs far away home"), // = 1 modulo case/ws
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups collapses case/whitespace variants only") {
+    val g = Dedup.exactDupGroups(corpus, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_copies") == 2L)
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("nearDupPairsExact finds the one-token-edit pair and the exact pair") {
+    val pairs = Dedup.nearDupPairsExact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // (1,2): 1 token of 14 differs; (1,4)/(2,4): 4 is identical to 1
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3
+    assert(j14 == 1.0) // identical after normalization
+  }
+
+  test("minhash pairs equal the exact pairs on this corpus") {
+    val exact = Dedup.nearDupPairsExact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("simhash pairs are a subset of exact pairs and catch tiny edits") {
+    val sh = Dedup.nearDupPairsSimhash(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs must always be found (hamming 0)
+    assert(sh.contains((1L, 4L)))
+    val exact = Dedup.nearDupPairsExact(corpus, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.subsetOf(exact))
+  }
+
+  test("maxDocFreq cutoff drops hot shingles but keeps true near-dups") {
+    val pairs = Dedup.nearDupPairsExact(corpus, "doc_id", "text", maxDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

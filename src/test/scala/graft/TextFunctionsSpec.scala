@@ -30,7 +30,7 @@ class TextFunctionsSpec extends SparkSpecBase {
 
   test("minhash signatures are deterministic and equal for equal docs") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps").toDF("t")
-    val sigs = df.select(minhashSignature(shingles(tokens(col("t")), 3), 32))
+    val sigs = df.select(minhashSignature(shingleHashes(shingles(tokens(col("t")), 3)), 32))
       .collect().map(_.getSeq[Long](0))
     assert(sigs(0) == sigs(1))
     assert(sigs(0).length == 32)
@@ -42,7 +42,8 @@ class TextFunctionsSpec extends SparkSpecBase {
       ("b", "one two three four five six seven eight nine eleven"), // 1 token differs
       ("c", "alpha beta gamma delta epsilon zeta eta theta iota kappa")
     ).toDF("id", "t")
-    val sigs = df.select(col("id"), minhashSignature(shingles(tokens(col("t")), 2), 64).as("s"))
+    val sigs = df.select(col("id"),
+        minhashSignature(shingleHashes(shingles(tokens(col("t")), 2)), 64).as("s"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     def est(a: Seq[Long], b: Seq[Long]) =
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
@@ -52,7 +53,7 @@ class TextFunctionsSpec extends SparkSpecBase {
 
   test("minhash band keys collide iff the band's signature slice matches") {
     val df = Seq("x y z w v u t s").toDF("t")
-    val sig = minhashSignature(shingles(tokens(col("t")), 2), 16)
+    val sig = minhashSignature(shingleHashes(shingles(tokens(col("t")), 2)), 16)
     val bands = df.select(minhashBands(sig, 16, 4)).collect()(0).getSeq[Long](0)
     assert(bands.length == 4) // 16/4 bands
     intercept[IllegalArgumentException] { minhashBands(lit(null), 16, 5) }
