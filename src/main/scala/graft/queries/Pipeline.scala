@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.MultimodalFunctions
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions._
 import graft.operators.{Dedup, SimilaritySearch}
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,27 @@ object Pipeline extends QueryModule {
       SimilaritySearch.topKCosineLsh(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
 
+    // ---- multimodal ---------------------------------------------------------
+
+    // Media-metadata extraction over binary columns: documents' text
+    // bytes stand in for media payloads (no real media in the synthetic
+    // tables), with deterministic magic-byte prefixes planted by
+    // doc_id%3 so the MIME sniffer has something to find. The binary
+    // column plumbing (concat, octet_length, hex-prefix dispatch) is the
+    // real 100 TB shape; only the payloads are synthetic.
+    "media_meta" -> ((s, dir) => {
+      val payload = col("text").cast("binary")
+      val media = when(pmod(col("doc_id"), lit(3)) === 0, concat(expr("X'FFD8FFE0'"), payload))
+        .when(pmod(col("doc_id"), lit(3)) === 1, concat(expr("X'89504E470D0A1A0A'"), payload))
+        .otherwise(payload)
+      MultimodalFunctions
+        .withMediaMeta(Tables(s, dir, "documents").withColumn("media", media), "media")
+        .select(col("doc_id"), col("media_mime"),
+          col("media_bytes").cast("long").as("media_bytes"),
+          md5(col("text").cast("binary")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- events -------------------------------------------------------------
 
     // Tumbling 10-minute window aggregation over the event stream table
@@ -217,6 +238,16 @@ object Pipeline extends QueryModule {
                  for c in string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '')]),
               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
           FROM documents ORDER BY doc_id""",
+    "media_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                WHEN doc_id % 3 = 1 THEN 'image/png'
+                ELSE 'application/octet-stream' END AS media_mime,
+           CAST(octet_length(text::BLOB) +
+                CASE WHEN doc_id % 3 = 0 THEN 4
+                     WHEN doc_id % 3 = 1 THEN 8 ELSE 0 END AS BIGINT) AS media_bytes,
+           md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
     "knn_cosine" ->
       """WITH p AS (SELECT embedding::DOUBLE[] pe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

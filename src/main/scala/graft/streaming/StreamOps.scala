@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface: the same event-table shapes the batch
+  * `events_window` query computes, expressed incrementally. Everything
+  * here works identically on a bounded MemoryStream (tests) and an
+  * unbounded source (Kafka/file at cluster scale): state is bounded by
+  * the watermark, keys partition across executors, and output is
+  * append-mode so downstream sinks see only finalized windows.
+  */
+object StreamOps {
+
+  case class Event(eventId: Long, ts: Timestamp, userId: Long, eventType: String, value: Double)
+  case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, start: Timestamp, end: Timestamp)
+  case class SessionState(n: Long, total: Double, start: Long, last: Long)
+
+  /** Tumbling-window count/sum per event type with a watermark: late
+    * events beyond `watermark` are dropped and the window state is
+    * reclaimed — the property that keeps state bounded on an unbounded
+    * stream. Mirrors the batch `events_window` query. */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+                     watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user sessionization with a gap timeout via mapGroupsWithState:
+    * the custom-state escape hatch for semantics windows can't express.
+    * A session closes when no event arrives within `gapMs` (EVENT time)
+    * of the last one: the state's timeout is pinned to last+gap and
+    * fires when the watermark passes it — deterministic under replay,
+    * unlike a processing-time timeout (which also forces the engine
+    * into continuous empty micro-batches just to poll the clock).
+    * State per key is O(1) — counters and timestamps.
+    *
+    * `events` must carry a watermark on `ts` (sessionizeStream applies
+    * one). */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last))
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            val next = evs.foldLeft(prev) { (s, e) =>
+              SessionState(s.n + 1, s.total + e.value,
+                math.min(s.start, e.ts.getTime), math.max(s.last, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            // not final until the watermark passes last+gap; emit a snapshot
+            SessionOut(userId, next.n, next.total, new Timestamp(next.start), new Timestamp(next.last))
+          }
+      }
+  }
+
+  /** Watermarked entry point for sessionize on a raw event frame. */
+  def sessionizeStream(events: DataFrame, gapMs: Long, watermark: String = "30 minutes")
+                      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    sessionize(
+      events.withWatermark("ts", watermark)
+        .select(col("event_id").as("eventId"), col("ts"),
+          col("user_id").as("userId"), col("event_type").as("eventType"), col("value"))
+        .as[Event],
+      gapMs)
+  }
+
+  /** Wire a streaming frame to an in-memory sink (tests / debugging):
+    * returns the query; results land in table `name`. */
+  def toMemorySink(df: DataFrame, name: String,
+                   mode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+}

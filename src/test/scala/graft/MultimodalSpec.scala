@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.MultimodalFunctions
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: MIME sniffing, metadata
+  * projection, and the mapPartitions decode-stub batch shape. */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2, 3)),
+    (2L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 9)),
+    (3L, Array[Byte](0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0)),
+    (4L, "plain text".getBytes("UTF-8")),
+    (5L, null.asInstanceOf[Array[Byte]])
+  ).toDF("id", "media")
+
+  test("sniffMime recognizes jpeg/png/wav and falls back to octet-stream") {
+    val got = MultimodalFunctions.withMediaMeta(media, "media")
+      .select("id", "media_mime").orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "image/jpeg")
+    assert(got(2L) == "image/png")
+    assert(got(3L) == "audio/wav")
+    assert(got(4L) == "application/octet-stream")
+  }
+
+  test("withMediaMeta reports exact byte sizes and prunes away unused bytes") {
+    val df = MultimodalFunctions.withMediaMeta(media, "media")
+    val sizes = df.select("id", "media_bytes").orderBy("id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(sizes(1L) == 7 && sizes(2L) == 9 && sizes(5L) == -1)
+    // a query not touching `media` must not read it: check the scan's
+    // pruned schema via the analyzed plan's output of the projection
+    val pruned = df.select("id", "media_mime").queryExecution.optimizedPlan
+    assert(!pruned.schema.fieldNames.contains("media"))
+  }
+
+  test("decodeImageFeaturesStub emits a normalized feature vector per row") {
+    val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") < 5), "media", dim = 8)
+    assert(out.schema.fieldNames.contains("features"))
+    val rows = out.orderBy("id").collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 8)
+      assert(math.abs(f.sum - 1.0) < 1e-9) // L1-normalized histogram
+    }
+    // deterministic: same input -> same features
+    val again = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") < 5), "media", dim = 8)
+      .orderBy("id").collect()
+    assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](2)).toSeq)
+  }
+
+  test("decode stub passes null media through as null features") {
+    val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") === 5), "media")
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(2))
+  }
+}
