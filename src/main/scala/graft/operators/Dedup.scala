@@ -64,6 +64,8 @@ object Dedup {
     // cores/executors (a small parquet file is otherwise ONE input
     // partition doing all the interpreted HOF work) and acts as a
     // materialization barrier for the shingle arrays.
+    // the repartition doubles as the exchange both self-join sides (and
+    // the size lookup) reuse, so shingling runs once (ReuseExchange)
     val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
     val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
     // explode_OUTER on purpose: for a plain explode the optimizer infers

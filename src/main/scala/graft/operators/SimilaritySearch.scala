@@ -55,6 +55,36 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the all-to-all version of
+    * topKCosineLsh): bucket every vector in `tables` sign-LSH tables,
+    * self-join on (table, bucket) — the 100 TB shape: vectors only meet
+    * their bucket-mates, never the corpus — then exact-cosine rerank at
+    * `threshold`. Emits (i, j, cos), i < j. Near-identical vectors
+    * (cos ~ 1) agree on every hyperplane sign, so recall is ~1 in the
+    * intended near-dup regime; precision is exactly 1 via the rerank. */
+  def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double = 0.99,
+                      bits: Int = 8, tables: Int = 2): DataFrame = {
+    val dim = dimOf(emb, vecCol)
+    val bucketed = (0 until tables).map { t =>
+      emb.select(col(idCol).as("doc"),
+        lit(t).as("tbl"),
+        signLshBucket(col(vecCol), signLshPlanes(bits, dim, seed = 42L + t)).as("bk"))
+    }.reduce(_ unionByName _)
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bk") === col("b.bk") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+    cand
+      .join(emb.select(col(idCol).as("i"), col(vecCol).as("va")), "i")
+      .join(emb.select(col(idCol).as("j"), col(vecCol).as("vb")), "j")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding dimensionality, from the first row (driver-side, one
     * value). The plane constants need it at plan-build time. */
   private def dimOf(emb: DataFrame, vecCol: String): Int =

@@ -30,6 +30,46 @@ object NativeExpressions {
       params.map(_._1).toArray, params.map(_._2).toArray,
       TextFunctions.MinHashPrime))
   }
+
+  private def buildMinhash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "minhash_signature(hashes, k): k must be a literal integer")
+    val k = exprs(1).eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"minhash k: $other")
+    }
+    val params = TextFunctions.minhashParams(k)
+    MinHashSignatureExpr(exprs.head,
+      params.map(_._1).toArray, params.map(_._2).toArray, TextFunctions.MinHashPrime)
+  }
+
+  /** (name, builder) pairs for SQL registration. */
+  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
+    "minhash_signature" -> buildMinhash _)
+
+  /** Register the native expressions as SQL functions on an existing
+    * session (`SELECT simhash64(...) FROM ...`). The
+    * `graft.GraftExtensions` class does the same at session build via
+    * spark.sql.extensions. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    sqlFunctions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** Hook for SparkSessionExtensions-based injection. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+  }
 }
 
 /** 64-bit SimHash of an array<bigint> of token/shingle hashes: bit b of

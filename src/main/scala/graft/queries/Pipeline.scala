@@ -157,6 +157,22 @@ object Pipeline extends QueryModule {
       SimilaritySearch.topKCosineLsh(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
 
+    // Embedding-cosine near-dup pairs via bucketed sign-LSH + exact
+    // rerank. The corpus has no natural near-identical vectors (max
+    // pairwise cos ~0.51), so the query plants them deterministically: a
+    // scaled copy (x*1.01, same direction, cos ~1) of every vec_id<50.
+    // Bucket self-join, never all-pairs; the DuckDB oracle brute-forces
+    // the same answer.
+    "embed_neardup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding"))
+      SimilaritySearch.nearDupPairsLsh(emb.unionByName(pert), "vec_id", "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+
     // ---- multimodal ---------------------------------------------------------
 
     // Media-metadata extraction over binary columns: documents' text
@@ -238,6 +254,19 @@ object Pipeline extends QueryModule {
                  for c in string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '')]),
               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
           FROM documents ORDER BY doc_id""",
+    "embed_neardup" ->
+      """WITH u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+           FROM embeddings WHERE vec_id < 50
+         ), e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u),
+         p AS (
+           SELECT a.vec_id i, b.vec_id j,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.99 ORDER BY i, j""",
     "media_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

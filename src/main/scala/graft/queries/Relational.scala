@@ -149,6 +149,21 @@ object Relational extends QueryModule {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     }),
 
+    // Salted skew join: identical result to the plain join (the salt is
+    // internal), but hot orderkeys spread across 8 reducers instead of
+    // funneling into one — the restructuring AQE cannot do when a single
+    // key exceeds a task. Oracle = the unsalted join, which is exactly
+    // the correctness contract of salting.
+    "join_salted" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Scalar function library: string / date / math over orders.
     "scalar_funcs" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -232,6 +247,12 @@ object Relational extends QueryModule {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
          FROM lineitem
          ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""",
+    "join_salted" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "scalar_funcs" ->
       """SELECT o_orderkey,
          upper(o_orderstatus) AS status_u,
