@@ -127,6 +127,17 @@ object TextFunctions {
     array((0 until 4).map(i =>
       shiftright(fp, 16 * i).bitwiseAND(lit(65535L))): _*)
 
+  /** BPE-ish subword pre-tokenization (GPT-2-style split, RE2-safe — no
+    * lookarounds, so the same pattern runs in other engines verbatim):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs. NOT a trained BPE merge — the split that precedes
+    * one, which is what corpus token-count estimation needs. */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Rolling polynomial (Karp-Rabin) fingerprint over the normalized

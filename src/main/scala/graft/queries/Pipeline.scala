@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.MultimodalFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{AsofJoin, Dedup, SimilaritySearch}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries over `documents` / `embeddings` / `events`:
@@ -194,7 +194,58 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document quality/token metrics: BPE-ish subword counts (the
+    // corpus-size estimate a training pipeline budgets by), whitespace
+    // tokens, and character-class ratios. One projection; the regexes
+    // are RE2-safe so the DuckDB oracle runs the identical patterns.
+    "text_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(bpeishTokens(t)).as("bpe_tokens"),
+        size(tokens(t)).as("ws_tokens"),
+        round(length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / length(t), 6).as("alpha_ratio"),
+        round(length(regexp_replace(t, "[^\\p{N}]", "")).cast("double") / length(t), 6).as("digit_ratio"),
+        round(length(regexp_replace(t, "[\\p{L}\\p{N}\\s]", "")).cast("double") / length(t), 6).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- events -------------------------------------------------------------
+
+    // As-of join: each click event picks up the value of the same
+    // user's LATEST prior (or simultaneous) view — the trades->quotes
+    // shape. Views are pre-aggregated to unique (user, ts) first; ties
+    // would otherwise be nondeterministic in ANY engine. Oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin.asofJoinLast(clicks, views, "user_id", "ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: price points into overlapping price bands via the
+    // binned equi-join (RangeJoin.pointInRange) instead of a
+    // nested-loop BETWEEN join.
+    "range_join" -> ((s, dir) => {
+      // p_retailprice spans [900, 1000); bands split it and the last
+      // band overlaps all others (points match multiple intervals).
+      val bands = graft.Graft.fromValues(s, Seq("band_id", "lo", "hi"), Seq(
+        Seq(0L, 900.0, 920.0), Seq(1L, 920.0, 940.0), Seq(2L, 940.0, 960.0),
+        Seq(3L, 960.0, 980.0), Seq(4L, 980.0, 1000.0), Seq(5L, 900.0, 1000.0)))
+      graft.operators.RangeJoin.pointInRange(
+        Tables(s, dir, "part"), "p_retailprice", bands, "lo", "hi", binWidth = 20.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 6).as("avg_price"))
+        .orderBy(col("band_id"))
+    }),
 
     // Tumbling 10-minute window aggregation over the event stream table
     // (the batch face of the streaming surface; StreamOps runs the same
@@ -254,6 +305,34 @@ object Pipeline extends QueryModule {
                  for c in string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '')]),
               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
           FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+            len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens,
+            len($toksSql) AS ws_tokens,
+            round(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+            round(length(regexp_replace(text, '[^\\p{N}]', '', 'g'))::DOUBLE / length(text), 6) AS digit_ratio,
+            round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio
+          FROM documents ORDER BY doc_id""",
+    "asof_join" ->
+      """WITH v AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) ts, max(value) view_value
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           round(v.view_value, 2) AS view_value
+         FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+         ORDER BY c.event_id""",
+    "range_join" ->
+      """SELECT band_id, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+         FROM part
+         JOIN (VALUES (CAST(0 AS BIGINT), 900.0, 920.0), (1, 920.0, 940.0),
+                      (2, 940.0, 960.0), (3, 960.0, 980.0),
+                      (4, 980.0, 1000.0), (5, 900.0, 1000.0)) b(band_id, lo, hi)
+           ON p_retailprice BETWEEN lo AND hi
+         GROUP BY 1 ORDER BY 1""",
     "embed_neardup" ->
       """WITH u AS (
            SELECT vec_id, embedding FROM embeddings
