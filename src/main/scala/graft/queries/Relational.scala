@@ -122,6 +122,39 @@ object Relational extends QueryModule {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // Pivot: wide-format aggregation with explicit pivot values (an
+    // implicit value list would need an extra collect job — always pass
+    // the list at scale). One shuffle; each cell is a filtered sum.
+    "pivot_agg" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("yr"))
+    }),
+
+    // Cube: all grouping-set combinations in one pass (Expand + single
+    // shuffle), the full-lattice sibling of rollup_agg.
+    "cube_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // Ordered list aggregation: collect_list is unordered by contract,
+    // so sort_array makes the result deterministic and hash-comparable.
+    "agg_lists" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), concat_ws(",", col("statuses")).as("statuses"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Window functions: rank-per-group (top-3 orders per customer) and a
     // running sum — both shuffle once on the partition key.
     "window_rank" -> ((s, dir) => {
@@ -233,6 +266,22 @@ object Relational extends QueryModule {
          count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "pivot_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+         FROM orders GROUP BY 1 ORDER BY yr""",
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "agg_lists" ->
+      """SELECT l_returnflag,
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+         count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "window_rank" ->
       """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
