@@ -83,9 +83,21 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select("s")
         exploded.join(hot, Seq("s"), "left_anti")
       }
-    val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // Pair generation by grouping the inverted index instead of a
+    // self-join: one shuffle on the shingle builds each posting list,
+    // pairs explode from the sorted list (i < j by construction). The
+    // posting-list array is bounded by the shingle's doc frequency —
+    // the same quantity maxDocFreq caps — so skew is controlled by the
+    // same knob that controls the join blowup.
+    val pairs = ex.groupBy(col("s"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode_outer(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)), y -> struct(x AS i, y AS j))))"""))
+        .as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")

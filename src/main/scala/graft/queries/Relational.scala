@@ -197,6 +197,15 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SQL front end: the identical ANSI text runs through spark.sql and
+    // through the DuckDB oracle — the engine is usable as plain SQL
+    // (TPC-H Q3 shape: selective dim filter -> fact joins -> top-k).
+    "sql_q3" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ3)
+    }),
+
     // Scalar function library: string / date / math over orders.
     "scalar_funcs" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -212,7 +221,19 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderkey"))
     }))
 
+  /** Shared between the Spark query and the DuckDB oracle verbatim. */
+  val SqlQ3: String =
+    """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING'
+         AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       GROUP BY l_orderkey, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 20"""
+
   val oracle: Map[String, String] = Map(
+    "sql_q3" -> SqlQ3,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
