@@ -106,12 +106,15 @@ object ExcelSource {
       val cells = mutable.Map.empty[(Int, Int), Any]
       var maxCol = -1
       var maxRow = -1
+      var minCol = Int.MaxValue
+      var minRow = Int.MaxValue
       rowNodes.foreach { rn =>
         elementsByTag(rn, "c").foreach { c =>
           val ref = c.getAttribute("r")
           require(ref.nonEmpty, "read_excel: cell without a reference")
           val (ri, ci) = parseRef(ref)
           maxCol = math.max(maxCol, ci); maxRow = math.max(maxRow, ri)
+          minCol = math.min(minCol, ci); minRow = math.min(minRow, ri)
           val t = c.getAttribute("t")
           val value: Any = t match {
             case "s" => // shared-string index
@@ -130,9 +133,14 @@ object ExcelSource {
         }
       }
 
-      val header = (0 to maxCol).map(ci => cells.getOrElse((0, ci), s"col$ci").toString)
-      val data: Map[String, Seq[Any]] = header.zipWithIndex.map { case (h, ci) =>
-        h -> (1 to maxRow).map(ri => cells.getOrElse((ri, ci), null): Any)
+      // Range-relative addressing, like the reference's calamine
+      // worksheet_range: the used range starts at the first occupied
+      // cell, so a sheet whose data begins at B2 still yields its first
+      // column/row as the first DataFrame column/header.
+      val header = (minCol to maxCol).map(ci =>
+        cells.getOrElse((minRow, ci), s"col${ci - minCol}").toString)
+      val data: Map[String, Seq[Any]] = header.zipWithIndex.map { case (h, i) =>
+        h -> (minRow + 1 to maxRow).map(ri => cells.getOrElse((ri, minCol + i), null): Any)
       }.toMap
       Graft.fromColumns(spark, data, header)
     } finally zip.close()
