@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries.{Parity, Pipeline, Relational}
+
+/** Driver-contract invariants. These catch integration mistakes that
+  * would otherwise surface only as a silently weaker correctness round:
+  * a query name colliding across modules shadows one of them in the
+  * flattened map; an oracle key without a query never gets compared. */
+class ContractSpec extends SparkSpecBase {
+
+  private val modules = Seq(Relational, Parity, Pipeline)
+
+  test("no query name is shadowed across modules") {
+    val all = modules.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"shadowed query names: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a registered query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
+  test("oracle coverage: only the two approximate ops are rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("ann_cosine_lsh", "dedup_simhash"), rowsOnly.toString)
+  }
+
+  test("query names are stable identifiers") {
+    assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("flagship entry returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
