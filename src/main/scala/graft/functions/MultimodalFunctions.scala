@@ -71,4 +71,32 @@ object MultimodalFunctions {
     val total = math.max(1.0, bytes.length.toDouble)
     hist.map(_ / total)
   }
+
+  /** STUB resize: deterministic downsample of the payload to `target`
+    * bytes by strided selection — stands in for an image resize (the
+    * real one swaps the lambda body for a decoder+scaler call). Pure
+    * Column expression: binary in, binary out, codegen-friendly slicing.
+    * Payloads shorter than `target` pass through unchanged. */
+  def resizeStub(bin: Column, target: Int): Column = {
+    require(target > 0, "resizeStub: target must be positive")
+    // stride = ceil(len/target); take every stride-th byte
+    val len = octet_length(bin)
+    val stride = ceil(len.cast("double") / target).cast("int")
+    when(bin.isNull, lit(null).cast("binary"))
+      .when(len <= target, bin)
+      .otherwise(concat((0 until target).map(i =>
+        bin.substr(lit(i) * stride + 1, lit(1))): _*))
+  }
+
+  /** STUB frame sampling: `n` evenly spaced fixed-width byte windows of
+    * a (video/audio) payload as an array<binary> — the batch shape a
+    * real frame extractor produces (one row in, n frames out via
+    * explode). Windows start at floor(k * len / n). */
+  def frameSampleStub(bin: Column, n: Int, frameBytes: Int): Column = {
+    require(n > 0 && frameBytes > 0, "frameSampleStub: positive n and frameBytes")
+    val len = octet_length(bin)
+    when(bin.isNull, lit(null).cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), lit(n - 1)),
+        k => bin.substr((floor(k.cast("double") * len / n) + 1).cast("int"), lit(frameBytes))))
+  }
 }

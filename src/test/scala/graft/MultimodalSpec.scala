@@ -52,6 +52,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](2)).toSeq)
   }
 
+  test("resizeStub downsamples to at most the target size, deterministically") {
+    val out = media.filter(col("id") < 5)
+      .select(col("id"), octet_length(MultimodalFunctions.resizeStub(col("media"), 4)).as("n"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 4) // 7 bytes -> 4
+    assert(out(3L) == 4) // 8 bytes -> 4
+    // short payloads pass through
+    val short = Seq(Array[Byte](1, 2)).toDF("media")
+      .select(MultimodalFunctions.resizeStub(col("media"), 4)).collect()(0).getAs[Array[Byte]](0)
+    assert(short.toSeq == Seq[Byte](1, 2))
+  }
+
+  test("frameSampleStub emits n evenly spaced windows") {
+    val frames = Seq((1L, (0 until 100).map(_.toByte).toArray)).toDF("id", "media")
+      .select(MultimodalFunctions.frameSampleStub(col("media"), n = 4, frameBytes = 5))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 5))
+    assert(frames.map(_.head.toInt) == Seq(0, 25, 50, 75)) // evenly spaced starts
+  }
+
   test("decode stub passes null media through as null features") {
     val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") === 5), "media")
       .collect()
