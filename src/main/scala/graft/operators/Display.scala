@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Display {
 
-  /** Fixed-width table string of the first n rows under `order`. */
+  /** Fixed-width table string of the first n rows under `order`.
+    * Cell formatting mirrors the reference Display impl
+    * (dataframe.rs:997-1012): floats at 2 decimals, nulls as "NA". */
   def render(df: DataFrame, n: Int = 10, order: Seq[Column] = Nil): String = {
     val head = (if (order.isEmpty) df else df.orderBy(order: _*)).limit(n).collect()
     val cols = df.columns
+    def fmt(v: Any): String = v match {
+      case null      => "NA"
+      case d: Double => f"$d%.2f"
+      case f: Float  => f"$f%.2f"
+      case x         => x.toString
+    }
     val cells: Array[Array[String]] =
       Array(cols.map(identity)) ++ head.map(r =>
-        cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("null")).toArray)
+        cols.indices.map(i => fmt(r.get(i))).toArray)
     val widths = cols.indices.map(i => cells.map(_(i).length).max)
     def line(row: Array[String]): String =
       row.zip(widths).map { case (s, w) => s.padTo(w, ' ') }.mkString("| ", " | ", " |")
