@@ -43,7 +43,9 @@ object Dedup {
       // substitutes aliases, and a filter on sh would re-run the whole
       // inlined shingle pipeline per row below the projections.
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+      // native expression (one compiled pass per row); semantics pinned
+      // to TextFunctions.shingles by NativeExprSpec
+      .select(col("doc_id"), NativeExpressions.wordShingles(col("toks"), n).as("sh"))
 
   /** EXACT n-gram Jaccard near-duplicate pairs via the inverted-index
     * join: explode shingles, self-join on the shingle, count shared

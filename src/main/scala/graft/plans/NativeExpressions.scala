@@ -3,10 +3,11 @@ package org.apache.spark.sql.graft
 import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketching hot path.
   *
@@ -30,6 +31,9 @@ object NativeExpressions {
       params.map(_._1).toArray, params.map(_._2).toArray,
       TextFunctions.MinHashPrime))
   }
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(tokens), n))
 
   private def buildMinhash(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2 && exprs(1).foldable,
@@ -70,6 +74,45 @@ object NativeExpressions {
         new ExpressionInfo("graft", name), builder))
     }
   }
+}
+
+/** Distinct word n-gram shingles of an array<string> of tokens, joined
+  * with single spaces, first-occurrence order — identical semantics to
+  * TextFunctions.shingles (pinned by NativeExprSpec) but one compiled
+  * pass per row instead of interpreted per-window lambdas rebuilding
+  * slices. CodegenFallback: the eval body is plain compiled JVM code,
+  * which is what removes the per-step expression-interpreter overhead;
+  * generated-source inlining would buy little more here. */
+case class WordShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n > 0, "shingles: n must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    if (num < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= num - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash of an array<bigint> of token/shingle hashes: bit b of

@@ -22,6 +22,14 @@ object ParquetSource {
   def savePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC, Spark's other built-in columnar format, for interop with
+    * ORC-based warehouses: same save/load contract as parquet. */
+  def saveOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed + sorted table layout (requires the session catalog):
     * both sides of a join bucketed by the join key into the same bucket
     * count join with NO exchange and no sort — the shuffle is paid once

@@ -93,6 +93,12 @@ class IoSpec extends SparkSpecBase {
     assert(Display.dfEqual(ParquetSource.load(spark, dir), abc))
   }
 
+  test("save -> load ORC round-trips exactly") {
+    val dir = tmp("orc") + "/df"
+    ParquetSource.saveOrc(abc, dir)
+    assert(Display.dfEqual(ParquetSource.loadOrc(spark, dir), abc))
+  }
+
   // --- Excel (read.rs test_read_excel :310-328, write.rs :197-214) ----------
 
   test("to_excel -> read_excel round-trips types and values") {

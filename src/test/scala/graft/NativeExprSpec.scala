@@ -47,6 +47,22 @@ class NativeExprSpec extends SparkSpecBase {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native word shingles equal the HOF formulation incl. dedup and order") {
+    val both = docs
+      .withColumn("toks", tokens(col("t")))
+      .withColumn("a", shingles(col("toks"), 3))
+      .withColumn("b", NativeExpressions.wordShingles(col("toks"), 3))
+      .select(col("a"), col("b")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // repeated-window dedup keeps first occurrence, like array_distinct
+    val rep = Seq("a b a b a b").toDF("t")
+      .select(NativeExpressions.wordShingles(tokens(col("t")), 2))
+      .collect()(0).getSeq[String](0)
+    assert(rep == Seq("a b", "b a"))
+  }
+
   test("native expressions survive both codegen and interpreted paths") {
     // force interpreted fallback by evaluating through a filter too
     val n = hashed.withColumn("fp", NativeExpressions.simhash64(col("hs")))
