@@ -144,6 +144,18 @@ object Relational extends QueryModule {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // Unpivot/melt: wide -> long reshaping (the inverse of pivot_agg),
+    // native in Spark 4 — a projection + Expand, no shuffle at all
+    // until the output sort.
+    "unpivot_long" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+          "measure", "value")
+        .orderBy(col("p_partkey"), col("measure"))
+    }),
+
     // Ordered list aggregation: collect_list is unordered by contract,
     // so sort_array makes the result deterministic and hash-comparable.
     "agg_lists" -> ((s, dir) => {
@@ -298,6 +310,12 @@ object Relational extends QueryModule {
          coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "unpivot_long" ->
+      """SELECT p_partkey, measure, value FROM (
+           SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+         ORDER BY p_partkey, measure""",
     "agg_lists" ->
       """SELECT l_returnflag,
          array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
