@@ -111,6 +111,30 @@ object Relational extends QueryModule {
         .orderBy(col("nationkey"))
     }),
 
+    // Multiset set ops: duplicate-preserving intersect/except (each
+    // occurrence counts — the SQL ALL variants).
+    "set_intersect_all" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+    "set_except_all" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Offset window functions: prior/next order per customer.
+    "window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Rollup: hierarchical subtotals in one pass (Expand + single shuffle).
     "rollup_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -293,6 +317,17 @@ object Relational extends QueryModule {
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
+         lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_order
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
          coalesce(l_linestatus, 'ALL') AS ls,
