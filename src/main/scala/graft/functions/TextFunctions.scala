@@ -30,9 +30,11 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
 
   /** Number of tokens that appear in `words` (occurrence count, not set
-    * intersection — repeated stopwords count every time). */
+    * intersection — repeated stopwords count every time). Native
+    * hash-set expression; langId evaluates one of these per language,
+    * so the per-token lambda scan it replaces multiplied out. */
   def wordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    org.apache.spark.sql.graft.NativeExpressions.markerHits(toks, words)
 
   /** MD5 content fingerprint over normalized text — the exact-dedup key.
     * Stable across engines (DuckDB md5() agrees), unlike hash/xxhash64. */

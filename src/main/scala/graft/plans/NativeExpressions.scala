@@ -35,6 +35,9 @@ object NativeExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(tokens), n))
 
+  def markerHits(tokens: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(StringArrayHitsExpr(ExpressionUtils.expression(tokens), words.toArray))
+
   private def buildMinhash(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2 && exprs(1).foldable,
       "minhash_signature(hashes, k): k must be a literal integer")
@@ -112,6 +115,40 @@ case class WordShinglesExpr(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Occurrence count of tokens that appear in a fixed word list —
+  * repeated hits count every time (TextFunctions.wordHits semantics).
+  * Hash-set membership per token instead of an interpreted
+  * array_contains lambda scanning the literal list per element. */
+case class StringArrayHitsExpr(child: Expression, words: Array[String])
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "marker_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < num) {
+      val t = arr.getUTF8String(i)
+      if (t != null && set.contains(t)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StringArrayHitsExpr =
     copy(child = newChild)
 }
 
