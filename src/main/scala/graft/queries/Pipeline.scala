@@ -101,6 +101,25 @@ object Pipeline extends QueryModule {
       Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("i"), col("j"))),
 
+    // The composed curation pipeline — what a training-data run actually
+    // executes: drop the lower-id'd member of every near-duplicate pair,
+    // then gate on token count and stopword-density quality signals,
+    // emitting the kept document set. One declarative plan end to end
+    // (anti-join against the LSH-shaped pair list + a profile
+    // projection), so Catalyst sees and optimizes the whole thing.
+    "curation_keep" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nearDupJ = Dedup.nearDupPairsExact(docs, "doc_id", "text")
+        .select(col("j").as("doc_id")).distinct()
+      val t = tokens(col("text"))
+      docs
+        .select(col("doc_id"), size(t).as("n_tokens"),
+          round(wordHits(t, Stopwords).cast("double") / size(t), 6).as("stop_ratio"))
+        .join(nearDupJ, Seq("doc_id"), "left_anti")
+        .filter(col("n_tokens") >= 20 && col("stop_ratio") <= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis ------------------------------------------------------
 
     // Per-document profile: token counts, language ID, stopword quality
@@ -279,6 +298,16 @@ object Pipeline extends QueryModule {
     // corpus it keeps only the J>=0.985-ish pairs — and DuckDB cannot
     // recompute xxhash64-based fingerprints anyway. DedupSpec pins its
     // semantics (subset of the exact-Jaccard pairs, finds 1-token edits).
+    "curation_keep" ->
+      s"""WITH near AS (SELECT DISTINCT j FROM ($nearPairsSql)),
+          t AS (SELECT doc_id, $toksSql toks FROM documents)
+          SELECT doc_id, len(toks) AS n_tokens,
+            round($stopHitsSql::DOUBLE / len(toks), 6) AS stop_ratio
+          FROM t
+          WHERE doc_id NOT IN (SELECT j FROM near)
+            AND len(toks) >= 20
+            AND $stopHitsSql::DOUBLE / len(toks) <= 0.5
+          ORDER BY doc_id""",
     "text_profile" ->
       s"""SELECT doc_id, len(toks) AS n_tokens, length(norm) AS n_chars_norm,
             $langIdSql AS lang_id,
