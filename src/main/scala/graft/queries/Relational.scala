@@ -242,6 +242,42 @@ object Relational extends QueryModule {
       s.sql(Relational.SqlQ3)
     }),
 
+    // Analytic window functions: distribution ranks and tiles.
+    "window_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // String function breadth beyond scalar_funcs.
+    "string_funcs" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          translate(col("p_name"), "aeiou", "_____").as("devoweled"),
+          reverse(col("p_brand")).as("brand_rev"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_type")).as("type_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time function breadth over order dates.
+    "date_funcs" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Scalar function library: string / date / math over orders.
     "scalar_funcs" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -323,6 +359,30 @@ object Relational extends QueryModule {
     "set_except_all" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "window_stats" ->
+      """SELECT c_mktsegment, c_custkey,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
+    "string_funcs" ->
+      """SELECT p_partkey,
+         regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+         lpad(p_brand, 12, '_') AS brand_pad,
+         translate(p_name, 'aeiou', '_____') AS devoweled,
+         reverse(p_brand) AS brand_rev,
+         substring(p_name, 1, 5) AS name5,
+         length(p_type) AS type_len
+         FROM part ORDER BY p_partkey""",
+    "date_funcs" ->
+      """SELECT o_orderkey,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+         CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom
+         FROM orders ORDER BY o_orderkey""",
     "window_lag" ->
       """SELECT o_custkey, o_orderkey,
          lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
