@@ -229,6 +229,19 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Semi-structured: JSON string column parsed two ways — path
+    // extraction (get_json_object) and schema-based from_json — both
+    // codegen'd projections over the scan; no UDFs, no driver parsing.
+    "json_props" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k_schema"))
+        .orderBy(col("event_id"))),
+
     // ---- events -------------------------------------------------------------
 
     // As-of join: each click event picks up the value of the same
@@ -392,6 +405,11 @@ object Pipeline extends QueryModule {
                  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) AS cos
          FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0), p
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "json_props" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema
+         FROM events ORDER BY event_id""",
     "events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
                  '%Y-%m-%d %H:%M:%S') AS w_start,
