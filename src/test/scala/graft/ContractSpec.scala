@@ -1,14 +1,14 @@
 package graft
 
-import graft.queries.{Parity, Pipeline, Relational}
-
 /** Driver-contract invariants. These catch integration mistakes that
   * would otherwise surface only as a silently weaker correctness round:
   * a query name colliding across modules shadows one of them in the
   * flattened map; an oracle key without a query never gets compared. */
 class ContractSpec extends SparkSpecBase {
 
-  private val modules = Seq(Relational, Parity, Pipeline)
+  // the real module list — using SparkEntry's own, so this spec cannot
+  // drift when a module is added
+  private val modules = SparkEntry.modules
 
   test("no query name is shadowed across modules") {
     val all = modules.flatMap(_.queries.keys)
