@@ -44,6 +44,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream adapts the raw events-table schema") {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val raw = ms.toDF()
+      .withColumnRenamed("eventId", "event_id")
+      .withColumnRenamed("userId", "user_id")
+      .withColumnRenamed("eventType", "event_type")
+    val q = StreamOps.toMemorySink(
+      StreamOps.sessionizeStream(raw, gapMs = 60000L).toDF(), "sess_stream_test",
+      OutputMode.Update())
+    try {
+      ms.addData(Event(1, ts("2024-01-01 00:00:10"), 9, "view", 2.0))
+      q.processAllAvailable()
+      val snap = spark.table("sess_stream_test").collect()
+      assert(snap.length == 1 && snap(0).getLong(0) == 9L && snap(0).getLong(1) == 1L)
+    } finally q.stop()
+  }
+
   test("sessionize tracks per-user counters via mapGroupsWithState") {
     implicit val s = spark
     implicit val ctx = spark.sqlContext
