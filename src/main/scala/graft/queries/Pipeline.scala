@@ -269,9 +269,12 @@ object Pipeline extends QueryModule {
     "range_join" -> ((s, dir) => {
       // p_retailprice spans [900, 1000); bands split it and the last
       // band overlaps all others (points match multiple intervals).
+      // Seq[Any], NOT Seq(...): scalac would otherwise widen the Long ids
+      // to Double at compile time (r2's range_join hash mismatch — the
+      // oracle emits BIGINT band_ids, Spark emitted 0.0/1.0/...).
       val bands = graft.Graft.fromValues(s, Seq("band_id", "lo", "hi"), Seq(
-        Seq(0L, 900.0, 920.0), Seq(1L, 920.0, 940.0), Seq(2L, 940.0, 960.0),
-        Seq(3L, 960.0, 980.0), Seq(4L, 980.0, 1000.0), Seq(5L, 900.0, 1000.0)))
+        Seq[Any](0L, 900.0, 920.0), Seq[Any](1L, 920.0, 940.0), Seq[Any](2L, 940.0, 960.0),
+        Seq[Any](3L, 960.0, 980.0), Seq[Any](4L, 980.0, 1000.0), Seq[Any](5L, 900.0, 1000.0)))
       graft.operators.RangeJoin.pointInRange(
         Tables(s, dir, "part"), "p_retailprice", bands, "lo", "hi", binWidth = 20.0)
         .groupBy(col("band_id"))
