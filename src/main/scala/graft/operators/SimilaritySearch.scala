@@ -61,10 +61,14 @@ object SimilaritySearch {
     * their bucket-mates, never the corpus — then exact-cosine rerank at
     * `threshold`. Emits (i, j, cos), i < j. Near-identical vectors
     * (cos ~ 1) agree on every hyperplane sign, so recall is ~1 in the
-    * intended near-dup regime; precision is exactly 1 via the rerank. */
+    * intended near-dup regime; precision is exactly 1 via the rerank.
+    * 16 bits (not topKCosineLsh's 8): for PAIR generation the bucket
+    * count must outrun |corpus|^2 — at 2^-16 random-collision odds per
+    * table the candidate set stays ~linear in the planted dups instead
+    * of quadratic in the corpus. */
   def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.99,
-                      bits: Int = 8, tables: Int = 2): DataFrame = {
+                      bits: Int = 16, tables: Int = 2): DataFrame = {
     val dim = dimOf(emb, vecCol)
     val bucketed = (0 until tables).map { t =>
       emb.select(col(idCol).as("doc"),

@@ -2,11 +2,11 @@ package org.apache.spark.sql.graft
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType, TypeCollection}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketching hot path.
@@ -37,6 +37,19 @@ object NativeExpressions {
 
   def markerHits(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(StringArrayHitsExpr(ExpressionUtils.expression(tokens), words.toArray))
+
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecCosineExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def signLshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(SignLshBucketExpr(
+      ExpressionUtils.expression(v), planes.flatten, planes.length,
+      if (planes.isEmpty) 0 else planes.head.length))
 
   private def buildMinhash(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2 && exprs(1).foldable,
@@ -268,5 +281,223 @@ case class MinHashSignatureExpr(child: Expression, as: Array[Long], bs: Array[Lo
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** Shared element accessors for float/double embedding arrays: the
+  * vector expressions accept `array<float>` (parquet embeddings) and
+  * `array<double>` (literal hyperplanes) on either side. */
+private[graft] object VecTypes {
+  val anyVec: AbstractDataType = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+
+  def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  def get(arr: ArrayData, i: Int, float: Boolean): Double =
+    if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  /** Codegen fragment reading element `i` of `v` as double. */
+  def getCode(v: String, i: String, float: Boolean): String =
+    if (float) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+}
+
+/** Dot product of two numeric arrays in double precision, strict
+  * left-to-right summation — bit-identical to the
+  * `aggregate(zip_with(a, b, x*y), 0.0, +)` HOF formulation (pinned by
+  * NativeExprSpec) and to DuckDB's sequential `list_dot_product`, but
+  * one fused compiled loop instead of ~3 interpreted lambda steps per
+  * element. Null out (like the HOF chain) on length mismatch or any
+  * null element. */
+case class VecDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(VecTypes.anyVec, VecTypes.anyVec)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  @transient private lazy val lFloat = VecTypes.isFloat(left.dataType)
+  @transient private lazy val rFloat = VecTypes.isFloat(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += VecTypes.get(a, i, lFloat) * VecTypes.get(b, i, rFloat)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${VecTypes.getCode(a, i, lFloat)} * ${VecTypes.getCode(b, i, rFloat)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in one pass: three running sums (a.b, a.a, b.b),
+  * each strict left-to-right, then dot / (sqrt(na) * sqrt(nb)) — the
+  * identical IEEE expression the staged HOF version evaluates, so
+  * results are bit-equal (NativeExprSpec pins it). Nulls mirror the HOF
+  * chain: length mismatch, null element, or a zero norm (Spark's
+  * double division by zero yields null) all null out. */
+case class VecCosineExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(VecTypes.anyVec, VecTypes.anyVec)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cosine"
+
+  @transient private lazy val lFloat = VecTypes.isFloat(left.dataType)
+  @transient private lazy val rFloat = VecTypes.isFloat(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = VecTypes.get(a, i, lFloat)
+      val y = VecTypes.get(b, i, rFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = ${VecTypes.getCode(a, i, lFloat)};
+         |    double $y = ${VecTypes.getCode(b, i, rFloat)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecCosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sign-LSH bucket id in one pass over the vector: bit p of the result
+  * is set iff v . planes(p) >= 0. The planes ride along as one flat
+  * double[] reference object (bits x dim). Semantics mirror the HOF
+  * formulation (`when(dotd(v, plane_p) >= 0, 1L << p)` summed): a
+  * length-mismatched or null-element vector yields a null dot, whose
+  * `>= 0` is false -> bit 0 -> bucket 0; a NaN dot compares TRUE under
+  * Spark's NaN ordering (NaN > everything) -> bit set. Pinned by
+  * NativeExprSpec. */
+case class SignLshBucketExpr(child: Expression, planes: Array[Double], bits: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits > 0 && bits <= 63, s"signLshBucket: bits must be in [1, 63], got $bits")
+  require(planes.length == bits * dim, "signLshBucket: planes must be bits x dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(VecTypes.anyVec)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bucket"
+
+  @transient private lazy val vFloat = VecTypes.isFloat(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return 0L
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return 0L; i += 1 }
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var d = 0
+      val off = p * dim
+      while (d < dim) {
+        dot += VecTypes.get(v, d, vFloat) * planes(off + d)
+        d += 1
+      }
+      // NaN >= 0 is TRUE under Spark's NaN-greatest ordering
+      if (dot >= 0.0 || java.lang.Double.isNaN(dot)) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val ok = ctx.freshName("ok")
+      s"""
+         |${ev.value} = 0L;
+         |boolean $ok = $v.numElements() == $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if ($ok) {
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $dot += ${VecTypes.getCode(v, d, vFloat)} * $planesRef[$p * $dim + $d];
+         |    }
+         |    if ($dot >= 0.0 || java.lang.Double.isNaN($dot)) ${ev.value} |= (1L << $p);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucketExpr =
     copy(child = newChild)
 }

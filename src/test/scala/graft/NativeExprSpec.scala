@@ -69,4 +69,57 @@ class NativeExprSpec extends SparkSpecBase {
       .filter(col("fp") =!= 0L).count()
     assert(n >= 3)
   }
+
+  // ---- vector expressions ---------------------------------------------------
+
+  private def vecs = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(-1.5f, 0.0f, 2.25f), Array(0.5f, -3.0f, 1.0f)),
+    (Array(0.1f, 0.2f, 0.3f), Array(0.1f, 0.2f, 0.3f)),
+    (Array(1e-3f, -1e3f, 7.5f), Array(2.5f, 1e-2f, -4.0f))).toDF("a", "b")
+
+  test("native vec_dot and vec_cosine are bit-equal to the HOF formulations") {
+    import graft.functions.VectorFunctions._
+    val rows = vecs.select(
+      dotd(col("a"), col("b")).as("dn"), dotdHof(col("a"), col("b")).as("dh"),
+      cosine(col("a"), col("b")).as("cn"), cosineHof(col("a"), col("b")).as("ch")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot bits differ")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "cosine bits differ")
+    }
+  }
+
+  test("native vec_dot/vec_cosine null out on length mismatch and zero norms") {
+    import graft.functions.VectorFunctions._
+    val bad = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f))        // zero norm (cosine only)
+    ).toDF("a", "b")
+    val rows = bad.select(dotd(col("a"), col("b")).as("d"),
+      cosine(col("a"), col("b")).as("c")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(0) == 0.0)
+    assert(rows(1).isNullAt(1)) // 0/0 divide -> null, like Spark's Divide
+  }
+
+  test("native sign-LSH bucket equals the HOF formulation on real embeddings") {
+    import graft.functions.VectorFunctions._
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = signLshPlanes(bits = 8, dim = emb.select(size(col("embedding")))
+      .first().getInt(0), seed = 7L)
+    val both = emb.select(
+      signLshBucket(col("embedding"), planes).as("n"),
+      signLshBucketHof(col("embedding"), planes).as("h")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native sign-LSH bucket yields 0 on length-mismatched vectors (HOF null semantics)") {
+    val planes = graft.functions.VectorFunctions.signLshPlanes(bits = 4, dim = 3)
+    val short = Seq(Array(1.0f, 2.0f)).toDF("v")
+      .select(graft.functions.VectorFunctions.signLshBucket(col("v"), planes).as("bk"))
+      .collect()
+    assert(short(0).getLong(0) == 0L)
+  }
 }
