@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — the reproducible alternative to
+  * `df.sample()` for pipeline runs: membership depends only on the key,
+  * so the same rows are sampled on every run, on any cluster, at any
+  * partitioning, and a re-run after adding data keeps the previously
+  * sampled rows (stable holdouts / train-test splits).
+  *
+  * Mechanics: the first 4 hex digits of md5(key) are a uniform draw
+  * from [0, 65536); keep rows whose draw falls below
+  * floor(fraction * 65536). The comparison is done lexicographically on
+  * the fixed-width hex prefix, which equals the numeric comparison and
+  * runs verbatim in any engine with md5 + substr (the DuckDB oracle
+  * does exactly that). One codegen'd filter over the scan — no shuffle,
+  * no state, trivially pushed next to the parquet reader.
+  */
+object Sampling {
+
+  /** Keep ~`fraction` of rows, keyed by `key`. Granularity is 1/65536;
+    * fraction is clamped to [0, 1]. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    val t = math.max(0, math.min(65536, math.floor(fraction * 65536).toInt))
+    if (t >= 65536) df
+    else df.filter(substring(md5(key.cast("string")), 1, 4) < lit(f"$t%04x"))
+  }
+
+  /** The hex-prefix threshold for `fraction` — exposed so oracle SQL /
+    * tests can restate the identical predicate. */
+  def hexThreshold(fraction: Double): String =
+    f"${math.max(0, math.min(65536, math.floor(fraction * 65536).toInt))}%04x"
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.operators.{ConnectedComponents, Dedup, Sampling}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation/scale queries: duplicate CLUSTERS (connected
+  * components over the near-dup pair graph), batch gap sessionization,
+  * deterministic hash sampling, batch k-NN, TF-IDF term extraction and
+  * multivariate statistics — the operations a training-data pipeline
+  * composes around the dedup/similarity primitives in Pipeline.
+  */
+object Curation extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+
+    // Near-duplicate pairs -> duplicate clusters. Pairs alone cannot
+    // drive "keep one per group": chains (a~b, b~c without a~c) need the
+    // transitive closure. Min-label propagation, one join+groupBy per
+    // round, diameter-bounded (see ConnectedComponents). The DuckDB
+    // oracle recomputes the closure with a recursive CTE.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text")
+      ConnectedComponents.connectedComponents(pairs, "i", "j")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gap-based sessionization (batch face of the streaming sessionize):
+    // a session breaks when a user is idle > 30 min. lag + running sum
+    // assign session ordinals in one pass per user partition; micros
+    // arithmetic keeps the gap test integer-exact in both engines.
+    "sessionize_batch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .drop("session_no")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Deterministic ~10% hash sample of orders: membership depends only
+    // on the key (reproducible on any cluster/partitioning); the filter
+    // is a codegen'd predicate at the scan, no shuffle.
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(Tables(s, dir, "orders"), col("o_orderkey"), 0.1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Batch exact k-NN: every probe (vec_id < 5) retrieves its cosine
+    // top-3 in ONE plan — probes broadcast against a single scan of the
+    // corpus, per-probe top-k via a rank window (Spark rewrites the
+    // rk <= 3 filter into WindowGroupLimit: per-partition heaps, no full
+    // sort). Ranks on the ROUNDED cosine so cross-engine ties break
+    // identically by vec_id.
+    "knn_batch" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // Per-document top-3 TF-IDF terms: explode -> tf per (doc, term),
+    // df per term (one term-key shuffle), corpus size broadcast, score
+    // = tf * ln(N/df). Ranking uses the ROUNDED score (near-ties become
+    // exact ties) with the term string as the deterministic tiebreak.
+    "tfidf_terms" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dft = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(dft, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Multivariate statistics per group: Pearson correlation and
+    // sample/population covariance — one partial-aggregated shuffle
+    // (co-moment sketches merge associatively, same shape as sum/avg).
+    "corr_stats" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("disc_tax_covar_pop"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"))
+        .orderBy(col("l_returnflag"))))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
+          edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, least(u, min(v)) AS cluster
+          FROM reach GROUP BY u ORDER BY doc_id""",
+    "sessionize_batch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
+         m AS (
+           SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) sn
+           FROM m)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sn ORDER BY user_id, session_start""",
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+         ORDER BY o_orderkey""",
+    "knn_batch" ->
+      """WITH p AS (SELECT vec_id probe_id, embedding::DOUBLE[] pv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT probe_id, vec_id,
+             round(list_dot_product(e, pv) /
+                   (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pv, pv))), 6) cos
+           FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
+           CROSS JOIN p WHERE vec_id <> probe_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos DESC, vec_id) rk FROM c)
+         SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
+         ORDER BY probe_id, rk""",
+    "tfidf_terms" ->
+      s"""WITH t AS (
+            SELECT doc_id, unnest(${Pipeline.toksSql}) term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) df
+                  FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+          n AS (SELECT count(*) n_docs FROM documents),
+          sc AS (
+            SELECT doc_id, tf.term, tf, df,
+              round(tf * ln(n_docs::DOUBLE / df), 6) score
+            FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, term) rk FROM sc)
+          SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+            CAST(df AS BIGINT) AS df, score
+          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_discount, l_tax), 6) AS disc_tax_covar_pop,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev
+         FROM lineitem GROUP BY 1 ORDER BY 1""")
+}

@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
 object Pipeline extends QueryModule {
 
   /** SQL fragment: normalized whitespace-token array of `text`. */
-  private val toksSql =
+  private[queries] val toksSql =
     """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
 
   /** SQL for the exact 3-gram Jaccard pair list (shared by the near-dup
-    * oracles; mirrors Dedup.nearDupPairsExact at threshold 0.5). */
-  private val nearPairsSql =
+    * oracles incl. Curation's cluster CTE; mirrors
+    * Dedup.nearDupPairsExact at threshold 0.5). */
+  private[queries] val nearPairsSql =
     s"""WITH t AS (
           SELECT doc_id, $toksSql toks FROM documents
         ), sh AS (

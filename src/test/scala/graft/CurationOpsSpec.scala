@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{ConnectedComponents, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 curation operators: connected components
+  * (transitive closure over pair lists) and deterministic hash
+  * sampling. */
+class CurationOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents
+      .connectedComponents(edges.toDF("i", "j"), "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components collapses a chain the pair list never closes") {
+    // a~b, b~c, c~d: (a,d) is not a pair but all four are one cluster
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("connected components keeps disjoint clusters apart") {
+    assert(cc(Seq((1L, 2L), (5L, 6L), (6L, 7L), (9L, 9L))) ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+  }
+
+  test("connected components handles a long path within maxIter rounds") {
+    // path 0-1-2-...-9: diameter 9, propagation needs ~9 rounds
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components labels with the min id regardless of edge direction") {
+    assert(cc(Seq((7L, 3L), (3L, 5L))) == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("hash sample is deterministic, key-stable and near the asked fraction") {
+    val df = spark.range(0, 20000).select(col("id"))
+    val a = Sampling.hashSample(df, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same key set must sample identically")
+    // binomial(20000, ~0.1): 4 sigma ~ 170
+    assert(math.abs(a.size - 2000) < 200, s"got ${a.size} of ~2000")
+    // growing the fraction only ADDS rows (nested samples)
+    val wider = Sampling.hashSample(df, col("id"), 0.2).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("hash sample keeps membership when the table grows") {
+    val small = spark.range(0, 1000).select(col("id"))
+    val big = spark.range(0, 2000).select(col("id"))
+    val s = Sampling.hashSample(small, col("id"), 0.15).collect().map(_.getLong(0)).toSet
+    val g = Sampling.hashSample(big, col("id"), 0.15).collect().map(_.getLong(0)).toSet
+    assert(s == g.filter(_ < 1000), "adding rows must not change prior membership")
+  }
+
+  test("hash sample edge fractions: 0 keeps nothing, 1 keeps everything") {
+    val df = spark.range(0, 100).select(col("id"))
+    assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0)
+    assert(Sampling.hashSample(df, col("id"), 1.0).count() == 100)
+  }
+}

@@ -39,4 +39,30 @@ class PlanSpec extends SparkSpecBase {
     val scanFilters = p.linesIterator.filter(_.contains("Filter")).mkString("\n")
     assert(!scanFilters.contains("minhash_signature"), scanFilters.take(600))
   }
+
+  test("knn_batch runs per-probe top-k as a group limit, probes broadcast") {
+    val p = planOf("knn_batch")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("tfidf_terms broadcasts the corpus-size row and group-limits per doc") {
+    val p = planOf("tfidf_terms")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sample_hash is a scan-level filter — no shuffle, no aggregation") {
+    val p = SparkEntry.queries("sample_hash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final output ordering's range sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the output-sort exchange:\n${p.take(800)}")
+  }
+
+  test("vector hot path is native (no interpreted lambda HOFs in knn plans)") {
+    val p = planOf("knn_cosine")
+    assert(p.contains("vec_cosine"), p.take(600))
+    assert(!p.contains("zip_with"), p.take(600))
+  }
 }
