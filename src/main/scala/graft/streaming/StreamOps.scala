@@ -80,6 +80,51 @@ object StreamOps {
       gapMs)
   }
 
+  /** Streaming exact-dedup on a content fingerprint — the ingestion
+    * face of Dedup.exactDupGroups: only the FIRST arrival of each
+    * fingerprint passes through. `dropDuplicatesWithinWatermark` keys
+    * the dedup state on the fingerprint alone but still expires it once
+    * the watermark has passed each row's event time — bounded state on
+    * an unbounded stream, which plain dropDuplicates(fp) (state grows
+    * forever) and dropDuplicates(fp, ts) (same text at a new ts is "not
+    * a duplicate") both get wrong. */
+  def dedupStream(events: DataFrame, fingerprintCol: String,
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
+  /** Sessionization that emits ONLY closed sessions, via
+    * flatMapGroupsWithState (append mode): nothing is emitted while a
+    * session is open; when the watermark passes last-event + gap the
+    * timeout fires and the finalized session is emitted exactly once.
+    * This is the sink-friendly variant of `sessionize` (whose update-
+    * mode snapshots require a sink that tolerates overwrites). */
+  def sessionizeClosed(events: Dataset[Event], gapMs: Long)
+                      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            val next = batch.foldLeft(prev) { (s, e) =>
+              SessionState(s.n + 1, s.total + e.value,
+                math.min(s.start, e.ts.getTime), math.max(s.last, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Wire a streaming frame to an in-memory sink (tests / debugging):
     * returns the query; results land in table `name`. */
   def toMemorySink(df: DataFrame, name: String,
@@ -88,5 +133,17 @@ object StreamOps {
       .format("memory")
       .queryName(name)
       .outputMode(mode)
+      .start()
+
+  /** Wire a streaming frame to an exactly-once parquet file sink: the
+    * production path (the file-sink commit log makes restarts replay
+    * nothing and readers never see partial files). Append-mode only, by
+    * Spark's file-sink contract. */
+  def toFileSink(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
       .start()
 }

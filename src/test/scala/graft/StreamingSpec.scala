@@ -86,4 +86,78 @@ class StreamingSpec extends SparkSpecBase {
       assert(snap.exists(_.getLong(0) == 8L))
     } finally q.stop()
   }
+
+  test("dedupStream passes only the first arrival of each fingerprint") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // fingerprint on eventType as a stand-in content key
+    val withFp = ms.toDF().withColumn("fp", org.apache.spark.sql.functions.col("eventType"))
+    val q = StreamOps.toMemorySink(
+      StreamOps.dedupStream(withFp, "fp", "10 minutes"), "dedup_stream_test")
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 1, "docA", 1.0),
+        Event(2, ts("2024-01-01 00:00:20"), 2, "docA", 2.0), // dup of docA
+        Event(3, ts("2024-01-01 00:00:30"), 3, "docB", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream_test").collect()
+      assert(rows.map(_.getAs[String]("fp")).sorted.toSeq == Seq("docA", "docB"))
+      // the kept docA row is the FIRST arrival
+      assert(rows.find(_.getAs[String]("fp") == "docA").get.getAs[Long]("eventId") == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionizeClosed emits a session exactly once, only after the gap passes") {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.toMemorySink(
+      StreamOps.sessionizeClosed(
+        ms.toDS().withWatermark("ts", "1 minute"), gapMs = 60000L).toDF(),
+      "sess_closed_test")
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 7, "view", 1.5),
+        Event(2, ts("2024-01-01 00:00:40"), 7, "click", 2.5))
+      q.processAllAvailable()
+      // session still open: nothing emitted
+      assert(spark.table("sess_closed_test").isEmpty)
+      // push the watermark past last + gap -> the session closes
+      ms.addData(Event(9, ts("2024-01-01 00:30:00"), 8, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_closed_test").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getLong(0) == 7L && r.getLong(1) == 2L && r.getDouble(2) == 4.0)
+      assert(r.getTimestamp(3) == ts("2024-01-01 00:00:10"))
+      assert(r.getTimestamp(4) == ts("2024-01-01 00:00:40"))
+    } finally q.stop()
+  }
+
+  test("file sink e2e: windowed aggregates land as readable parquet exactly once") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ms = MemoryStream[Event]
+    val q = StreamOps.toFileSink(
+      StreamOps.windowedCounts(
+        ms.toDF().withColumnRenamed("eventType", "event_type"), "10 minutes", "20 minutes"),
+      s"$tmp/out", s"$tmp/ckpt")
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 00:04:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(9, ts("2024-01-01 01:00:00"), 3, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$tmp/out")
+        .where(org.apache.spark.sql.functions.col("event_type") === "view")
+        .orderBy("w_start").collect()
+      assert(back.nonEmpty)
+      assert(back(0).getTimestamp(0) == ts("2024-01-01 00:00:00"))
+      assert(back(0).getLong(2) == 2L && back(0).getDouble(3) == 3.0)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
