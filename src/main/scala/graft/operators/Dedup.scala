@@ -159,6 +159,44 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
   }
 
+  /** INCREMENTAL near-dup detection: new-batch documents against an
+    * existing corpus — the production shape (a daily increment is
+    * deduped against the index, never corpus x corpus). Candidates come
+    * from joining the increment's MinHash band buckets against the
+    * corpus's (at cluster scale the corpus side is a persisted bucket
+    * index, so the join touches only matching buckets); the exact
+    * Jaccard rerank keeps precision 1. Emits (new_id, corpus_id, jac)
+    * for jac >= threshold. Cost scales with |increment| + matched
+    * buckets, independent of |corpus|. */
+  def nearDupsAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3, k: Int = 64, r: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame) = shingleSets(df, idCol, textCol, n)
+      .repartition(col("doc_id"))
+      .withColumn("hsh", shingleHashes(col("sh")))
+      .withColumn("sig", NativeExpressions.minhashSignature(col("hsh"), k))
+      .withColumn("bands", minhashBands(col("sig"), k, r))
+      .repartition(col("doc_id"))
+    def explodeBands(d: DataFrame) = d
+      .select(col("doc_id"), posexplode_outer(col("bands")).as(Seq("p", "bk")))
+      .filter(col("bk").isNotNull)
+    val dn = prep(newDocs)
+    val dc = prep(corpus)
+    val cand = explodeBands(dn).as("a")
+      .join(explodeBands(dc).as("b"),
+        col("a.p") === col("b.p") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(dn.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(dc.select(col("doc_id").as("corpus_id"), col("sh").as("shb")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jac"), 6).as("jac"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprint over hashed
     * shingles, candidates from the 4x16-bit chunk pigeonhole (Hamming
     * distance <= 3 GUARANTEES agreement on >= 1 chunk, so recall is 1

@@ -102,6 +102,38 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Incremental dedup: a synthetic "daily increment" (1-token-suffixed
+    // copies of doc_id < 30, re-keyed +20000) deduped AGAINST the corpus
+    // — never corpus x corpus. Candidates come from joining the
+    // increment's MinHash band buckets to the corpus's; cost scales with
+    // the increment, not the corpus. The DuckDB oracle recomputes the
+    // exact cross-set Jaccard with an inverted-index join.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val increment = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zzqx")).as("text"))
+      Dedup.nearDupsAgainstCorpus(increment, docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // Per-group z-score normalization (feature scaling): tiny stats
+    // aggregate broadcast back over the fact scan — no second shuffle of
+    // the big side. mu/sd are ROUNDED before standardizing so both
+    // engines divide identical doubles and z is bit-reproducible.
+    "zscore_norm" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val st = li.groupBy(col("l_returnflag"))
+        .agg(round(avg(col("l_quantity")), 6).as("mu"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd"))
+      li.join(broadcast(st), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_returnflag"),
+          round((col("l_quantity") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
     // Multivariate statistics per group: Pearson correlation and
     // sample/population covariance — one partial-aggregated shuffle
     // (co-moment sketches merge associatively, same shape as sum/avg).
@@ -116,7 +148,45 @@ object Curation extends QueryModule {
           round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"))
         .orderBy(col("l_returnflag"))))
 
+  /** DuckDB token-array fragment over an arbitrary text expression
+    * (Pipeline.toksSql fixed to the `text` column; this parameterizes
+    * it for the synthetic increment). */
+  private def toksOf(textExpr: String): String =
+    s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
+
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""WITH n_t AS (
+            SELECT doc_id + 20000 id, ${toksOf("concat(text, ' zzqx')")} toks
+            FROM documents WHERE doc_id < 30),
+          c_t AS (SELECT doc_id id, ${Pipeline.toksSql} toks FROM documents),
+          n_sh AS (
+            SELECT id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                             for i in generate_series(1, len(toks) - 2)])) s
+            FROM n_t WHERE len(toks) >= 3),
+          c_sh AS (
+            SELECT id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                             for i in generate_series(1, len(toks) - 2)])) s
+            FROM c_t WHERE len(toks) >= 3),
+          n_sz AS (SELECT id, count(*) n FROM n_sh GROUP BY 1),
+          c_sz AS (SELECT id, count(*) n FROM c_sh GROUP BY 1),
+          p AS (
+            SELECT a.id ni, b.id ci, count(*) c
+            FROM n_sh a JOIN c_sh b ON a.s = b.s GROUP BY 1, 2)
+          SELECT ni AS new_id, ci AS corpus_id,
+            round(c::DOUBLE / (na.n + nb.n - c), 6) AS jac
+          FROM p JOIN n_sz na ON na.id = p.ni JOIN c_sz nb ON nb.id = p.ci
+          WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5
+          ORDER BY new_id, corpus_id""",
+    "zscore_norm" ->
+      """WITH st AS (
+           SELECT l_returnflag, round(avg(l_quantity), 6) mu,
+             round(stddev_samp(l_quantity), 6) sd
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_extendedprice, l.l_returnflag,
+           round((l_quantity - mu) / sd, 6) AS z
+         FROM lineitem l JOIN st USING (l_returnflag)
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
           edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),

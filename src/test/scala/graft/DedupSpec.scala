@@ -56,4 +56,18 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("incremental dedup matches the increment against the corpus, never corpus x corpus") {
+    val increment = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs far away home again"), // ~= 1
+      (102L, "entirely novel content no corpus document resembles in any way at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.nearDupsAgainstCorpus(increment, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 101 hits both members of the 1~4 exact-dup group; 102 hits nothing.
+    // Corpus-internal pairs (1,2)/(1,4)/(2,4) must NOT appear.
+    assert(hits == Set((101L, 1L), (101L, 2L), (101L, 4L)) || hits == Set((101L, 1L), (101L, 4L)),
+      hits.toString)
+    assert(hits.forall(_._1 >= 101L))
+  }
 }
