@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float|double>`):
@@ -87,6 +88,46 @@ object SimilaritySearch {
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Batch ANN: a TABLE of probes against a corpus, joined on sign-LSH
+    * bucket keys — the cluster-scale retrieval shape (each probe meets
+    * only its bucket-mates; nothing is ever all-pairs). Recall comes
+    * from two knobs: `tables` independent hash tables, and MULTIPROBE —
+    * each probe also visits every bucket at Hamming distance 1 (its
+    * `bits` one-bit flips), the standard trade of probe-side fan-out
+    * (cheap, x(bits+1) on the small side) for corpus-side re-hashing.
+    * At cos >= 0.95, bits=8, tables=2: per-table hit ~ 0.81, miss-all
+    * ~ 0.04. Exact-cosine rerank + WindowGroupLimit top-k per probe.
+    *
+    * probes: (probeIdCol, vecCol); corpus: (idCol, vecCol). */
+  def topKCosineLshBatch(probes: DataFrame, probeIdCol: String,
+                         corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, bits: Int = 8, tables: Int = 2): DataFrame = {
+    require(bits > 0 && bits <= 62, "topKCosineLshBatch: bits in [1, 62]")
+    val dim = dimOf(corpus, vecCol)
+    def planes(t: Int) = signLshPlanes(bits, dim, seed = 42L + t)
+    val corpusB = (0 until tables).map { t =>
+      corpus.select(col(idCol).as("_cid"), lit(t).as("_tbl"),
+        signLshBucket(col(vecCol), planes(t)).as("_bk"))
+    }.reduce(_ unionByName _)
+    // probe side: own bucket + all `bits` one-bit flips (multiprobe)
+    val flips = (c: Column) => array((lit(0L) +: (0 until bits).map(b => lit(1L << b))).map(m => c.bitwiseXOR(m)): _*)
+    val probesB = (0 until tables).map { t =>
+      probes.select(col(probeIdCol).as("_pid"), lit(t).as("_tbl"),
+        explode(flips(signLshBucket(col(vecCol), planes(t)))).as("_bk"))
+    }.reduce(_ unionByName _)
+    val cand = probesB.join(corpusB, Seq("_tbl", "_bk"))
+      .filter(col("_pid") =!= col("_cid"))
+      .select(col("_pid"), col("_cid")).distinct()
+    cand
+      .join(probes.select(col(probeIdCol).as("_pid"), col(vecCol).as("_pv")), "_pid")
+      .join(corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv")), "_cid")
+      .select(col("_pid").as("probe_id"), col("_cid").as("id"),
+        round(cosine(col("_cv"), col("_pv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rk") <= k)
   }
 
   /** Embedding dimensionality, from the first row (driver-side, one

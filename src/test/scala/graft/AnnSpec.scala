@@ -54,4 +54,27 @@ class AnnSpec extends SparkSpecBase {
       assert(cos == exactMap(id), s"vec $id cosine mismatch")
     }
   }
+
+  test("batch LSH retrieval finds each cluster-mate probe's true top hit (recall@1 >= 0.9)") {
+    val df = clustered.cache()
+    // one probe per member of cluster 1 (ids 1000-1019): its nearest
+    // neighbor is another member of the same tight cluster.
+    val probes = df.filter(col("vec_id") >= 1000 && col("vec_id") < 2000)
+    val got = SimilaritySearch
+      .topKCosineLshBatch(probes, "vec_id", df, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("id")).toMap
+    // recall@1: the retrieved id is a member of the same cluster
+    val hits = got.count { case (p, id) => id >= 1000L && id < 2000L }
+    assert(got.size == 20, s"every probe must retrieve something, got ${got.size}")
+    assert(hits >= 18, s"recall@1 ${hits / 20.0}")
+  }
+
+  test("batch LSH retrieval never hands a probe its own id") {
+    val df = clustered.cache()
+    val got = SimilaritySearch
+      .topKCosineLshBatch(df.filter(col("vec_id") < 2000), "vec_id",
+        df, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(got.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("id")))
+  }
 }
