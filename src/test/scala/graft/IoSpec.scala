@@ -164,6 +164,22 @@ class IoSpec extends SparkSpecBase {
     assert(!s.contains("Charlie")) // bounded at 2 rows
   }
 
+  test("render golden: exact grid incl. float formatting, NA cells and padding") {
+    import spark.implicits._
+    val df = Seq((1L, Some("Ann"), Some(3.5)), (2L, None, Some(10.25)), (3L, Some("Bo"), None))
+      .toDF("id", "name", "score")
+    val got = Display.render(df, 3, Seq(org.apache.spark.sql.functions.col("id")))
+    val want =
+      """+----+------+-------+
+        || id | name | score |
+        |+----+------+-------+
+        || 1  | Ann  | 3.50  |
+        || 2  | NA   | 10.25 |
+        || 3  | Bo   | NA    |
+        |+----+------+-------+""".stripMargin
+    assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
+  }
+
   test("dfEqual distinguishes equal and unequal frames") {
     assert(Display.dfEqual(abc, abc))
     assert(!Display.dfEqual(abc, abc.filterRowsHelper))

@@ -134,6 +134,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream/batch parity: file-streamed events reproduce the batch events_window rows") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("events_window")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // stream the SAME parquet through the file source (one-file directory)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), tmp.resolve("part-0.parquet"))
+    // raw file schema: ts is TIMESTAMP(NANOS) -> LongType under the
+    // legacy conf (Tables.events sets it); apply the same micros
+    // conversion the batch loader does.
+    Tables(spark, dir, "events") // ensures the nanosAsLong conf is set
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .parquet(tmp.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = StreamOps.toMemorySink(
+      StreamOps.windowedCounts(raw, "10 minutes", "20 minutes").select(
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.col("sum_value")), "parity_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_test")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      // append mode: only windows the final watermark passed have emitted —
+      // every emitted row must EQUAL its batch counterpart, and the bulk
+      // of the table must have finalized (watermark = max ts - 20 min).
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) =>
+        assert(batch.contains(k), s"stream emitted unknown window $k")
+        assert(batch(k) == v, s"window $k: stream $v != batch ${batch(k)}")
+      }
+      assert(streamed.length >= batch.size - 4,
+        s"only ${streamed.length} of ${batch.size} windows finalized")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("file sink e2e: windowed aggregates land as readable parquet exactly once") {
     implicit val ctx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
