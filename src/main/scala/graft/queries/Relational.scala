@@ -168,6 +168,56 @@ object Relational extends QueryModule {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // Explicit GROUPING SETS (the general lattice rollup/cube are
+    // special cases of): two chosen sets in one Expand + one shuffle —
+    // never two scans unioned.
+    "grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("rev"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // RANGE-frame window: trailing 30-day revenue per supplier — the
+    // frame is bounded by the ORDER value (event time), not row count,
+    // so ties are peers and the result is deterministic without a
+    // unique tiebreak. Seconds-typed ordering keeps the frame bounds
+    // integer-exact in both engines.
+    "window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // l_shipdate is TIMESTAMP_NTZ: hop via LTZ (session TZ is UTC) to
+      // epoch seconds — the same values DuckDB's epoch() assigns.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000L, 0L) // 30 days in seconds, inclusive
+      Tables(s, dir, "lineitem")
+        .withColumn("trail_rev", round(sum(col("l_extendedprice")).over(w), 2))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("trail_rev"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+    }),
+
+    // Exact group medians / quartiles (percentile with linear
+    // interpolation — DuckDB quantile_cont agrees). Exact percentile
+    // buffers per GROUP, so memory is bounded by the largest group —
+    // fine for low-cardinality groupings; the global-percentile variant
+    // is what describeStats switched to approx for.
+    "median_groups" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_median"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_q1"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_q3"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_median"))
+        .orderBy(col("l_returnflag"))),
+
     // Unpivot/melt: wide -> long reshaping (the inverse of pivot_agg),
     // native in Spark 4 — a projection + Expand, no shuffle at all
     // until the output sort.
@@ -405,6 +455,27 @@ object Relational extends QueryModule {
          coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY rf, ls""",
+    "window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey ORDER BY epoch(CAST(l_shipdate AS TIMESTAMP))
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trail_rev
+         FROM lineitem
+         ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""",
+    "median_groups" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+           round(quantile_cont(l_quantity, 0.25), 6) AS qty_q1,
+           round(quantile_cont(l_quantity, 0.75), 6) AS qty_q3,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "unpivot_long" ->
       """SELECT p_partkey, measure, value FROM (
            SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
