@@ -41,8 +41,10 @@ object Graft {
   }
 
   /** Column-wide type unification over heterogeneous literals (SURVEY
-    * §1.2: the reference allows per-cell mixing; Spark columns cannot). */
-  private def unify(values: Seq[Any]): DataType = {
+    * §1.2: the reference allows per-cell mixing; Spark columns cannot).
+    * private[graft]: the xlsx V2 connector infers its schema with the
+    * same rules so both read paths agree. */
+  private[graft] def unify(values: Seq[Any]): DataType = {
     val dts = values.collect {
       case _: Int | _: Long | _: Short | _: Byte => LongType
       case _: Double | _: Float | _: BigDecimal  => DoubleType
@@ -59,7 +61,7 @@ object Graft {
     }
   }
 
-  private def coerce(v: Any, t: DataType): Any = (v, t) match {
+  private[graft] def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _)                      => null
     case (x: Int, LongType)             => x.toLong
     case (x: Short, LongType)           => x.toLong

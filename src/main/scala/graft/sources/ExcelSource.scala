@@ -93,6 +93,15 @@ object ExcelSource {
     * numeric cells that parse as integral become longs, other numerics
     * doubles, the rest strings — the same widening as `read_csv`. */
   def read(spark: SparkSession, path: String, sheetName: Option[String] = None): DataFrame = {
+    val (header, data) = parseSheet(path, sheetName)
+    Graft.fromColumns(spark, data, header)
+  }
+
+  /** Engine-independent sheet parse: (ordered header, column -> cells).
+    * Runs wherever it is called — the V2 connector calls it inside a
+    * PartitionReader on an EXECUTOR, keeping the driver out of the data
+    * path. */
+  def parseSheet(path: String, sheetName: Option[String] = None): (Seq[String], Map[String, Seq[Any]]) = {
     val zip = new ZipFile(path)
     try {
       val sheetPath = locateSheet(zip, sheetName)
@@ -142,7 +151,7 @@ object ExcelSource {
       val data: Map[String, Seq[Any]] = header.zipWithIndex.map { case (h, i) =>
         h -> (minRow + 1 to maxRow).map(ri => cells.getOrElse((ri, minCol + i), null): Any)
       }.toMap
-      Graft.fromColumns(spark, data, header)
+      (header, data)
     } finally zip.close()
   }
 

@@ -25,4 +25,40 @@ class ExcelInteropSpec extends SparkSpecBase {
     val ages = df.select(col("Age").cast("long")).collect().map(_.getLong(0))
     assert(ages.forall(a => a > 0 && a < 120))
   }
+
+  // ---- DataSource V2 connector ---------------------------------------------
+
+  test("spark.read.format(graft-xlsx) round-trips our writer's output") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_v2")
+    val path = s"$tmp/t.xlsx"
+    try {
+      val df = Seq((1L, "Ann", 3.5), (2L, "Bo", 10.25)).toDF("id", "name", "score")
+      ExcelSource.write(df, path)
+      val back = spark.read.format("graft-xlsx").load(path)
+      assert(back.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+        Seq(("id", "long"), ("name", "string"), ("score", "double")))
+      assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+        Seq((1L, "Ann", 3.5), (2L, "Bo", 10.25)))
+      // V2 agrees cell-for-cell with the driver-side reader
+      assert(graft.operators.Display.dfEqual(back, ExcelSource.read(spark, path)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("graft-xlsx scan prunes columns (required schema reaches the reader)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_v2p")
+    val path = s"$tmp/t.xlsx"
+    try {
+      ExcelSource.write(Seq((1L, "x", 2.0), (2L, "y", 4.0)).toDF("a", "b", "c"), path)
+      val pruned = spark.read.format("graft-xlsx").load(path).select("c")
+      // physical plan advertises the pruned read schema
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("ReadSchema") || plan.contains("graft-xlsx"), plan.take(400))
+      assert(pruned.schema.fieldNames.toSeq == Seq("c"))
+      assert(pruned.collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 4.0))
+      val sheeted = spark.read.format("graft-xlsx").option("sheet", "Sheet1").load(path)
+      assert(sheeted.count() == 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
