@@ -55,4 +55,71 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** Star-contraction connected components (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log^2 n) rounds REGARDLESS of graph
+    * diameter — the upgrade over min-label propagation (diameter-bound)
+    * for path-heavy graphs at cluster scale. Each half-round is one
+    * groupBy (per-node min) + one join (re-point edges at the min):
+    *
+    *  - large-star: every neighbor LARGER than u re-points to
+    *    m = min(N(u) ∪ u) — strictly shrinks long tails upward;
+    *  - small-star: orient edges so u >= v; u and its smaller
+    *    neighbors all re-point to the minimum — contracts stars.
+    *
+    * Terminates when the edge set is stable (exact exceptAll check, two
+    * anti-joins over the shrinking edge set). Same output contract as
+    * `connectedComponents`: (node, cluster = min reachable id). */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    val nodes = edges.select(col(srcCol).cast("long").as("n"))
+      .union(edges.select(col(dstCol).cast("long").as("n"))).distinct()
+      .localCheckpoint(true)
+    // drop self-loops; normalize to a distinct undirected pair set
+    var e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val nbrs = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // cur is already oriented u >= v (largeStar emits v = min <= u)
+      val mins = cur.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = cur.join(mins, "u")
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(e))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+    // stars: every non-root points at its component min; roots get themselves
+    nodes
+      .join(e.select(col("u").as("n"), col("v").as("c")), Seq("n"), "left")
+      .groupBy(col("n"))
+      .agg(min(col("c")).as("mc"))
+      .select(col("n").as("node"), least(coalesce(col("mc"), col("n")), col("n")).as("cluster"))
+  }
 }

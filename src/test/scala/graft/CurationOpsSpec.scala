@@ -36,6 +36,29 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(cc(Seq((7L, 3L), (3L, 5L))) == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
 
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents
+      .connectedComponentsStar(edges.toDF("i", "j"), "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star-contraction CC equals propagation CC on chains, cliques and self-loops") {
+    val cases = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      Seq((1L, 2L), (5L, 6L), (6L, 7L), (9L, 9L)),
+      (0L until 9L).map(i => (i, i + 1)),                       // path, diameter 9
+      Seq((10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)))     // cycle + pair
+    cases.foreach { edges =>
+      assert(ccStar(edges) == cc(edges), s"divergence on $edges")
+    }
+  }
+
+  test("star-contraction CC equals propagation CC on a fixed-seed random graph") {
+    val rnd = new scala.util.Random(1234)
+    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccStar(edges) == cc(edges))
+  }
+
   test("hash sample is deterministic, key-stable and near the asked fraction") {
     val df = spark.range(0, 20000).select(col("id"))
     val a = Sampling.hashSample(df, col("id"), 0.1).collect().map(_.getLong(0)).toSet
