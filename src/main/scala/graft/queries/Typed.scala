@@ -41,6 +41,36 @@ object Typed extends QueryModule {
         .groupBy(col("rf"))
         .agg(round(sum(col("net")), 2).as("revenue"), count(lit(1)).as("n"))
         .orderBy(col("rf"))
+    }),
+
+    // KeyValueGroupedDataset.mapGroups: arbitrary per-group Scala logic
+    // (the batch sibling of mapGroupsWithState) — here a fold computing
+    // count/spend/max per customer. Each group is one shuffle partition
+    // stream; state is O(1) per group. Use for logic aggregates can't
+    // express; for plain count/sum/max the relational path (one line
+    // down in typed_revenue) keeps partial aggregation — this query
+    // exists to pin the API's correctness, and the oracle shows the
+    // semantics ARE the relational ones.
+    "typed_group_stats" -> ((s, dir) => {
+      implicit val ordEnc = Encoders.product[Order]
+      val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .as[Order]
+        .groupByKey(_.o_custkey)(Encoders.scalaLong)
+        .mapGroups { (cust: Long, rows: Iterator[Order]) =>
+          var n = 0L; var spend = 0.0; var top = Double.MinValue
+          rows.foreach { r =>
+            n += 1; spend += r.o_totalprice; top = math.max(top, r.o_totalprice)
+          }
+          (cust, n, spend, top)
+        }(tup)
+        .toDF("o_custkey", "n_orders", "spend", "top_order")
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("spend"), 2).as("spend"), round(col("top_order"), 2).as("top_order"))
+        .orderBy(col("o_custkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -50,5 +80,10 @@ object Typed extends QueryModule {
          count(*) AS n
          FROM lineitem
          WHERE l_quantity > 10.0 AND l_discount < 0.05
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "typed_group_stats" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS spend,
+         round(max(o_totalprice), 2) AS top_order
+         FROM orders GROUP BY 1 ORDER BY 1""")
 }
