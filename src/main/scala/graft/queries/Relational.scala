@@ -168,6 +168,34 @@ object Relational extends QueryModule {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // Conditional/filtered aggregation: per-condition counters and sums
+    // in ONE pass over the scan (no unions of filtered subqueries).
+    // Spark count_if / conditional sum == ANSI FILTER clauses.
+    "filtered_agg" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          expr("count_if(o_orderstatus = 'F')").as("n_f"),
+          expr("count_if(o_orderstatus = 'O')").as("n_o"),
+          round(sum(when(col("o_totalprice") > 200000.0, col("o_totalprice"))
+            .otherwise(lit(0.0))), 2).as("big_rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("yr"))),
+
+    // Array-function breadth over a computed array column (split,
+    // size, sort, join, element access) — scalar outputs so the
+    // cross-engine comparison is representation-free.
+    "array_funcs" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_type"), " ").as("w"))
+        .select(col("p_partkey"),
+          size(col("w")).as("n_words"),
+          element_at(col("w"), 1).as("first_word"),
+          element_at(col("w"), -1).as("last_word"),
+          array_join(array_sort(col("w")), "-").as("sorted_joined"),
+          array_contains(col("w"), "BRUSHED").cast("int").as("has_brushed"))
+        .orderBy(col("p_partkey"))),
+
     // Explicit GROUPING SETS (the general lattice rollup/cube are
     // special cases of): two chosen sets in one Expand + one shuffle —
     // never two scans unioned.
@@ -455,6 +483,23 @@ object Relational extends QueryModule {
          coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "filtered_agg" ->
+      """SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           round(sum(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice
+                          ELSE 0.0 END), 2) AS big_rev,
+           count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "array_funcs" ->
+      """SELECT p_partkey,
+           len(w) AS n_words,
+           w[1] AS first_word,
+           w[-1] AS last_word,
+           array_to_string(list_sort(w), '-') AS sorted_joined,
+           CAST(list_contains(w, 'BRUSHED') AS INT) AS has_brushed
+         FROM (SELECT p_partkey, string_split(p_type, ' ') w FROM part)
+         ORDER BY p_partkey""",
     "grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
            coalesce(l_linestatus, 'ALL') AS ls,
