@@ -168,6 +168,20 @@ object Relational extends QueryModule {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // Schema-evolution union: v1 rows (no event_type column yet) union
+    // v2 rows — unionByName(allowMissingColumns) null-fills the missing
+    // column by NAME, the append a pipeline does when a feed adds
+    // fields (positional union would silently mis-align).
+    "union_evolve" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("event_id"))
+    }),
+
     // Conditional/filtered aggregation: per-condition counters and sums
     // in ONE pass over the scan (no unions of filtered subqueries).
     // Spark count_if / conditional sum == ANSI FILTER clauses.
@@ -483,6 +497,13 @@ object Relational extends QueryModule {
          coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "union_evolve" ->
+      """SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, user_id, value, event_type
+         FROM events WHERE event_id % 2 = 1
+         ORDER BY event_id""",
     "filtered_agg" ->
       """SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
