@@ -159,6 +159,24 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Duplicate-group KEEP POLICY: one surviving row per normalized
+    * fingerprint, chosen by `qualityCol` DESC (longest/cleanest copy
+    * wins) with id ASC as the deterministic tiebreak — the real-world
+    * completion of exactDupGroups' min-id rule. One window per
+    * fingerprint partition; Spark rewrites the rn = 1 filter into
+    * WindowGroupLimit (per-partition top-1 heaps, no full sorts). */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+               qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.withColumn("fp", fingerprintMd5(col(textCol)))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** INCREMENTAL near-dup detection: new-batch documents against an
     * existing corpus — the production shape (a daily increment is
     * deduped against the index, never corpus x corpus). Candidates come

@@ -31,4 +31,19 @@ object Sampling {
     * tests can restate the identical predicate. */
   def hexThreshold(fraction: Double): String =
     f"${math.max(0, math.min(65536, math.floor(fraction * 65536).toInt))}%04x"
+
+  /** Stratified deterministic sampling: a different fraction per
+    * stratum value (rebalancing a corpus by language/source is the
+    * training-data use). Same md5-prefix mechanics as `hashSample`, the
+    * threshold just varies by stratum via one codegen'd CASE — still a
+    * single scan-level filter, no shuffle, and membership stays
+    * key-stable per stratum. Strata not in `fractions` use `default`. */
+  def stratifiedHashSample(df: DataFrame, key: Column, strata: Column,
+                           fractions: Map[String, Double],
+                           default: Double): DataFrame = {
+    val thr = fractions.foldLeft(lit(hexThreshold(default)): Column) {
+      case (acc, (value, f)) => when(strata === value, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(substring(md5(key.cast("string")), 1, 4) < thr)
+  }
 }

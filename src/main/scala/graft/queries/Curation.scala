@@ -52,6 +52,36 @@ object Curation extends QueryModule {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Stratified rebalancing: downsample the over-represented language
+    // (en -> 25%) while keeping 75% of everything else — corpus
+    // rebalancing as one deterministic scan-level filter (per-stratum
+    // md5 thresholds in a codegen'd CASE; no shuffle, key-stable).
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(
+        Tables(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.25), default = 0.75)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Duplicate keep-policy: per normalized-content fingerprint keep
+    // the highest-quality copy (longest raw text, id tiebreak) — the
+    // real-world completion of dedup_exact's min-id rule. Dups are
+    // planted as in dedup_exact; the re-padded copies are LONGER, so
+    // the kept id flips to the mangled one, which is what proves the
+    // policy (min-id would keep the original).
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mangled = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      Dedup.keepBest(
+        docs.unionByName(mangled).withColumn("quality", length(col("text"))),
+        "doc_id", "text", "quality")
+        .filter(col("n_copies") > 1)
+        .select(col("fp"), col("doc_id"), col("quality"), col("n_copies"))
+        .orderBy(col("fp"))
+    }),
+
     // Deterministic ~10% hash sample of orders: membership depends only
     // on the key (reproducible on any cluster/partitioning); the filter
     // is a codegen'd predicate at the scan, no shuffle.
@@ -155,6 +185,31 @@ object Curation extends QueryModule {
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
   val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+         ORDER BY doc_id""",
+    "dedup_keep_best" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, concat('  ', upper(text), '   ')
+           FROM documents WHERE doc_id < 100
+         ),
+         fps AS (
+           SELECT doc_id, text, length(text) AS quality,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) fp
+           FROM all_docs),
+         ranked AS (
+           SELECT fp, doc_id, quality,
+             count(*) OVER (PARTITION BY fp) AS n_copies,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+           FROM fps)
+         SELECT fp, doc_id, CAST(quality AS INT) AS quality, n_copies
+         FROM ranked WHERE rn = 1 AND n_copies > 1 ORDER BY fp""",
     "dedup_incremental" ->
       s"""WITH n_t AS (
             SELECT doc_id + 20000 id, ${toksOf("concat(text, ' zzqx')")} toks

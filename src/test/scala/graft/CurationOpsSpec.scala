@@ -79,6 +79,22 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(s == g.filter(_ < 1000), "adding rows must not change prior membership")
   }
 
+  test("stratified hash sample applies per-stratum fractions and stays key-stable") {
+    val df = spark.range(0, 20000)
+      .select(col("id"), when(pmod(col("id"), lit(2)) === 0, "a").otherwise("b").as("s"))
+    val got = Sampling.stratifiedHashSample(df, col("id"), col("s"),
+      Map("a" -> 0.1), default = 0.5)
+    val byStratum = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("a") - 1000L) < 150, byStratum.toString)  // 10% of 10000
+    assert(math.abs(byStratum("b") - 5000L) < 300, byStratum.toString)  // 50% of 10000
+    // per-key membership identical to the flat sampler at the same fraction
+    val flat = Sampling.hashSample(df.filter(col("s") === "a"), col("id"), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val strat = got.filter(col("s") === "a").collect().map(_.getLong(0)).toSet
+    assert(flat == strat)
+  }
+
   test("hash sample edge fractions: 0 keeps nothing, 1 keeps everything") {
     val df = spark.range(0, 100).select(col("id"))
     assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0)
