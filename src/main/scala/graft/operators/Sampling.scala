@@ -32,6 +32,24 @@ object Sampling {
   def hexThreshold(fraction: Double): String =
     f"${math.max(0, math.min(65536, math.floor(fraction * 65536).toInt))}%04x"
 
+  /** Deterministic train/val/test assignment: every row gets a split
+    * label from contiguous md5-prefix ranges sized by `weights`
+    * (cumulative thresholds). Key-stable: a row's split never changes
+    * across runs, clusters, or table growth — the property a reusable
+    * holdout needs. One codegen'd CASE; no shuffle, no state. */
+  def splitByHash(df: DataFrame, key: Column, weights: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "splitByHash: weights must sum to 1")
+    val prefix = substring(md5(key.cast("string")), 1, 4)
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val cases = weights.map(_._1).zip(cum.map(hexThreshold)).dropRight(1)
+    val expr = cases.foldRight(lit(weights.last._1): Column) {
+      case ((name, thr), els) => when(prefix < thr, name).otherwise(els)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Stratified deterministic sampling: a different fraction per
     * stratum value (rebalancing a corpus by language/source is the
     * training-data use). Same md5-prefix mechanics as `hashSample`, the

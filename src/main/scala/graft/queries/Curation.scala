@@ -29,6 +29,39 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic 80/10/10 train/val/test assignment over documents,
+    // summarized per split — the reusable-holdout primitive (a doc's
+    // split never changes across runs or corpus growth).
+    "split_assign" -> ((s, dir) =>
+      Sampling.splitByHash(Tables(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))),
+
+    // Time-series densification: per-user hourly activity with explicit
+    // zero rows for silent hours — sequence() generates each user's
+    // hour grid (distributed, no driver loop), a left join fills it.
+    // The classic gap-fill shape feature pipelines need before any
+    // rolling computation.
+    "time_densify" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("h", date_trunc("hour", col("ts")))
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Gap-based sessionization (batch face of the streaming sessionize):
     // a session breaks when a user is idle > 30 min. lag + running sum
     // assign session ordinals in one pass per user partition; micros
@@ -185,6 +218,29 @@ object Curation extends QueryModule {
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
   val oracle: Map[String, String] = Map(
+    "split_assign" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "time_densify" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) h, value
+           FROM events),
+         span AS (SELECT user_id, min(h) h0, max(h) h1 FROM e GROUP BY 1),
+         grid AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h
+           FROM span),
+         hourly AS (
+           SELECT user_id, h, count(*) n, round(sum(value), 2) sum_value
+           FROM e GROUP BY 1, 2)
+         SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+         FROM grid g LEFT JOIN hourly USING (user_id, h)
+         ORDER BY g.user_id, hour""",
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents

@@ -95,6 +95,22 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(flat == strat)
   }
 
+  test("splitByHash partitions every row into exactly one split at ~the asked weights") {
+    val df = spark.range(0, 30000).select(col("id"))
+    val split = Sampling.splitByHash(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 30000L) // total partition, nothing dropped
+    assert(math.abs(counts("train") - 24000L) < 500, counts.toString)
+    assert(math.abs(counts("val") - 3000L) < 300, counts.toString)
+    assert(math.abs(counts("test") - 3000L) < 300, counts.toString)
+    // key-stability: same assignment on re-evaluation
+    val again = Sampling.splitByHash(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(graft.operators.Display.dfEqual(split, again))
+  }
+
   test("hash sample edge fractions: 0 keeps nothing, 1 keeps everything") {
     val df = spark.range(0, 100).select(col("id"))
     assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0)
