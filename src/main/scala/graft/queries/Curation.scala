@@ -62,6 +62,31 @@ object Curation extends QueryModule {
         .orderBy(col("user_id"), col("hour"))
     }),
 
+    // Rolling features over the DENSIFIED grid: because silent hours
+    // exist as zero rows, a ROWS frame IS a time frame — trailing-3h
+    // mean/max per user without interval arithmetic in the window.
+    "rolling_features" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("h", date_trunc("hour", col("ts")))
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val dense = grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), coalesce(col("v"), lit(0.0)).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(-2, 0)
+      dense
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v"),
+          round(avg(col("v")).over(w), 6).as("avg_3h"),
+          round(max(col("v")).over(w), 2).as("max_3h"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Gap-based sessionization (batch face of the streaming sessionize):
     // a session breaks when a user is idle > 30 min. lag + running sum
     // assign session ordinals in one pass per user partition; micros
@@ -241,6 +266,26 @@ object Curation extends QueryModule {
            coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
          FROM grid g LEFT JOIN hourly USING (user_id, h)
          ORDER BY g.user_id, hour""",
+    "rolling_features" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) h, value
+           FROM events),
+         span AS (SELECT user_id, min(h) h0, max(h) h1 FROM e GROUP BY 1),
+         grid AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h
+           FROM span),
+         hourly AS (
+           SELECT user_id, h, round(sum(value), 2) v FROM e GROUP BY 1, 2),
+         dense AS (
+           SELECT g.user_id, g.h, coalesce(v, 0.0) v
+           FROM grid g LEFT JOIN hourly USING (user_id, h))
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v,
+           round(avg(v) OVER w, 6) AS avg_3h,
+           round(max(v) OVER w, 2) AS max_3h
+         FROM dense
+         WINDOW w AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, hour""",
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents
