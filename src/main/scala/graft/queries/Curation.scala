@@ -54,12 +54,15 @@ object Curation extends QueryModule {
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
       val hourly = ev.groupBy(col("user_id"), col("h"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      // sort on the raw timestamp (same total order as the formatted
+      // string — yyyy-MM-dd... is lexicographically chronological — but
+      // long comparisons instead of strings through the range sort)
       grid.join(hourly, Seq("user_id", "h"), "left")
+        .orderBy(col("user_id"), col("h"))
         .select(col("user_id"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-        .orderBy(col("user_id"), col("hour"))
     }),
 
     // Rolling features over the DENSIFIED grid: because silent hours
@@ -78,13 +81,18 @@ object Curation extends QueryModule {
         .select(col("user_id"), col("h"), coalesce(col("v"), lit(0.0)).as("v"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(-2, 0)
+      // raw-timestamp sort; see time_densify. The window's (user_id, h)
+      // sort already co-locates rows, so the output sort mostly reuses
+      // that ordering within partitions.
       dense
-        .select(col("user_id"),
-          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        .select(col("user_id"), col("h"),
           col("v"),
           round(avg(col("v")).over(w), 6).as("avg_3h"),
           round(max(col("v")).over(w), 2).as("max_3h"))
-        .orderBy(col("user_id"), col("hour"))
+        .orderBy(col("user_id"), col("h"))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v"), col("avg_3h"), col("max_3h"))
     }),
 
     // Gap-based sessionization (batch face of the streaming sessionize):

@@ -214,6 +214,54 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Text cleaning: strip URLs, mask emails, drop HTML tags, collapse
+    // whitespace — the pre-tokenization scrub every corpus pass runs.
+    // RE2-safe patterns (no lookarounds) so the DuckDB oracle applies
+    // the identical regexes; one codegen'd projection.
+    "text_clean" -> ((s, dir) => {
+      val url = "https?://[^\\s]+"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val html = "<[^>]+>"
+      val t = col("text")
+      val cleaned = trim(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(t, url, " "), email, "[EMAIL]"),
+          html, " "), "\\s+", " "))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(url), lit(0))).as("n_urls"),
+        size(regexp_extract_all(t, lit(email), lit(0))).as("n_emails"),
+        length(cleaned).as("clean_len"),
+        substring(cleaned, 1, 80).as("clean_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition signals (Gopher-style quality filters): distinct-token
+    // ratio, top-token mass fraction, duplicate-bigram fraction — the
+    // gates that drop boilerplate/spam before training. Per-token
+    // grouping shuffles on (doc, token); everything else is projection.
+    "text_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val ratios = base.select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("distinct_ratio"),
+        round(when(size(col("toks")) >= 2,
+          lit(1.0) - size(array_distinct(shingles(col("toks"), 2))).cast("double") /
+            (size(col("toks")) - 1)).otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
+      val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("tot_c"))
+        .select(col("doc_id"),
+          round(col("top_c").cast("double") / col("tot_c"), 6).as("top_token_frac"))
+      ratios.join(top, "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("distinct_ratio"),
+          col("dup_bigram_frac"), col("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-document quality/token metrics: BPE-ish subword counts (the
     // corpus-size estimate a training pipeline budgets by), whitespace
     // tokens, and character-class ratios. One projection; the regexes
@@ -351,6 +399,44 @@ object Pipeline extends QueryModule {
                  for c in string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '')]),
               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
           FROM documents ORDER BY doc_id""",
+    "text_clean" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           length(cleaned) AS clean_len,
+           substr(cleaned, 1, 80) AS clean_prefix
+         FROM (
+           SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '\s+', ' ', 'g')) cleaned
+           FROM documents)
+         ORDER BY doc_id""",
+    "text_repetition" ->
+      s"""WITH t AS (
+            SELECT doc_id, $toksSql toks FROM documents
+            WHERE len($toksSql) > 0),
+          ratios AS (
+            SELECT doc_id, len(toks) n_toks,
+              round(len(list_distinct(toks))::DOUBLE / len(toks), 6) distinct_ratio,
+              round(CASE WHEN len(toks) >= 2
+                THEN 1.0 - len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks) - 1)]))::DOUBLE / (len(toks) - 1)
+                ELSE 0.0 END, 6) dup_bigram_frac
+            FROM t),
+          top AS (
+            SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) top_token_frac
+            FROM (SELECT doc_id, tok, count(*) c
+                  FROM (SELECT doc_id, unnest(toks) tok FROM t)
+                  GROUP BY 1, 2)
+            GROUP BY 1)
+          SELECT r.doc_id, n_toks, distinct_ratio, dup_bigram_frac, top_token_frac
+          FROM ratios r JOIN top USING (doc_id)
+          ORDER BY doc_id""",
     "text_quality" ->
       s"""SELECT doc_id,
             len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens,
