@@ -106,13 +106,18 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
+    var eCount = e.count()
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(e))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
         .localCheckpoint(true)
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // both sides are distinct sets, so equal counts + empty one-way
+      // difference proves set equality (no second exceptAll needed)
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       iter += 1
     }
     // stars: every non-root points at its component min; roots get themselves

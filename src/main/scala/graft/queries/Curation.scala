@@ -29,6 +29,17 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Same contract through the star-contraction algorithm (large-star/
+    // small-star, round count independent of graph diameter) — both CC
+    // implementations are verified against the same recursive-CTE
+    // oracle, on the real near-dup graph.
+    "dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text")
+      ConnectedComponents.connectedComponentsStar(pairs, "i", "j")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic 80/10/10 train/val/test assignment over documents,
     // summarized per split — the reusable-holdout primitive (a doc's
     // split never changes across runs or corpus growth).
@@ -352,6 +363,15 @@ object Curation extends QueryModule {
          FROM lineitem l JOIN st USING (l_returnflag)
          ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
+          edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, least(u, min(v)) AS cluster
+          FROM reach GROUP BY u ORDER BY doc_id""",
+    "dedup_clusters_star" ->
       s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
           edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
           reach(u, v) AS (
