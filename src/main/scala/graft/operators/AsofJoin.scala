@@ -26,24 +26,43 @@ object AsofJoin {
     * nondeterministic in any engine. */
   def asofJoinLast(left: DataFrame, right: DataFrame,
                    keyCol: String, tsCol: String,
-                   payload: Seq[String]): DataFrame = {
+                   payload: Seq[String]): DataFrame =
+    asofJoinLast(left, right, keyCol, tsCol, payload, None)
+
+  /** As-of join with a TOLERANCE (pandas merge_asof semantics): the
+    * match is discarded — payload nulled — when the matched right row
+    * is older than `toleranceMicros`. The matched right timestamp rides
+    * the same window as the payload, so tolerance is one more projected
+    * predicate, not a second join. */
+  def asofJoinLast(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   payload: Seq[String],
+                   toleranceMicros: Option[Long]): DataFrame = {
     require(payload.nonEmpty, "asofJoinLast: no payload columns to attach")
     val l = left.select(
       (left.columns.map(col).toIndexedSeq
         ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))
-        :+ lit(1).as("_side")): _*)
+        ++ Seq(lit(null).cast("long").as("_rts"), lit(1).as("_side"))): _*)
     val r = right.select(
       (left.columns.map(c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)).toIndexedSeq
         ++ payload.map(col)
-        :+ lit(0).as("_side")): _*)
+        ++ Seq(unix_micros(col(tsCol)).as("_rts"), lit(0).as("_side"))): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payload.foldLeft(l.unionByName(r)) { (d, c) =>
+    val attached = (payload :+ "_rts").foldLeft(l.unionByName(r)) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    attached.filter(col("_side") === 1).drop("_side")
+    val gated = toleranceMicros match {
+      case None => attached
+      case Some(tol) =>
+        val inTol = unix_micros(col(tsCol)) - col("_rts") <= tol
+        payload.foldLeft(attached) { (d, c) =>
+          d.withColumn(c, when(inTol, col(c)))
+        }
+    }
+    gated.filter(col("_side") === 1).drop("_side", "_rts")
   }
 }

@@ -312,6 +312,24 @@ object Pipeline extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join WITH TOLERANCE (pandas merge_asof semantics): the
+    // matched view must be within 15 minutes or the payload nulls out —
+    // same single-shuffle window plan, one extra gating predicate.
+    "asof_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin.asofJoinLast(clicks, views, "user_id", "ts", Seq("view_value"),
+        Some(15L * 60 * 1000000))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: price points into overlapping price bands via the
     // binned equi-join (RangeJoin.pointInRange) instead of a
     // nested-loop BETWEEN join.
@@ -455,6 +473,19 @@ object Pipeline extends QueryModule {
          SELECT c.event_id, c.user_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
            round(v.view_value, 2) AS view_value
+         FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+         ORDER BY c.event_id""",
+    "asof_tolerance" ->
+      """WITH v AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) ts, max(value) view_value
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 900000000
+                THEN round(v.view_value, 2) END AS view_value
          FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
          ORDER BY c.event_id""",
     "range_join" ->
