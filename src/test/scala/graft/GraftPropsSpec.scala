@@ -52,4 +52,31 @@ object GraftPropsSpec extends Properties("graft.ops") {
     val want = a.map(_._2).sum
     math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want))
   }
+
+  private val fracGen: Gen[(Double, Double)] =
+    Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0))
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+
+  property("hash samples nest: fraction f1 <= f2 => sample(f1) is a subset of sample(f2)") =
+    forAll(fracGen) { case (f1, f2) =>
+      val d = spark.range(0, 500).toDF("id")
+      val s1 = graft.operators.Sampling.hashSample(d, col("id"), f1)
+        .collect().map(_.getLong(0)).toSet
+      val s2 = graft.operators.Sampling.hashSample(d, col("id"), f2)
+        .collect().map(_.getLong(0)).toSet
+      s1.subsetOf(s2)
+    }
+
+  property("connected components is idempotent: CC of the label graph is the label graph") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))) { edges =>
+      import spark.implicits._
+      val e = edges.toDF("i", "j")
+      val once = graft.operators.ConnectedComponents.connectedComponents(e, "i", "j")
+      val twice = graft.operators.ConnectedComponents
+        .connectedComponents(once.toDF("i", "j"), "i", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val onceMap = once.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // every node now maps straight to its cluster id; clusters map to themselves
+      onceMap.forall { case (n, c) => twice(n) == c && twice.get(c).forall(_ == c) }
+    }
 }
