@@ -244,4 +244,34 @@ object Dedup {
       .filter(hamming64(col("fa"), col("fb")) <= maxHamming)
       .select(col("i"), col("j"))
   }
+
+  /** Benchmark-contamination scan (train/eval decontamination — the
+    * standard n-gram-overlap check a training-data pipeline runs before
+    * every release): for each training document, the fraction of its
+    * distinct word n-gram shingles that occur ANYWHERE in the benchmark
+    * set. Emits (doc_id, n_shingles, n_matched, overlap_frac,
+    * contaminated) for every train doc with >= n tokens.
+    *
+    * Scale shape: benchmark suites are tiny relative to a training
+    * corpus, so the benchmark shingle VOCABULARY (distinct shingles) is
+    * collected once and broadcast — the train side is a single scan +
+    * explode + broadcast hash semi-probe + groupBy(doc_id); the corpus
+    * is never shuffled on the shingle key and never meets itself. */
+  def benchmarkOverlap(train: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 5, flagAt: Double = 0.1): DataFrame = {
+    val benchSh = shingleSets(bench, idCol, textCol, n)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("_hit", lit(1))
+    val trainSh = shingleSets(train, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val frac = col("n_matched").cast("double") / col("n_shingles")
+    trainSh
+      .join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        round(frac, 6).as("overlap_frac"),
+        (frac >= flagAt).as("contaminated"))
+  }
 }

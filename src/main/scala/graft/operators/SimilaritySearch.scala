@@ -130,6 +130,58 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) batch ANN — the other classic scale path next
+    * to LSH (ref: the brief's "IVF or LSH-bucketed variant"; public
+    * design: Faiss IVFFlat). The coarse quantizer is a deterministic
+    * hash-ordered sample of the corpus itself (`nlist` seed centroids
+    * by md5(id) order — no k-means iteration, so the whole index is
+    * reproducible across engines and the DuckDB oracle can rebuild it
+    * bit-for-bit). Spherical assignment: every vector joins its argmax-
+    * cosine centroid's inverted list (exactly one list per vector).
+    * A probe searches only its `nprobe` best lists, then exact-cosine
+    * rerank + per-probe top-k.
+    *
+    * Scale shape: centroids are tiny (nlist ~ sqrt(N)) -> broadcast to
+    * the corpus scan for assignment (one pass, no corpus shuffle); the
+    * probe side is small -> broadcast to the assigned corpus, so the
+    * search is again one corpus-side scan filtered to ~nprobe/nlist of
+    * the data. Nothing is ever all-pairs, and the corpus is never
+    * range/hash-shuffled on the low-cardinality list key.
+    *
+    * Ranking uses ROUNDED cosines (6 dp) with id tiebreaks everywhere
+    * so list assignment and top-k are deterministic and engine-portable.
+    */
+  def topKCosineIvf(probes: DataFrame, probeIdCol: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nprobe <= nlist, "topKCosineIvf: nprobe must be <= nlist")
+    val cents = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("_cent_id"), col(vecCol).as("_cent_vec"))
+    def bestLists(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
+      df.select(col(id).as("_mid"), col(vec).as("_mv"))
+        .crossJoin(broadcast(cents))
+        .select(col("_mid"), col("_mv"), col("_cent_id"),
+          round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= n)
+        .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
+    }
+    val assigned = bestLists(corpus, idCol, vecCol, 1)
+      .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
+    val probeLists = bestLists(probes, probeIdCol, vecCol, nprobe)
+      .select(col("_mid").as("_pid"), col("_mv").as("_pv"), col("_list"))
+    assigned.join(broadcast(probeLists), "_list")
+      .filter(col("_pid") =!= col("_cid"))
+      .select(col("_pid").as("probe_id"), col("_cid").as("vec_id"),
+        round(cosine(col("_cv"), col("_pv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Embedding dimensionality, from the first row (driver-side, one
     * value). The plane constants need it at plan-build time. */
   private def dimOf(emb: DataFrame, vecCol: String): Int =

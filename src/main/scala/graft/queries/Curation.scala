@@ -251,7 +251,9 @@ object Curation extends QueryModule {
           count(lit(1)).as("n"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
-          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("disc_tax_covar_pop"),
+          // + 0.0 collapses IEEE -0.0 to +0.0: DuckDB's round(-2e-7, 6)
+          // yields -0.0 while Spark's yields 0.0 — bytewise hash mismatch.
+          (round(covar_pop(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_covar_pop"),
           round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"))
         .orderBy(col("l_returnflag"))))
 
@@ -435,7 +437,7 @@ object Curation extends QueryModule {
       """SELECT l_returnflag, count(*) AS n,
            round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-           round(covar_pop(l_discount, l_tax), 6) AS disc_tax_covar_pop,
+           round(covar_pop(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar_pop,
            round(stddev_samp(l_quantity), 6) AS qty_stddev
          FROM lineitem GROUP BY 1 ORDER BY 1""")
 }

@@ -177,6 +177,20 @@ object Pipeline extends QueryModule {
       SimilaritySearch.topKCosineLsh(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
 
+    // IVF batch ANN: deterministic hash-sampled coarse quantizer ->
+    // inverted lists -> nprobe-list search + exact rerank. Fully
+    // deterministic (rounded-cosine ranks, id tiebreaks), so unlike the
+    // LSH path the DuckDB oracle rebuilds the identical index and the
+    // result is hash-checked end to end.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      SimilaritySearch.topKCosineIvf(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Embedding-cosine near-dup pairs via bucketed sign-LSH + exact
     // rerank. The corpus has no natural near-identical vectors (max
     // pairwise cos ~0.51), so the query plants them deterministically: a
@@ -191,6 +205,20 @@ object Pipeline extends QueryModule {
             x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding"))
       SimilaritySearch.nearDupPairsLsh(emb.unionByName(pert), "vec_id", "embedding")
         .orderBy(col("i"), col("j"))
+    }),
+
+    // Benchmark decontamination: 5-gram overlap of every training doc
+    // (doc_id % 20 != 0) against the benchmark split (doc_id % 20 == 0).
+    // The planted near-dup pairs that straddle the split are exactly
+    // what this must catch. Benchmark shingle vocabulary is broadcast;
+    // the train side is one scan (see Dedup.benchmarkOverlap).
+    "contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.benchmarkOverlap(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", n = 5, flagAt = 0.1)
+        .orderBy(col("doc_id"))
     }),
 
     // ---- multimodal ---------------------------------------------------------
@@ -519,6 +547,52 @@ object Pipeline extends QueryModule {
                      WHEN doc_id % 3 = 1 THEN 8 ELSE 0 END AS BIGINT) AS media_bytes,
            md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                         for i in generate_series(1, len(toks) - 4)])) s
+            FROM t WHERE len(toks) >= 5),
+          bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+          tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+          SELECT tr.doc_id,
+            count(*) AS n_shingles,
+            count(b.s) AS n_matched,
+            round(count(b.s)::DOUBLE / count(*), 6) AS overlap_frac,
+            (count(b.s)::DOUBLE / count(*)) >= 0.1 AS contaminated
+          FROM tr LEFT JOIN bench b ON tr.s = b.s
+          GROUP BY 1 ORDER BY 1""",
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         ac AS (
+           SELECT e.vec_id, e.v, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, v, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM ac)
+           WHERE rk = 1),
+         plists AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk
+             FROM ac WHERE vec_id < 5)
+           WHERE rk <= 4),
+         cand AS (
+           SELECT p.probe_id, a.vec_id,
+             round(list_dot_product(a.v, p.pv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) cos
+           FROM plists p JOIN assigned a ON p.cent_id = a.cent_id
+           WHERE a.vec_id <> p.probe_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos DESC, vec_id) rk FROM cand)
+         SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
+         ORDER BY probe_id, rk""",
     "knn_cosine" ->
       """WITH p AS (SELECT embedding::DOUBLE[] pe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -77,4 +77,33 @@ class AnnSpec extends SparkSpecBase {
       .collect()
     assert(got.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("id")))
   }
+
+  test("IVF retrieval: an exact duplicate always lands in its twin's list and is found at rk=1") {
+    val df = clustered.cache()
+    // plant exact copies (identical vectors -> identical rounded cosines
+    // to every centroid -> same argmax list by the id tiebreak)
+    val twins = df.filter(col("vec_id") < 2000)
+      .select((col("vec_id") + 50000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twins)
+    val got = SimilaritySearch
+      .topKCosineIvf(twins, "vec_id", corpus, "vec_id", "embedding",
+        k = 1, nlist = 16, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(got.size == twins.count(), "every twin probe retrieves something")
+    assert(got.forall { case (p, id) => id == p - 50000 },
+      "rk=1 hit must be the planted twin (cos = 1)")
+  }
+
+  test("IVF with nprobe = nlist degenerates to the exact brute-force ranking") {
+    val df = clustered.cache()
+    val probes = df.filter(col("vec_id") === 1000L)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val ivf = SimilaritySearch
+      .topKCosineIvf(probes, "probe_id", df, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val exact = SimilaritySearch.topKCosine(df, "vec_id", "embedding", 1000L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == exact.toSeq, "full-probe IVF must equal the exact scan")
+  }
 }

@@ -70,4 +70,21 @@ class DedupSpec extends SparkSpecBase {
       hits.toString)
     assert(hits.forall(_._1 >= 101L))
   }
+
+  test("benchmarkOverlap flags the near-copy, ignores clean docs, drops short docs") {
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog and runs far away home")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog ends"), // shares 5-grams
+      (3L, "completely different text about spark partitions shuffles and big joins"),
+      (5L, "tiny doc") // < 5 tokens: no shingles, must not appear
+    ).toDF("doc_id", "text")
+    val rows = Dedup.benchmarkOverlap(train, bench, "doc_id", "text", n = 5, flagAt = 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matched"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(1L)._1 > 0 && rows(1L)._2, "overlapping doc must be flagged")
+    assert(rows(3L)._1 == 0 && !rows(3L)._2, "clean doc must not be flagged")
+  }
 }
