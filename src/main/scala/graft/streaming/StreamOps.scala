@@ -125,6 +125,38 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * joined against a STATIC dimension table — stateless (no watermark
+    * needed; nothing is buffered across batches), and with `broadcast`
+    * the stream partitions are never shuffled. The standard shape for
+    * attaching user/content metadata to an event stream at ingest. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-STREAM join: match each `typeA` event with the `typeB`
+    * events of the same user arriving within `gap` AFTER it (funnel /
+    * attribution shape: view -> purchase). Both sides carry watermarks
+    * and the join condition is an event-time RANGE — exactly what lets
+    * the engine expire buffered rows once the watermark passes
+    * `a_ts + gap`; an equi-join without the time bound would have to
+    * buffer both streams forever. Append-mode output: a match is
+    * emitted once, when it becomes final. */
+  def matchPairsStream(events: DataFrame, typeA: String, typeB: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "30 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = events.filter(col("event_type") === typeB)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
+
   /** Wire a streaming frame to an in-memory sink (tests / debugging):
     * returns the query; results land in table `name`. */
   def toMemorySink(df: DataFrame, name: String,

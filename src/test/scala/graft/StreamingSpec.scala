@@ -204,4 +204,49 @@ class StreamingSpec extends SparkSpecBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("enrichStream attaches static dimension rows without shuffling the stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val raw = ms.toDF().withColumnRenamed("userId", "user_id")
+    val q = StreamOps.toMemorySink(
+      StreamOps.enrichStream(raw, dim, "user_id"), "enrich_test")
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 3, "view", 2.0)) // no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").orderBy("eventId").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("tier") == "gold")
+      assert(rows(1).getAs[String]("tier") == null)
+    } finally q.stop()
+  }
+
+  test("matchPairsStream joins view->purchase within the gap, drops matches beyond it") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val raw = ms.toDF()
+      .withColumnRenamed("eventId", "event_id")
+      .withColumnRenamed("userId", "user_id")
+      .withColumnRenamed("eventType", "event_type")
+    val q = StreamOps.toMemorySink(
+      StreamOps.matchPairsStream(raw, "view", "purchase", gap = "30 minutes"),
+      "pairs_test")
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 00:10:00"), 1, "purchase", 9.0), // within gap -> match
+        Event(3, ts("2024-01-01 00:00:00"), 2, "view", 0.0),
+        Event(4, ts("2024-01-01 01:30:00"), 2, "purchase", 5.0), // 90 min -> no match
+        Event(5, ts("2024-01-01 00:10:00"), 3, "purchase", 1.0)) // purchase w/o view
+      q.processAllAvailable()
+      ms.addData(Event(9, ts("2024-01-01 03:00:00"), 4, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("pairs_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      assert(rows.toSet == Set((1L, 1L, 2L)), rows.mkString(","))
+    } finally q.stop()
+  }
 }
