@@ -255,6 +255,24 @@ object Curation extends QueryModule {
           // yields -0.0 while Spark's yields 0.0 — bytewise hash mismatch.
           (round(covar_pop(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_covar_pop"),
           round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"))
+        .orderBy(col("l_returnflag"))),
+
+    // Sketch-based profiling: approximate NDV (HyperLogLog++) and
+    // approximate quantiles — THE profiling path at 100 TB, where exact
+    // count_distinct shuffles every distinct value and exact percentile
+    // buffers whole columns in one aggregation buffer. Sketches are
+    // fixed-size and merge associatively, so this is one partial-agg
+    // shuffle, same shape as sum(). Approximate by design => no
+    // cross-engine oracle (DuckDB's HLL/quantile sketches differ);
+    // rows-only check here, the spec pins relative error vs exact.
+    "profile_sketch" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ndv_orders_approx"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ndv_parts_approx"),
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
+            lit(10000)).as("price_quantiles"))
         .orderBy(col("l_returnflag"))))
 
   /** DuckDB token-array fragment over an arbitrary text expression

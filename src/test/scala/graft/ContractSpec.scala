@@ -22,9 +22,10 @@ class ContractSpec extends SparkSpecBase {
     assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
   }
 
-  test("oracle coverage: only the two approximate ops are rows-only") {
+  test("oracle coverage: only the approximate-by-design ops are rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_cosine_lsh", "dedup_simhash"), rowsOnly.toString)
+    assert(rowsOnly == Set("ann_cosine_lsh", "dedup_simhash", "profile_sketch"),
+      rowsOnly.toString)
   }
 
   test("query names are stable identifiers") {

@@ -116,4 +116,28 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(Sampling.hashSample(df, col("id"), 0.0).count() == 0)
     assert(Sampling.hashSample(df, col("id"), 1.0).count() == 100)
   }
+
+  test("profile_sketch approximations stay within sketch error bounds of exact") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables(spark, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("ndv_o"),
+        countDistinct(col("l_partkey")).as("ndv_p"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("qs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Double](3))).toMap
+    val approx = SparkEntry.queries("profile_sketch")(spark, dir).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (ndvO, ndvP, qs) = exact(r.getString(0))
+      // HLL++ at rsd 0.01: 5% is > 4 sigma
+      assert(math.abs(r.getLong(1) - ndvO).toDouble / ndvO <= 0.05, s"ndv_orders ${r.getLong(1)} vs $ndvO")
+      assert(math.abs(r.getLong(2) - ndvP).toDouble / ndvP <= 0.05, s"ndv_parts ${r.getLong(2)} vs $ndvP")
+      val aqs = r.getSeq[Double](3)
+      // accuracy 10000 on ~thousands of rows: near-exact quantiles
+      aqs.zip(qs).foreach { case (a, e) =>
+        assert(math.abs(a - e) / math.abs(e) <= 0.02, s"quantile $a vs $e")
+      }
+    }
+  }
 }
