@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.operators.{ConnectedComponents, Dedup, Sampling}
+import graft.streaming.StreamOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -128,6 +129,19 @@ object Curation extends QueryModule {
         .drop("session_no")
         .orderBy(col("user_id"), col("session_start"))
     }),
+
+    // Funnel attribution (batch face of StreamOps.matchPairsStream —
+    // literally the same code; the watermark node is eliminated in
+    // batch plans): view -> purchase by the same user within 30 min.
+    // Oracle-checked here, StreamingSpec pins the incremental face.
+    "funnel_pairs" -> ((s, dir) =>
+      StreamOps.matchPairsStream(Tables(s, dir, "events"), "view", "purchase",
+          gap = "30 minutes")
+        .select(col("user_id"), col("a_id"),
+          date_format(col("a_ts"), "yyyy-MM-dd HH:mm:ss").as("a_ts"),
+          col("b_id"),
+          date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("b_ts"))
+        .orderBy(col("a_id"), col("b_id"))),
 
     // Stratified rebalancing: downsample the over-represented language
     // (en -> 25%) while keeping 75% of everything else — corpus
@@ -417,6 +431,18 @@ object Curation extends QueryModule {
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sn ORDER BY user_id, session_start""",
+    "funnel_pairs" ->
+      """WITH e AS (
+           SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type FROM events),
+         a AS (SELECT user_id, event_id a_id, ts a_ts FROM e WHERE event_type = 'view'),
+         b AS (SELECT user_id, event_id b_id, ts b_ts FROM e WHERE event_type = 'purchase')
+         SELECT a.user_id, a_id,
+           strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS a_ts,
+           b_id,
+           strftime(b_ts, '%Y-%m-%d %H:%M:%S') AS b_ts
+         FROM a JOIN b ON a.user_id = b.user_id
+           AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 30 MINUTE
+         ORDER BY a_id, b_id""",
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
          FROM orders

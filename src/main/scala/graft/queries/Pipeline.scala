@@ -242,6 +242,22 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Frame-sampling plumbing (video/audio batch shape): 4 evenly
+    // spaced 16-byte windows per binary payload via frameSampleStub,
+    // posexploded to one row per frame — the real one-row-in, n-frames-
+    // out pipeline a frame extractor feeds; only the window extraction
+    // is the stub. The payloads (text bytes) are pure ASCII, so the
+    // DuckDB oracle reproduces the byte windows with VARCHAR substr.
+    "media_frames" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("frames",
+          MultimodalFunctions.frameSampleStub(col("text").cast("binary"), 4, 16))
+        .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // Text cleaning: strip URLs, mask emails, drop HTML tags, collapse
     // whitespace — the pre-tokenization scrub every corpus pass runs.
     // RE2-safe patterns (no lookarounds) so the DuckDB oracle applies
@@ -537,6 +553,15 @@ object Pipeline extends QueryModule {
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.99 ORDER BY i, j""",
+    "media_frames" ->
+      """WITH f AS (
+           SELECT doc_id, k AS frame_idx,
+             substr(text, CAST(floor(k * length(text) / 4) AS INTEGER) + 1, 16) AS frame
+           FROM documents, generate_series(0, 3) t(k))
+         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(frame) AS frame_md5,
+           CAST(length(frame) AS BIGINT) AS frame_bytes
+         FROM f ORDER BY doc_id, frame_idx""",
     "media_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

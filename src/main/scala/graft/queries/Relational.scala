@@ -334,6 +334,18 @@ object Relational extends QueryModule {
       s.sql(Relational.SqlQ3)
     }),
 
+    // TPC-H Q5 shape: 6-table join with region/date selectivity. The
+    // identical SQL text runs on both engines; Catalyst broadcasts the
+    // three dim tables (region<nation<supplier) and leaves the
+    // customer⋈orders⋈lineitem chain as shuffle joins on their keys —
+    // the plan that survives 100x (dims stay broadcastable, facts
+    // co-partition on the join keys, AQE re-plans from runtime sizes).
+    "sql_q5" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ5)
+    }),
+
     // Analytic window functions: distribution ranks and tiles.
     "window_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -396,8 +408,27 @@ object Relational extends QueryModule {
        GROUP BY l_orderkey, o_orderpriority
        ORDER BY revenue DESC, l_orderkey LIMIT 20"""
 
+  /** TPC-H Q5 (local-supplier revenue), adapted to the synthetic data's
+    * date range. Identical text on both engines. */
+  val SqlQ5: String =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey
+         AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey
+         AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
   val oracle: Map[String, String] = Map(
     "sql_q3" -> SqlQ3,
+    "sql_q5" -> SqlQ5,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
