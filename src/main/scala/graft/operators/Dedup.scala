@@ -245,6 +245,40 @@ object Dedup {
       .select(col("i"), col("j"))
   }
 
+  /** Passage-level exact dedup (the scalable stand-in for suffix-array
+    * substring dedup, cf. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): documents are cut into
+    * NON-OVERLAPPING `chunkTokens`-token passages and a passage is a
+    * duplicate when it appears verbatim in more than one document.
+    * Emits (passage, n_docs, n_occurrences, first_doc) per duplicated
+    * passage — the removal list a curation pass anti-joins against.
+    *
+    * Scale shape: one scan + explode + groupBy(passage) — the shuffle
+    * carries each distinct passage once per containing doc (map-side
+    * partial agg collapses within-partition repeats). At 100 TB the
+    * passage STRING in the shuffle key would be replaced by its 128-bit
+    * hash (collision-free in practice) with the text re-attached only
+    * for the surviving duplicates; kept textual here so the result is
+    * directly comparable across engines. */
+  def dupPassages(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 10): DataFrame = {
+    val n = chunkTokens
+    // stage toks as its own column: the chunk lambda slices it once per
+    // passage, and an inlined tokenizer would re-run per passage (see
+    // shingleSets on CollapseProject)
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n) // also keeps sequence() ascending
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor(size(col("toks")).cast("double") / n).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * n + 1, lit(n))))).as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Benchmark-contamination scan (train/eval decontamination — the
     * standard n-gram-overlap check a training-data pipeline runs before
     * every release): for each training document, the fraction of its

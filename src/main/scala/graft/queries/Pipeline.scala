@@ -207,6 +207,13 @@ object Pipeline extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Passage-level exact dedup: verbatim 10-token chunks appearing in
+    // more than one document (the planted near-dup pairs share chunk-
+    // aligned passages). See Dedup.dupPassages for the scale shape.
+    "passage_dedup" -> ((s, dir) =>
+      Dedup.dupPassages(Tables(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
+        .orderBy(col("passage"))),
+
     // Benchmark decontamination: 5-gram overlap of every training doc
     // (doc_id % 20 != 0) against the benchmark split (doc_id % 20 == 0).
     // The planted near-dup pairs that straddle the split are exactly
@@ -572,6 +579,19 @@ object Pipeline extends QueryModule {
                      WHEN doc_id % 3 = 1 THEN 8 ELSE 0 END AS BIGINT) AS media_bytes,
            md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          c AS (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i*10+1:i*10+10], ' ')
+                           for i in generate_series(0, CAST(floor(len(toks)/10) AS BIGINT) - 1)]) passage
+            FROM t WHERE len(toks) >= 10)
+          SELECT passage,
+            count(DISTINCT doc_id) AS n_docs,
+            count(*) AS n_occurrences,
+            min(doc_id) AS first_doc
+          FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+          ORDER BY passage""",
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
           sh AS (

@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpecBase {
     assert(hits.forall(_._1 >= 101L))
   }
 
+  test("dupPassages finds chunk-aligned verbatim passages, ignores unique text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique tail one"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa other ending two"),
+      (3L, "completely different words that no other document shares at all here now"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val dup = Dedup.dupPassages(docs, "doc_id", "text", chunkTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(dup.length == 1)
+    assert(dup(0) == ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 2L, 1L))
+  }
+
   test("benchmarkOverlap flags the near-copy, ignores clean docs, drops short docs") {
     val bench = Seq(
       (900L, "the quick brown fox jumps over the lazy dog and runs far away home")
