@@ -65,4 +65,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("vec_cosine"), p.take(600))
     assert(!p.contains("zip_with"), p.take(600))
   }
+
+  test("ann_ivf: centroids and probe lists ride as broadcasts, native cosine") {
+    val p = planOf("ann_ivf")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("vec_cosine"), p.take(600))
+    assert(!p.contains("zip_with"), p.take(600))
+  }
+
+  test("contamination: benchmark vocabulary is broadcast, train side never shuffles on the shingle") {
+    val p = planOf("contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // exchanges: broadcast build + groupBy(doc_id) partials + output sort;
+    // a SortMergeJoin on the shingle key would add hash exchanges on `s`
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("passage_dedup aggregates map-side before the passage shuffle") {
+    val p = planOf("passage_dedup")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(800))
+  }
 }
