@@ -285,8 +285,10 @@ object Curation extends QueryModule {
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("ndv_orders_approx"),
           approx_count_distinct(col("l_partkey"), 0.01).as("ndv_parts_approx"),
+          // accuracy 2000: rank error <= N/2000 (0.05% at sf0.1) at a
+          // quarter of the sketch-merge cost of the 10000 default
           percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
-            lit(10000)).as("price_quantiles"))
+            lit(2000)).as("price_quantiles"))
         .orderBy(col("l_returnflag"))))
 
   /** DuckDB token-array fragment over an arbitrary text expression
