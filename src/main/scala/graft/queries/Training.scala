@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-run data-preparation operators the reference engine has no
+  * counterpart for (SURVEY §7.4 north-star surface, round 4): context-
+  * window chunking, sequence packing, PII scrubbing, character-entropy
+  * quality signals and per-group quota sampling.
+  *
+  * Scale notes are inline per query; the common theme is that every one
+  * of these is a projection / windowed scan / single keyed shuffle —
+  * no all-pairs joins, no driver-side loops, nothing that grows faster
+  * than the input.
+  */
+object Training extends QueryModule {
+
+  private val ChunkTokens = 50
+  private val ChunkStride = 40
+  private val PackBudget  = 2048L
+  private val PackShards  = 4
+
+  val queries: Map[String, Q] = Map(
+
+    // Context-window chunking with overlap: every document is cut into
+    // 50-token windows on a 40-token stride (10-token overlap), the
+    // standard shape for long-document training and for RAG indexing.
+    // One generate+explode projection — no shuffle until the output
+    // sort, and at 100 TB none at all (chunking is embarrassingly
+    // parallel; downstream writers partition by doc hash).
+    "doc_chunks" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            ceil(size(col("toks")).cast("double") / ChunkStride).cast("int") - 1))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkTokens)))
+            .as("n_chunk_tokens"),
+          md5(array_join(
+            slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkTokens)), " "))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Sequence packing, concat-and-chop style: documents are dealt into
+    // shards, ordered pseudo-randomly (md5 of the id — deterministic,
+    // engine-portable), and packed head-to-tail into fixed 2048-token
+    // bins via an exclusive running sum; pack_id/pack_offset say where
+    // each document lands. This is how GPT-style pipelines pack tokens
+    // into fixed-length training rows. One window shuffle per shard;
+    // shard count scales the parallelism (the per-shard sort is the
+    // honest sequential dependency of packing).
+    "seq_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("cum"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor(col("cum") / PackBudget).as("pack_id"),
+          (col("cum") % PackBudget).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: detect-and-mask phone / IPv4 / SSN-shaped ids in
+    // one codegen'd projection. The synthetic corpus carries no PII, so
+    // the query plants a deterministic contact footer per document and
+    // must mask exactly that. RE2-safe patterns (\b, \d — no
+    // lookarounds) so the DuckDB oracle applies the identical regexes.
+    // Replacement order matters: the 3-2-4 id pattern must be masked
+    // before the 3-4 phone pattern would bite its tail.
+    "pii_scrub" -> ((s, dir) => {
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val aug = concat(col("text"),
+        lit(" Call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".1 id 123-45-6789"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("t"), lit(ssn), lit(0))).as("n_ids"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            ip, "[IP]"), ssn, "[ID]"), phone, "[PHONE]")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-unigram entropy: low-entropy documents are boilerplate /
+    // repeated-char spam, high-entropy ones are often binary junk — a
+    // cheap, language-agnostic quality gate alongside the token-level
+    // Gopher filters (text_repetition). Shuffles on (doc, char) — the
+    // alphabet bounds the fan-in, so the reduce side stays tiny at any
+    // corpus size.
+    "char_entropy" -> ((s, dir) => {
+      val cnt = Tables(s, dir, "documents")
+        .select(col("doc_id"), normalize(col("text")).as("norm"))
+        .filter(length(col("norm")) > 0)
+        .select(col("doc_id"), explode(split(col("norm"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      val tot = cnt.groupBy(col("doc_id")).agg(sum(col("k")).cast("double").as("n"))
+      cnt.join(tot, "doc_id")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(round(-sum((col("k") / col("n")) * log(col("k") / col("n"))), 6)
+            .as("char_entropy"),
+          count(lit(1)).as("n_distinct_chars"))
+        .select(col("doc_id"), col("char_entropy"), col("n_distinct_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic per-group quota sampling: exactly 50 customers per
+    // market segment, chosen by md5 order — the fixed-size-per-stratum
+    // complement of Sampling.stratifiedHashSample's fixed-fraction
+    // draw. Top-k per key => Catalyst's WindowGroupLimit pushes the
+    // rank filter into the shuffle, so each partition forwards at most
+    // 50 rows per group instead of sorting whole strata.
+    "quota_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 50)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${Pipeline.toksSql} toks FROM documents),
+          ch AS (SELECT doc_id,
+                   unnest([{'i': i, 'c': toks[i*$ChunkStride+1:i*$ChunkStride+$ChunkTokens]}
+                           for i in generate_series(0, CAST(ceil(len(toks)/$ChunkStride.0) AS BIGINT) - 1)]) u
+                 FROM t WHERE len(toks) > 0)
+          SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+            CAST(len(u.c) AS INTEGER) AS n_chunk_tokens,
+            md5(array_to_string(u.c, ' ')) AS chunk_md5
+          FROM ch ORDER BY doc_id, chunk_idx""",
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) shard,
+                       CAST(len(${Pipeline.toksSql}) AS BIGINT) n_tokens
+                     FROM documents),
+          w AS (SELECT *, coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) cum
+                FROM t)
+          SELECT doc_id, shard, n_tokens,
+            CAST(floor(cum / $PackBudget) AS BIGINT) AS pack_id,
+            CAST(cum % $PackBudget AS BIGINT) AS pack_offset
+          FROM w ORDER BY doc_id""",
+    "pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+             concat(text, ' Call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               ' or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1 id 123-45-6789') t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ids,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g'),
+             '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS scrubbed_md5
+         FROM a ORDER BY doc_id""",
+    "char_entropy" ->
+      """WITH nrm AS (SELECT doc_id,
+                        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) norm
+                      FROM documents),
+          ch AS (SELECT doc_id, unnest(string_split(norm, '')) c
+                 FROM nrm WHERE length(norm) > 0),
+          cnt AS (SELECT doc_id, c, count(*) k FROM ch WHERE c <> '' GROUP BY 1, 2),
+          tot AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) n FROM cnt GROUP BY 1)
+          SELECT cnt.doc_id, round(-sum((k/n) * ln(k/n)), 6) AS char_entropy,
+            count(*) AS n_distinct_chars
+          FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+          GROUP BY 1, n ORDER BY 1""",
+    "quota_sample" ->
+      """SELECT c_mktsegment, c_custkey, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT c_mktsegment, c_custkey,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) rn
+           FROM customer)
+         WHERE rn <= 50 ORDER BY c_mktsegment, rn""")
+}
