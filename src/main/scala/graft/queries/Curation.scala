@@ -271,6 +271,60 @@ object Curation extends QueryModule {
           round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"))
         .orderBy(col("l_returnflag"))),
 
+    // Winsorization: clip a heavy-tailed metric to its per-group
+    // [p05, p95] band before computing moments — the outlier-robust
+    // normalization feature pipelines run before z-scoring. Exact
+    // percentiles per group (buffers bounded by group size), broadcast
+    // back over one fact scan; clipping itself is a projection.
+    "winsorize" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val bands = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05raw"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95raw"))
+      val clipped = li.join(broadcast(bands), "l_returnflag")
+        .select(col("l_returnflag"), col("p05raw"), col("p95raw"),
+          least(greatest(col("l_extendedprice"), col("p05raw")), col("p95raw")).as("w"))
+      clipped.groupBy(col("l_returnflag"))
+        .agg(round(first(col("p05raw")), 6).as("p05"),
+          round(first(col("p95raw")), 6).as("p95"),
+          round(avg(col("w")), 6).as("avg_wins"),
+          round(stddev_samp(col("w")), 6).as("sd_wins"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Median absolute deviation per group: the robust dispersion
+    // estimate (insensitive to the outliers stddev chases). Two exact
+    // per-group percentiles — median, then median of |x - median| —
+    // with the group medians broadcast between the passes.
+    "mad_stats" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(round(first(col("m")), 6).as("med"),
+          round(expr("percentile(abs(l_quantity - m), 0.5)"), 6).as("mad"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Two-stage salted aggregation: the skew-defusing shape for
+    // low-cardinality hot keys (3 return flags would otherwise reduce
+    // on 3 tasks). Stage 1 groups on (key, salt) so 32 tasks share each
+    // hot key's partial state; stage 2 re-aggregates the 96 partials.
+    // The salt washes out of the result entirely — the oracle is the
+    // plain one-stage aggregate. (Spark's own partial aggregation
+    // already map-combines; explicit salting is the pattern for when
+    // the REDUCE side itself must fan out, e.g. distinct-heavy aggs.)
+    "agg_salted" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(32)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("l_quantity")).as("pq"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).as("n"),
+          round(sum(col("pq")), 2).as("sum_qty"),
+          round(sum(col("pq")) / sum(col("pn")), 6).as("avg_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // Sketch-based profiling: approximate NDV (HyperLogLog++) and
     // approximate quantiles — THE profiling path at 100 TB, where exact
     // count_distinct shuffles every distinct value and exact percentile
@@ -479,6 +533,29 @@ object Curation extends QueryModule {
           SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
             CAST(df AS BIGINT) AS df, score
           FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "winsorize" ->
+      """WITH s AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) p05raw,
+             quantile_cont(l_extendedprice, 0.95) p95raw
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag,
+           round(p05raw, 6) AS p05, round(p95raw, 6) AS p95,
+           round(avg(least(greatest(l_extendedprice, p05raw), p95raw)), 6) AS avg_wins,
+           round(stddev_samp(least(greatest(l_extendedprice, p05raw), p95raw)), 6) AS sd_wins
+         FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+         GROUP BY 1, p05raw, p95raw ORDER BY 1""",
+    "mad_stats" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) m
+                      FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, round(any_value(m), 6) AS med,
+           round(quantile_cont(abs(l_quantity - m), 0.5), 6) AS mad
+         FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
+    "agg_salted" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_quantity), 6) AS avg_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "corr_stats" ->
       """SELECT l_returnflag, count(*) AS n,
            round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,

@@ -410,7 +410,20 @@ object Pipeline extends QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("w_start"), col("event_type"))))
+        .orderBy(col("w_start"), col("event_type"))),
+
+    // Hopping (sliding) windows: 30-minute windows every 10 minutes,
+    // so each event lands in exactly 3 overlapping windows — Spark's
+    // window() expands the rows before one keyed aggregation (the
+    // batch face of the streaming sliding-window agg). The oracle
+    // reproduces the expansion as bucket - k*slide for k in 0..2.
+    "events_hopping" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"))))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -654,5 +667,12 @@ object Pipeline extends QueryModule {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
                  '%Y-%m-%d %H:%M:%S') AS w_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_hopping" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                   - CAST(k AS INTEGER) * INTERVAL '10 minutes',
+                 '%Y-%m-%d %H:%M:%S') AS w_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events, generate_series(0, 2) g(k)
+         GROUP BY 1 ORDER BY 1""")
 }

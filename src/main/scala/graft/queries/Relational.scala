@@ -346,6 +346,29 @@ object Relational extends QueryModule {
       s.sql(Relational.SqlQ5)
     }),
 
+    // TPC-H Q4 shape (adapted: no commit/receipt dates in the synthetic
+    // lineitem — "late" = shipped >60 days after order): a correlated
+    // EXISTS. Catalyst decorrelates it to a left-semi hash join on
+    // l_orderkey with the ship-date predicate pushed below — no
+    // per-row subquery execution survives optimization.
+    "sql_q4" -> ((s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ4)
+    }),
+
+    // TPC-H Q17 shape (adapted to available columns): a correlated
+    // SCALAR aggregate subquery (per-part average). Catalyst rewrites
+    // it to a pre-aggregation on l_partkey joined back to the fact —
+    // the decorrelation that turns O(rows × subquery) into two scans
+    // and one keyed shuffle. The brand filter prunes the part side
+    // before the join.
+    "sql_q17" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ17)
+    }),
+
     // Analytic window functions: distribution ranks and tiles.
     "window_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -426,9 +449,34 @@ object Relational extends QueryModule {
        GROUP BY n_name
        ORDER BY revenue DESC, n_name"""
 
+  /** TPC-H Q4 adapted to the synthetic schema (late = shipped more than
+    * 60 days after the order date). Identical text on both engines. */
+  val SqlQ4: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND EXISTS (SELECT * FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** TPC-H Q17 adapted (p_brand only; threshold 0.5*avg keeps the
+    * result non-degenerate on this data). Identical text both engines. */
+  val SqlQ17: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND p_brand = 'Brand#4'
+         AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                           FROM lineitem WHERE l_partkey = p_partkey)"""
+
   val oracle: Map[String, String] = Map(
     "sql_q3" -> SqlQ3,
     "sql_q5" -> SqlQ5,
+    "sql_q4" -> SqlQ4,
+    "sql_q17" -> SqlQ17,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

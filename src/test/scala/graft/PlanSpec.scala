@@ -85,4 +85,32 @@ class PlanSpec extends SparkSpecBase {
     val p = planOf("passage_dedup")
     assert(p.contains("partial_count") || p.contains("partial_min"), p.take(800))
   }
+
+  test("sql_q4: EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val p = planOf("sql_q4")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("InSubqueryExec"), p.take(800))
+  }
+
+  test("sql_q17: scalar subquery decorrelates to a pre-aggregation join") {
+    val p = planOf("sql_q17")
+    assert(p.contains("partial_avg"), p.take(800))
+    assert(!p.contains("ScalarSubquery"), p.take(800))
+  }
+
+  test("quota_sample prunes per-stratum top-k inside the shuffle") {
+    val p = planOf("quota_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("winsorize and mad_stats broadcast the per-group percentile bands") {
+    assert(planOf("winsorize").contains("BroadcastHashJoin"), planOf("winsorize").take(800))
+    assert(planOf("mad_stats").contains("BroadcastHashJoin"), planOf("mad_stats").take(800))
+  }
+
+  test("doc_chunks plans no exchange before the output sort") {
+    val p = planOf("doc_chunks")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking must stay shuffle-free:\n${p.take(800)}")
+  }
 }
