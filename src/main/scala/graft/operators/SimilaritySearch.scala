@@ -155,23 +155,10 @@ object SimilaritySearch {
                     corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvf: nprobe must be <= nlist")
-    val cents = corpus
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(nlist)
-      .select(col(idCol).as("_cent_id"), col(vecCol).as("_cent_vec"))
-    def bestLists(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
-      df.select(col(id).as("_mid"), col(vec).as("_mv"))
-        .crossJoin(broadcast(cents))
-        .select(col("_mid"), col("_mv"), col("_cent_id"),
-          round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= n)
-        .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
-    }
-    val assigned = bestLists(corpus, idCol, vecCol, 1)
+    val cents = hashCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
-    val probeLists = bestLists(probes, probeIdCol, vecCol, nprobe)
+    val probeLists = bestLists(probes, cents, probeIdCol, vecCol, nprobe)
       .select(col("_mid").as("_pid"), col("_mv").as("_pv"), col("_list"))
     assigned.join(broadcast(probeLists), "_list")
       .filter(col("_pid") =!= col("_cid"))
@@ -180,6 +167,50 @@ object SimilaritySearch {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rk") <= k)
+  }
+
+  /** The deterministic IVF coarse quantizer on its own: every vector
+    * labeled with its nearest hash-sampled centroid — flat "k-means
+    * without the iterations" clustering for corpus structure analysis
+    * (per-cluster profiles, mixture balancing, shard assignment).
+    * Centroids broadcast; the corpus is scanned once and never
+    * shuffled. Returns (idCol, cluster_id, cent_cos). */
+  def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 16): DataFrame = {
+    val cents = hashCentroids(corpus, idCol, vecCol, nlist)
+    corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv"))
+      .crossJoin(broadcast(cents))
+      .select(col("_mid"), col("_cent_id"),
+        round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))))
+      .filter(col("_rk") === 1)
+      .select(col("_mid").as(idCol), col("_cent_id").as("cluster_id"),
+        col("_mcos").as("cent_cos"))
+  }
+
+  /** Deterministic coarse-quantizer codebook: the nlist vectors with
+    * the smallest md5(id) — an unbiased sample, stable across runs and
+    * engines (the DuckDB oracle rebuilds it verbatim). */
+  private def hashCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            nlist: Int): DataFrame =
+    corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("_cent_id"), col(vecCol).as("_cent_vec"))
+
+  /** Each row of `df` with its `n` highest-cosine centroids (rounded
+    * cosines, id tiebreaks — deterministic). */
+  private def bestLists(df: DataFrame, cents: DataFrame,
+                        id: String, vec: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
+    df.select(col(id).as("_mid"), col(vec).as("_mv"))
+      .crossJoin(broadcast(cents))
+      .select(col("_mid"), col("_mv"), col("_cent_id"),
+        round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
   }
 
   /** Embedding dimensionality, from the first row (driver-side, one

@@ -207,6 +207,45 @@ object Pipeline extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Flat clustering of the embedding corpus: the IVF coarse quantizer
+    // on its own — every vector assigned to its nearest hash-sampled
+    // centroid (broadcast; one corpus pass, no shuffle of the corpus),
+    // profiled per cluster. The corpus-structure / mixture-balancing
+    // view a pipeline wants before sampling decisions.
+    "embed_clusters" -> ((s, dir) =>
+      SimilaritySearch.assignClusters(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("cent_cos")), 6).as("avg_cos"),
+          min(col("vec_id")).as("min_vec"))
+        .orderBy(col("cluster_id"))),
+
+    // Per-document mean bigram log-probability under the corpus bigram
+    // MLE — the cheap "language-model surprise" quality signal: junk
+    // and boilerplate sit far from the corpus distribution. Bigram
+    // counts shuffle on the bigram key (inverted-index shape); the
+    // grand total rides along as a broadcast scalar.
+    "bigram_logprob" -> ((s, dir) => {
+      // NOT shingles(): the MLE weights every occurrence, shingles()
+      // dedups. One interpreted lambda per doc, exploded once (not the
+      // CollapseProject multi-use trap).
+      val t = tokens(col("text"))
+      val allBigrams = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val big = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(allBigrams).as("bg"))
+      val counts = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).cast("double").as("t"))
+      big.join(counts, "bg").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c") / col("t"))), 6).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Passage-level exact dedup: verbatim 10-token chunks appearing in
     // more than one document (the planted near-dup pairs share chunk-
     // aligned passages). See Dedup.dupPassages for the scale shape.
@@ -668,6 +707,35 @@ object Pipeline extends QueryModule {
                  '%Y-%m-%d %H:%M:%S') AS w_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "embed_clusters" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         ac AS (
+           SELECT e.vec_id, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, cent_id, ccos FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM ac)
+           WHERE rk = 1)
+         SELECT cent_id AS cluster_id, count(*) AS n_vecs,
+           round(avg(ccos), 6) AS avg_cos, min(vec_id) AS min_vec
+         FROM assigned GROUP BY 1 ORDER BY 1""",
+    "bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+1], ' ')
+                           for i in generate_series(1, len(toks) - 1)]) bg
+                 FROM t WHERE len(toks) >= 2),
+          cnt AS (SELECT bg, count(*) c FROM bg GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) t FROM cnt)
+          SELECT doc_id, count(*) AS n_bigrams,
+            round(avg(ln(c / t)), 6) AS avg_logp
+          FROM bg JOIN cnt USING (bg) CROSS JOIN tot
+          GROUP BY 1 ORDER BY 1""",
     "events_hopping" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
                    - CAST(k AS INTEGER) * INTERVAL '10 minutes',

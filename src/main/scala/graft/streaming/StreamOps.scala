@@ -31,6 +31,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window count/sum: `windowLen` windows every
+    * `slide`, so each event feeds windowLen/slide overlapping windows.
+    * Same bounded-state/append-mode contract as windowedCounts — the
+    * expansion happens before the keyed aggregation, and the watermark
+    * reclaims each window the moment it finalizes. Mirrors the batch
+    * `events_hopping` query (the parity StreamingSpec pins). */
+  def slidingCounts(events: DataFrame, windowLen: String = "30 minutes",
+                    slide: String = "10 minutes",
+                    watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
+
   /** Per-user sessionization with a gap timeout via mapGroupsWithState:
     * the custom-state escape hatch for semantics windows can't express.
     * A session closes when no event arrives within `gapMs` (EVENT time)

@@ -178,6 +178,43 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream/batch parity: sliding windows reproduce the batch events_hopping rows") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("events_hopping")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hop_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), tmp.resolve("part-0.parquet"))
+    Tables(spark, dir, "events") // ensures the nanosAsLong conf is set
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .parquet(tmp.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = StreamOps.toMemorySink(
+      StreamOps.slidingCounts(raw, "30 minutes", "10 minutes", "20 minutes").select(
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.col("sum_value")), "hop_parity_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hop_parity_test")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) =>
+        assert(batch.contains(k), s"stream emitted unknown window $k")
+        assert(batch(k) == v, s"window $k: stream $v != batch ${batch(k)}")
+      }
+      // 3 overlapping windows per event; all but the watermark tail finalize
+      assert(streamed.length >= batch.size - 6,
+        s"only ${streamed.length} of ${batch.size} windows finalized")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("file sink e2e: windowed aggregates land as readable parquet exactly once") {
     implicit val ctx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
