@@ -82,6 +82,22 @@ object Relational extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // Full outer join: per-nation customer counts against per-nation
+    // supplier counts — either side may miss a nation, both survive.
+    // Two pre-aggregations (map-side partials) meet in one co-
+    // partitioned join on the tiny key; coalesce fills the gaps.
+    "join_full" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
     // Global sort + top-k: Spark runs TakeOrderedAndProject — a per-
     // partition heap + driver merge of k rows, not a full sort.
     "sort_topk" -> ((s, dir) => {
@@ -508,6 +524,13 @@ object Relational extends QueryModule {
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "join_full" ->
+      """SELECT coalesce(c.nk, s.nk2) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey nk2, count(*) n_supp FROM supplier GROUP BY 1) s
+           ON c.nk = s.nk2
+         ORDER BY nationkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
