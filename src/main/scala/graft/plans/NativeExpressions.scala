@@ -35,6 +35,9 @@ object NativeExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(tokens), n))
 
+  def wordNgrams(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgramsExpr(ExpressionUtils.expression(tokens), n))
+
   def markerHits(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(StringArrayHitsExpr(ExpressionUtils.expression(tokens), words.toArray))
 
@@ -128,6 +131,42 @@ case class WordShinglesExpr(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** All word n-grams IN ORDER, one per position (no dedup) — the
+  * occurrence-weighted companion to WordShinglesExpr for frequency/
+  * language-model statistics, where every repeat must count. Same
+  * compiled single pass, minus the seen-set. */
+case class WordNgramsExpr(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n > 0, "ngrams: n must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    if (num < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](num - n + 1)
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= num - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
     copy(child = newChild)
 }
 

@@ -207,6 +207,28 @@ object Pipeline extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Corpus mixture report: document and token mass per (source,
+    // lang) cell, with each cell's share of the whole — the table a
+    // data-mixing run reads before choosing per-source sampling rates.
+    // One partial-aggregated shuffle on the tiny composite key; the
+    // grand totals ride along as a broadcast scalar row.
+    "mix_sources" -> ((s, dir) => {
+      val cells = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+      val tot = cells.agg(sum(col("n_docs")).cast("double").as("td"),
+        sum(col("n_tokens")).cast("double").as("tt"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          round(col("n_docs") / col("td"), 6).as("doc_share"),
+          round(col("n_tokens") / col("tt"), 6).as("token_share"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Flat clustering of the embedding corpus: the IVF coarse quantizer
     // on its own — every vector assigned to its nearest hash-sampled
     // centroid (broadcast; one corpus pass, no shuffle of the corpus),
@@ -228,15 +250,12 @@ object Pipeline extends QueryModule {
     // grand total rides along as a broadcast scalar.
     "bigram_logprob" -> ((s, dir) => {
       // NOT shingles(): the MLE weights every occurrence, shingles()
-      // dedups. One interpreted lambda per doc, exploded once (not the
-      // CollapseProject multi-use trap).
-      val t = tokens(col("text"))
-      val allBigrams = when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", slice(t, i + lit(1), lit(2)))))
-        .otherwise(array().cast("array<string>"))
+      // dedups. Native WordNgramsExpr — the interpreted transform/slice
+      // lambda benched 10x slower at sf0.1.
       val big = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(allBigrams).as("bg"))
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.NativeExpressions
+            .wordNgrams(tokens(col("text")), 2)).as("bg"))
       val counts = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
       val tot = counts.agg(sum(col("c")).cast("double").as("t"))
       big.join(counts, "bg").crossJoin(broadcast(tot))
@@ -707,6 +726,19 @@ object Pipeline extends QueryModule {
                  '%Y-%m-%d %H:%M:%S') AS w_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mix_sources" ->
+      s"""WITH cells AS (
+            SELECT source, lang, count(*) n_docs,
+              CAST(sum(len($toksSql)) AS BIGINT) n_tokens,
+              CAST(sum(n_chars) AS BIGINT) n_chars
+            FROM documents GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) td,
+                         CAST(sum(n_tokens) AS DOUBLE) tt FROM cells)
+          SELECT source, lang, n_docs, n_tokens, n_chars,
+            round(n_docs / td, 6) AS doc_share,
+            round(n_tokens / tt, 6) AS token_share
+          FROM cells CROSS JOIN tot
+          ORDER BY source, lang""",
     "embed_clusters" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cents AS (SELECT vec_id AS cent_id, v AS cv FROM e

@@ -385,6 +385,25 @@ object Relational extends QueryModule {
       s.sql(Relational.SqlQ17)
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // selective fact filter, two-fact join chain, broadcast nation,
+    // then TakeOrderedAndProject on the aggregated revenue.
+    "sql_q10" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ10)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders via an IN over a grouped
+    // HAVING subquery — the third decorrelation pattern (after Q4's
+    // EXISTS and Q17's scalar): Catalyst turns the IN-subquery into a
+    // semi join against the pre-aggregated orderkey set.
+    "sql_q18" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ18)
+    }),
+
     // Analytic window functions: distribution ranks and tiles.
     "window_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -488,11 +507,50 @@ object Relational extends QueryModule {
          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
                            FROM lineitem WHERE l_partkey = p_partkey)"""
 
+  /** TPC-H Q10 adapted to the synthetic columns (no address/phone/
+    * comment). Identical text on both engines. Revenue accumulates in
+    * DECIMAL: the double sum's last ulp differed between engines and
+    * one group's total sat exactly on a cent boundary, flipping
+    * round(..., 2). double->DECIMAL(18,6) is deterministic (no double
+    * is exactly halfway between two 6-dp decimals) and the decimal sum
+    * is exact, so both engines round the identical value. */
+  val SqlQ10: String =
+    """SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         AND l_returnflag = 'R'
+         AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** TPC-H Q18 adapted (threshold tuned to the synthetic order sizes).
+    * Identical text on both engines. */
+  val SqlQ18: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+       FROM customer, orders, lineitem
+       WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+         AND c_custkey = o_custkey
+         AND o_orderkey = l_orderkey
+       GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
   val oracle: Map[String, String] = Map(
     "sql_q3" -> SqlQ3,
     "sql_q5" -> SqlQ5,
     "sql_q4" -> SqlQ4,
     "sql_q17" -> SqlQ17,
+    "sql_q10" -> SqlQ10,
+    "sql_q18" -> SqlQ18,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

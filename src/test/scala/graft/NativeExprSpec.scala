@@ -63,6 +63,30 @@ class NativeExprSpec extends SparkSpecBase {
     assert(rep == Seq("a b", "b a"))
   }
 
+  test("native word ngrams equal the HOF formulation, keeping every occurrence") {
+    val both = docs
+      .withColumn("toks", tokens(col("t")))
+      .withColumn("a", expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> concat_ws(' ', slice(toks, i + 1, 2)))
+             ELSE CAST(array() AS array<string>) END"""))
+      .withColumn("b", NativeExpressions.wordNgrams(col("toks"), 2))
+      .select(col("a"), col("b")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // repeats are preserved in order (the difference from wordShingles)
+    val rep = Seq("a b a b a b").toDF("t")
+      .select(NativeExpressions.wordNgrams(tokens(col("t")), 2))
+      .collect()(0).getSeq[String](0)
+    assert(rep == Seq("a b", "b a", "a b", "b a", "a b"))
+    // shorter than n => empty, exactly n => one
+    val edge = Seq("one", "one two").toDF("t")
+      .select(NativeExpressions.wordNgrams(tokens(col("t")), 2).as("g"))
+      .orderBy(org.apache.spark.sql.functions.size(col("g"))).collect()
+    assert(edge(0).getSeq[String](0) == Seq())
+    assert(edge(1).getSeq[String](0) == Seq("one two"))
+  }
+
   test("native expressions survive both codegen and interpreted paths") {
     // force interpreted fallback by evaluating through a filter too
     val n = hashed.withColumn("fp", NativeExpressions.simhash64(col("hs")))
