@@ -118,6 +118,37 @@ object Training extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashing-trick featurization: tokens hashed into 16 buckets
+    // (first md5 hex nibble — engine-portable, unlike hash()/xxhash64),
+    // per-document bucket counts = the fixed-width sparse features a
+    // linear probe trains on with no vocabulary pass at all. Shuffles
+    // once on (doc, bucket); bucket cardinality is a constant.
+    "feature_hash" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 1).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // Vocabulary extraction: the corpus's top-100 bigrams by frequency
+    // (the other path to a token budget: a fixed vocab instead of the
+    // hashing trick). Count on the bigram key, then TakeOrdered for
+    // the global top-k — the rank window only ever sees the 100
+    // surviving rows.
+    "vocab_topk" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(org.apache.spark.sql.graft.NativeExpressions
+          .wordNgrams(tokens(col("text")), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg")).limit(100)
+      counts.select(
+          row_number().over(Window.orderBy(col("c").desc, col("bg"))).as("rk"),
+          col("bg"), col("c"))
+        .orderBy(col("rk"))
+    }),
+
     // Deterministic per-group quota sampling: exactly 50 customers per
     // market segment, chosen by md5 order — the fixed-size-per-stratum
     // complement of Sampling.stratifiedHashSample's fixed-fraction
@@ -183,6 +214,20 @@ object Training extends QueryModule {
             count(*) AS n_distinct_chars
           FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
           GROUP BY 1, n ORDER BY 1""",
+    "feature_hash" ->
+      s"""SELECT doc_id, substr(md5(tok), 1, 1) AS bucket, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(${Pipeline.toksSql}) tok FROM documents)
+          WHERE tok <> ''
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "vocab_topk" ->
+      s"""WITH t AS (SELECT ${Pipeline.toksSql} toks FROM documents),
+          bg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                                for i in generate_series(1, len(toks) - 1)]) bg
+                 FROM t WHERE len(toks) >= 2),
+          cnt AS (SELECT bg, count(*) c FROM bg GROUP BY 1),
+          r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, bg) AS INTEGER) rk, bg, c
+                FROM cnt)
+          SELECT rk, bg, c FROM r WHERE rk <= 100 ORDER BY rk""",
     "quota_sample" ->
       """SELECT c_mktsegment, c_custkey, CAST(rn AS INTEGER) AS rn FROM (
            SELECT c_mktsegment, c_custkey,
