@@ -404,6 +404,55 @@ object Relational extends QueryModule {
       s.sql(Relational.SqlQ18)
     }),
 
+    // TPC-H Q19 shape: a three-block DISJUNCTION tying fact and dim
+    // predicates together (brand x size x quantity bands OR'd). Catalyst
+    // extracts the common `p_partkey = l_partkey` conjunct so the join
+    // stays an equi hash join, and pushes the brand/size disjunction to
+    // the part scan — the difference between "scan part 3x" and one
+    // pass. The quantity bounds evaluate post-join (they mix sides).
+    "sql_q19" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ19)
+    }),
+
+    // TPC-H Q2 shape (adapted: unit price from lineitem stands in for
+    // ps_supplycost — no partsupp in the synthetic schema): an ARGMIN
+    // join-back. The correlated MIN subquery itself contains a join
+    // chain; Catalyst decorrelates it into a grouped pre-aggregation
+    // over the same filtered join, joined back on (partkey, unit
+    // price). Both engines compute min over IEEE-double division, so
+    // the equality selects the identical argmin rows.
+    "sql_q2" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ2)
+    }),
+
+    // TPC-H Q21 shape (late = shipped >60 days after order): the
+    // double-correlated pattern — EXISTS (another supplier on the same
+    // order) AND NOT EXISTS (another LATE supplier on the same order).
+    // Catalyst decorrelates both into a left-semi and a left-anti join
+    // on l_orderkey, the anti join carrying the non-equi lateness
+    // predicate as its extra condition; no per-row subquery survives.
+    "sql_q21" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ21)
+    }),
+
+    // TPC-H Q22 shape (adapted: "no F-status order" replaces "no order"
+    // — every synthetic customer has orders): an UNCORRELATED scalar
+    // average (computed once, broadcast into the filter) plus an anti
+    // join against the order set. The two decorrelations compose in one
+    // plan: scalar subquery -> literal at runtime, NOT EXISTS ->
+    // left-anti hash join.
+    "sql_q22" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Relational.SqlQ22)
+    }),
+
     // Analytic window functions: distribution ranks and tiles.
     "window_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -544,7 +593,69 @@ object Relational extends QueryModule {
        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
 
+  /** TPC-H Q19 (discounted revenue over OR'd brand/size/quantity
+    * bands), adapted to the synthetic brands/sizes. Identical text on
+    * both engines. */
+  val SqlQ19: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 50))"""
+
+  /** TPC-H Q2 (min-cost supplier argmin), adapted: lineitem unit price
+    * stands in for ps_supplycost. Identical text on both engines. */
+  val SqlQ2: String =
+    """SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+       FROM part, supplier, lineitem, nation, region
+       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         AND p_type = 'STANDARD' AND p_size < 10
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND l_extendedprice / l_quantity = (
+             SELECT min(l2.l_extendedprice / l2.l_quantity)
+             FROM lineitem l2, supplier s2, nation n2, region r2
+             WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+  /** TPC-H Q21 (suppliers who kept multi-supplier orders waiting),
+    * late = shipped >60 days after the order date. Identical text on
+    * both engines. */
+  val SqlQ21: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT * FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT * FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
+
+  /** TPC-H Q22 (rich customers with no F-status order; the synthetic
+    * data gives every customer at least one order, so plain "no
+    * orders" would be empty). Identical text on both engines. */
+  val SqlQ22: String =
+    """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+       FROM customer
+       WHERE c_nationkey IN (1, 3, 7, 11, 14, 19)
+         AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 7, 11, 14, 19))
+         AND NOT EXISTS (SELECT * FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val oracle: Map[String, String] = Map(
+    "sql_q19" -> SqlQ19,
+    "sql_q2" -> SqlQ2,
+    "sql_q21" -> SqlQ21,
+    "sql_q22" -> SqlQ22,
     "sql_q3" -> SqlQ3,
     "sql_q5" -> SqlQ5,
     "sql_q4" -> SqlQ4,
