@@ -108,6 +108,26 @@ class PlanSpec extends SparkSpecBase {
     assert(planOf("mad_stats").contains("BroadcastHashJoin"), planOf("mad_stats").take(800))
   }
 
+  test("sql_q21: both correlated quantifiers decorrelate to semi/anti joins") {
+    val p = planOf("sql_q21")
+    assert(p.contains("LeftSemi"), p.take(900))
+    assert(p.contains("LeftAnti"), p.take(900))
+    assert(!p.contains("InSubqueryExec"), p.take(900))
+  }
+
+  test("sql_q19: the brand/size disjunction is pushed to the part scan") {
+    val p = planOf("sql_q19")
+    // common p_partkey=l_partkey conjunct extracted => equi hash join,
+    // not a nested-loop over the disjunction
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(900))
+    assert(p.contains("Brand#1"), p.take(900)) // brand predicate present below the join
+  }
+
+  test("sql_q22: the scalar average is a one-time subquery, the NOT EXISTS an anti join") {
+    val p = planOf("sql_q22")
+    assert(p.contains("LeftAnti"), p.take(900))
+  }
+
   test("doc_chunks plans no exchange before the output sort") {
     val p = planOf("doc_chunks")
     val exchanges = "Exchange".r.findAllIn(p).size
