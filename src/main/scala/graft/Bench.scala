@@ -43,10 +43,21 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    // The driver keeps only the tail of stdout; a 122-query map at full
+    // double precision overflowed it in rounds 3-4 and the line never
+    // parsed. Print ONE compact line (slowest 40, 3 decimals) and write
+    // the complete per-query map to BENCH_FULL.json alongside.
+    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
+    val full =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    catch { case e: Throwable => e.printStackTrace() }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

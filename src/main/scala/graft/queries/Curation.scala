@@ -342,7 +342,14 @@ object Curation extends QueryModule {
           // accuracy 2000: rank error <= N/2000 (0.05% at sf0.1) at a
           // quarter of the sketch-merge cost of the 10000 default
           percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
-            lit(2000)).as("price_quantiles"))
+            lit(2000)).as("pq"))
+        // flatten the quantile array to scalar columns: the output stays
+        // one flat row per group (array cells broke the driver's
+        // pandas-side row hashing in round 4)
+        .select(col("l_returnflag"),
+          col("ndv_orders_approx"), col("ndv_parts_approx"),
+          element_at(col("pq"), 1).as("p50_price"),
+          element_at(col("pq"), 2).as("p95_price"))
         .orderBy(col("l_returnflag"))))
 
   /** DuckDB token-array fragment over an arbitrary text expression

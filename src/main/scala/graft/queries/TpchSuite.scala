@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** TPC-H completion suite (round 5): the eleven query shapes not yet
+  * covered by `Relational` (q1/q3/q5 chain joins and the q2/q4/q10/q17/
+  * q18/q19/q21/q22 decorrelation family landed in rounds 1-4). Together
+  * the engine now runs all 22 TPC-H shapes, each adapted to the
+  * synthetic star schema (no partsupp table, no commit/receipt dates —
+  * substitutions documented per query).
+  *
+  * Every query here is the IDENTICAL ANSI text executed by spark.sql and
+  * by the DuckDB oracle, so the hash compare verifies the full SQL front
+  * end, not a hand-matched re-implementation. FP-noisy aggregates are
+  * rounded in-query on both engines; integer-valued doubles (quantities)
+  * sum exactly, so relative-threshold comparisons are order-stable.
+  *
+  * Scale notes are per query; the common pattern: dimension tables
+  * (region 5 rows, nation 25, supplier 10k/TB, part 200k/TB) broadcast,
+  * fact-fact joins shuffle on their keys, aggregations are partial
+  * (map-side combine) before the exchange, and every decorrelated
+  * subquery becomes a pre-aggregation + one keyed join — never a per-row
+  * subquery execution.
+  */
+object TpchSuite extends QueryModule {
+
+  private def views(s: org.apache.spark.sql.SparkSession, dir: String, ts: String*): Unit =
+    ts.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+
+  /** Q6: pure scan-side aggregation — every predicate reaches the
+    * parquet scan (PushedFilters on l_shipdate/l_discount/l_quantity),
+    * then one partial-agg merge. The cheapest possible TPC-H shape; at
+    * 100 TB it is IO-bound and prunes row groups via min/max stats. */
+  val SqlQ6: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24.0"""
+
+  /** Q7 (volume shipping): the nation dimension joins the fact chain
+    * TWICE under different roles (supplier nation / customer nation).
+    * Catalyst broadcasts both copies; the disjunction over the two
+    * nation-pair orientations filters after the broadcasts, and the
+    * orders⋈lineitem⋈customer chain stays a keyed shuffle join. */
+  val SqlQ7: String =
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(extract(YEAR FROM l_shipdate) AS INT) AS l_year,
+                    l_extendedprice * (1.0 - l_discount) AS volume
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey
+               AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+                 OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3'))
+               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** Q8 (national market share): conditional-aggregate RATIO — the
+    * share numerator is a CASE inside the same grouped sum, so one
+    * aggregation pass produces both terms (no self-join). Customer side
+    * restricted by region (broadcast region→nation→customer), supplier
+    * nation is the share dimension. Ratio of two near-equal-magnitude
+    * sums rounded at 6dp — order-of-summation noise is ~1e-15 relative,
+    * far below the rounding grain. */
+  val SqlQ8: String =
+    """SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0.0 END)
+             / sum(volume), 6) AS mkt_share
+       FROM (SELECT CAST(extract(YEAR FROM o_orderdate) AS INT) AS o_year,
+                    l_extendedprice * (1.0 - l_discount) AS volume,
+                    n2.n_name AS nation
+             FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+               AND r_name = 'AMERICA'
+               AND s_nationkey = n2.n_nationkey
+               AND p_type = 'ECONOMY') all_nations
+       GROUP BY o_year ORDER BY o_year"""
+
+  /** Q9 (product-type profit, adapted: the synthetic schema has no
+    * partsupp, so supply cost is modeled as 10% of p_retailprice per
+    * unit). Profit per (supplier nation, order year): part filter prunes
+    * the broadcast side BEFORE the fact join, nation broadcasts, and the
+    * lineitem⋈orders chain is the only shuffle. */
+  val SqlQ9: String =
+    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    CAST(extract(YEAR FROM o_orderdate) AS INT) AS o_year,
+                    l_extendedprice * (1.0 - l_discount)
+                      - p_retailprice * 0.1 * l_quantity AS amount
+             FROM part, supplier, lineitem, orders, nation
+             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+               AND p_name LIKE '%red%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year"""
+
+  /** Q11 (important stock, adapted: supply value = shipped
+    * extendedprice×quantity per part from NATION_7 suppliers; no
+    * partsupp). Group-HAVING against a GLOBAL scalar: Catalyst runs the
+    * scalar subquery once (same filtered join, fully aggregated — a
+    * one-row broadcast), not per group. Both sides of the threshold
+    * comparison are rounded to the same grain so the cut is
+    * engine-stable. */
+  val SqlQ11: String =
+    """SELECT l_partkey AS ps_partkey,
+       round(sum(l_extendedprice * l_quantity), 2) AS value
+       FROM lineitem, supplier, nation
+       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_7'
+       GROUP BY l_partkey
+       HAVING round(sum(l_extendedprice * l_quantity), 2) >
+         (SELECT round(sum(l_extendedprice * l_quantity) * 0.001, 2)
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_7')
+       ORDER BY value DESC, ps_partkey"""
+
+  /** Q12 (shipping modes, adapted: l_returnflag stands in for the
+    * missing l_shipmode; "late" = shipped >30 days after order). One
+    * fact-fact join then conditional counts — the CASE pair folds both
+    * priority classes into a single aggregation pass. */
+  val SqlQ12: String =
+    """SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_returnflag IN ('A', 'R')
+         AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Q13 (customer order-count distribution): LEFT OUTER join with an
+    * extra ON-clause predicate (the filter must ride the join condition
+    * — in a WHERE it would delete the NULL-extended rows and silently
+    * turn the join inner), then a two-level aggregation: per-customer
+    * count, then a histogram over the counts. Both shuffles are on
+    * high-cardinality keys (custkey, then count value). */
+  val SqlQ13: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  /** Q14 (promo revenue): single-join conditional ratio over one month
+    * of shipments; the date range reaches the lineitem scan, part
+    * broadcasts. */
+  val SqlQ14: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1.0 - l_discount)
+                                     ELSE 0.0 END)
+                    / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'"""
+
+  /** Q15 (top supplier): ARGMAX over an aggregated view — the revenue
+    * CTE feeds both the scalar max subquery and the equality join back.
+    * Revenue is rounded at aggregation time, so the float equality
+    * selects identical argmax rows on both engines. Spark evaluates the
+    * CTE as two aggregations over one scan (both partial-agg shuffles on
+    * l_suppkey); the max side collapses to a one-row broadcast. */
+  val SqlQ15: String =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
+  /** Q16 (supplier count by part attributes, adapted: the supply
+    * relation is the distinct (partkey, suppkey) pairs observed in
+    * lineitem; "complaint" suppliers = negative account balance). The
+    * NOT IN subquery becomes a null-aware anti join against a 100-row
+    * broadcast; count(DISTINCT) shuffles once on the (brand, type,
+    * size) group key with the distinct folded into the aggregation. */
+  val SqlQ16: String =
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND p_brand <> 'Brand#1'
+         AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0.0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q20 (excess-stock suppliers, adapted: a supplier "dominates" a red
+    * part when their 1996 shipped quantity exceeds 30% of ALL suppliers'
+    * shipped quantity of that part). Nested decorrelation: the IN
+    * subquery contains a per-(supp,part) aggregate joined to a per-part
+    * aggregate — both pre-aggregated once and equi-joined, never
+    * re-executed per supplier row. Quantities are integer-valued
+    * doubles, so the sums are exact and the 0.3× threshold is
+    * order-stable without rounding. */
+  val SqlQ20: String =
+    """WITH shipped AS (
+         SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_suppkey, l_partkey),
+       part_total AS (
+         SELECT l_partkey, sum(l_quantity) AS total_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_partkey)
+       SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+       FROM supplier
+       WHERE s_suppkey IN (
+         SELECT shipped.l_suppkey
+         FROM shipped, part_total, part
+         WHERE shipped.l_partkey = part_total.l_partkey
+           AND shipped.l_partkey = p_partkey
+           AND p_name LIKE '%red%'
+           AND shipped.qty > 0.3 * part_total.total_qty)
+       ORDER BY s_suppkey"""
+
+  val queries: Map[String, Q] = Map(
+    "sql_q6" -> ((s, dir) => { views(s, dir, "lineitem"); s.sql(SqlQ6) }),
+    "sql_q7" -> ((s, dir) => {
+      views(s, dir, "supplier", "lineitem", "orders", "customer", "nation")
+      s.sql(SqlQ7)
+    }),
+    "sql_q8" -> ((s, dir) => {
+      views(s, dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      s.sql(SqlQ8)
+    }),
+    "sql_q9" -> ((s, dir) => {
+      views(s, dir, "part", "supplier", "lineitem", "orders", "nation")
+      s.sql(SqlQ9)
+    }),
+    "sql_q11" -> ((s, dir) => {
+      views(s, dir, "lineitem", "supplier", "nation")
+      s.sql(SqlQ11)
+    }),
+    "sql_q12" -> ((s, dir) => { views(s, dir, "orders", "lineitem"); s.sql(SqlQ12) }),
+    "sql_q13" -> ((s, dir) => { views(s, dir, "customer", "orders"); s.sql(SqlQ13) }),
+    "sql_q14" -> ((s, dir) => { views(s, dir, "lineitem", "part"); s.sql(SqlQ14) }),
+    "sql_q15" -> ((s, dir) => { views(s, dir, "supplier", "lineitem"); s.sql(SqlQ15) }),
+    "sql_q16" -> ((s, dir) => {
+      views(s, dir, "lineitem", "part", "supplier")
+      s.sql(SqlQ16)
+    }),
+    "sql_q20" -> ((s, dir) => {
+      views(s, dir, "supplier", "lineitem", "part")
+      s.sql(SqlQ20)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "sql_q6" -> SqlQ6,
+    "sql_q7" -> SqlQ7,
+    "sql_q8" -> SqlQ8,
+    "sql_q9" -> SqlQ9,
+    "sql_q11" -> SqlQ11,
+    "sql_q12" -> SqlQ12,
+    "sql_q13" -> SqlQ13,
+    "sql_q14" -> SqlQ14,
+    "sql_q15" -> SqlQ15,
+    "sql_q16" -> SqlQ16,
+    "sql_q20" -> SqlQ20)
+}

@@ -133,8 +133,8 @@ class CurationOpsSpec extends SparkSpecBase {
       // HLL++ at rsd 0.01: 5% is > 4 sigma
       assert(math.abs(r.getLong(1) - ndvO).toDouble / ndvO <= 0.05, s"ndv_orders ${r.getLong(1)} vs $ndvO")
       assert(math.abs(r.getLong(2) - ndvP).toDouble / ndvP <= 0.05, s"ndv_parts ${r.getLong(2)} vs $ndvP")
-      val aqs = r.getSeq[Double](3)
-      // accuracy 10000 on ~thousands of rows: near-exact quantiles
+      val aqs = Seq(r.getDouble(3), r.getDouble(4))
+      // accuracy 2000 on ~thousands of rows: near-exact quantiles
       aqs.zip(qs).foreach { case (a, e) =>
         assert(math.abs(a - e) / math.abs(e) <= 0.02, s"quantile $a vs $e")
       }
