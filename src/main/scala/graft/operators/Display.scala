@@ -57,21 +57,7 @@ object Display {
     * driver. Returns the rendered grid, y growing upward. */
   def scatterPlot(df: DataFrame, xCol: String, yCol: String,
                   width: Int = 60, height: Int = 20): String = {
-    val x = col(xCol).cast("double")
-    val y = col(yCol).cast("double")
-    val b = df.agg(min(x).as("xmin"), max(x).as("xmax"),
-      min(y).as("ymin"), max(y).as("ymax")).collect()(0)
-    val (xmin, xmax, ymin, ymax) =
-      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
-    val xspan = if (xmax > xmin) xmax - xmin else 1.0
-    val yspan = if (ymax > ymin) ymax - ymin else 1.0
-    val binned = df
-      .select(
-        least(floor((x - lit(xmin)) / lit(xspan) * lit(width)), lit(width - 1)).cast("int").as("bx"),
-        least(floor((y - lit(ymin)) / lit(yspan) * lit(height)), lit(height - 1)).cast("int").as("by"))
-      .where(col("bx").isNotNull && col("by").isNotNull)
-      .groupBy("bx", "by").count()
-      .collect()
+    val binned = scatterBins(df, xCol, yCol, width, height).collect()
     val grid = Array.fill(height, width)(' ')
     binned.foreach { r =>
       val c = r.getLong(2)
@@ -81,5 +67,28 @@ object Display {
     val frame = "+" + "-" * width + "+"
     (Seq(s"$yCol ^", frame) ++ rows ++ Seq(frame, s"${" " * (width - xCol.length)}$xCol >"))
       .mkString("\n")
+  }
+
+  /** The distributed half of `scatterPlot`: the (bx, by) -> point-count
+    * grid, as a frame. Kept separate so the binning itself is
+    * oracle-checkable (the render above is just a driver-side paint of
+    * these ≤ width*height rows). Two scans (bounds, then bins) — the
+    * bounds row is O(1) and the bin grid is O(width*height), never
+    * O(rows), regardless of input size. */
+  def scatterBins(df: DataFrame, xCol: String, yCol: String,
+                  width: Int = 60, height: Int = 20): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val b = df.agg(min(x).as("xmin"), max(x).as("xmax"),
+      min(y).as("ymin"), max(y).as("ymax")).collect()(0)
+    val (xmin, xmax, ymin, ymax) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val xspan = if (xmax > xmin) xmax - xmin else 1.0
+    val yspan = if (ymax > ymin) ymax - ymin else 1.0
+    df.select(
+        least(floor((x - lit(xmin)) / lit(xspan) * lit(width)), lit(width - 1)).cast("int").as("bx"),
+        least(floor((y - lit(ymin)) / lit(yspan) * lit(height)), lit(height - 1)).cast("int").as("by"))
+      .where(col("bx").isNotNull && col("by").isNotNull)
+      .groupBy("bx", "by").count()
   }
 }
