@@ -330,11 +330,13 @@ object Relational extends QueryModule {
     // internal), but hot orderkeys spread across 8 reducers instead of
     // funneling into one — the restructuring AQE cannot do when a single
     // key exceeds a task. Oracle = the unsalted join, which is exactly
-    // the correctness contract of salting.
+    // the correctness contract of salting. hotThreshold=5 sits just
+    // above the synthetic data's ~4 lineitems/order so BOTH paths (salted
+    // hot keys + replication-free cold plain join) carry real rows here.
     "join_salted" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-      graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+      graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8, hotThreshold = 5)
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n"))
