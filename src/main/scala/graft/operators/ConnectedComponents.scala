@@ -21,19 +21,69 @@ import org.apache.spark.sql.functions._
   * Convergence test costs one tiny aggregate, not a diff join: labels
   * only ever decrease, so an unchanged sum(label) is proof of a global
   * fixpoint (sum in DECIMAL so the proof can't be fooled by overflow or
-  * FP cancellation at cluster scale). `localCheckpoint` truncates the
-  * per-iteration lineage so plans don't nest `iterations` deep.
+  * FP cancellation at cluster scale).
+  *
+  * Lineage policy (fault tolerance at cluster scale), two different
+  * treatments for two different roles:
+  *
+  *  - LOOP INVARIANTS (edge set, node set — reread every round, never
+  *    change): ONE reliable `checkpoint()` each. Durable, truncates the
+  *    (potentially huge) upstream pair-generation plan, and — unlike
+  *    `persist()` — registers nothing in the session CacheManager:
+  *    cached plans are consulted by EVERY later query's planning
+  *    (`sameResult` scans), so persisting the enormous dedup pipeline
+  *    plans measurably taxes the whole session. Checkpoint yields a
+  *    plain LogicalRDD with no such global footprint.
+  *  - ITERATED STATE (labels / contracted edges): lineage MUST be
+  *    truncated (plans would otherwise nest `iterations` deep), which
+  *    is what forfeits recompute. `localCheckpoint` between rounds
+  *    (fast, executor-stored) and a RELIABLE `checkpoint()` every
+  *    `ReliableEvery`-th round (durable storage; on a cluster point
+  *    `sparkContext.setCheckpointDir` at HDFS/object storage — if
+  *    unset a local temp dir is provisioned so local runs work out of
+  *    the box). A lost executor then costs at most `ReliableEvery`
+  *    rounds of replay from the last durable snapshot, not the job.
   */
 object ConnectedComponents {
+
+  /** Reliable-checkpoint cadence: rounds between durable snapshots of
+    * the iterated state. Dedup graphs converge in 3-4 rounds, so the
+    * default takes exactly one durable snapshot per typical run —
+    * bounded replay at one checkpoint's cost. */
+  val ReliableEvery: Int = 3
+
+  private def ensureCheckpointDir(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+  }
+
+  /** Loop-invariant materialization: one durable checkpoint (see the
+    * object scaladoc for why NOT persist()). */
+  private def invariant(df: DataFrame): DataFrame = {
+    ensureCheckpointDir(df)
+    df.checkpoint()
+  }
+
+  /** Per-round barrier for the iterated state: durable every
+    * ReliableEvery-th round, fast executor-local otherwise. `round` is
+    * 0-based. */
+  private def roundBarrier(df: DataFrame, round: Int): DataFrame =
+    if (round % ReliableEvery == ReliableEvery - 1) {
+      ensureCheckpointDir(df)
+      df.checkpoint() // eager: materializes to the checkpoint dir now
+    } else df.localCheckpoint(true)
 
   /** Edge list (srcCol, dstCol; undirected, ids long) -> one row per
     * distinct node: (node, cluster), cluster = min node id reachable. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val bidir = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
-      .distinct()
-      .localCheckpoint(true)
+    // loop-invariant: cached with lineage intact (see object scaladoc)
+    val bidir = invariant(
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+        .distinct())
     var labels = bidir.select(col("u").as("node"), col("u").as("cluster")).distinct()
       .localCheckpoint(true)
     var lastSum: java.math.BigDecimal = null
@@ -43,9 +93,10 @@ object ConnectedComponents {
       // neighbor messages: node v hears u's current label for every edge (u, v)
       val msgs = bidir.join(labels, col("u") === col("node"))
         .select(col("v").as("node"), col("cluster"))
-      val next = labels.union(msgs)
-        .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+      val next = roundBarrier(
+        labels.union(msgs)
+          .groupBy(col("node")).agg(min(col("cluster")).as("cluster")),
+        iter)
       val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster").cast("decimal(38,0)")))
         .first().getDecimal(0)
       converged = lastSum != null && sum.compareTo(lastSum) == 0
@@ -73,10 +124,14 @@ object ConnectedComponents {
     * `connectedComponents`: (node, cluster = min reachable id). */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 30): DataFrame = {
-    val nodes = edges.select(col(srcCol).cast("long").as("n"))
-      .union(edges.select(col(dstCol).cast("long").as("n"))).distinct()
-      .localCheckpoint(true)
-    // drop self-loops; normalize to a distinct undirected pair set
+    // loop-invariant (nodes joins the final labels): cached, lineage
+    // intact — recomputable on executor loss at no checkpoint cost
+    val nodes = invariant(
+      edges.select(col(srcCol).cast("long").as("n"))
+        .union(edges.select(col(dstCol).cast("long").as("n"))).distinct())
+    // drop self-loops; normalize to a distinct undirected pair set.
+    // e is ITERATED state (reassigned every round), so its round-0 seed
+    // enters the same barrier discipline as the loop body.
     var e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -108,10 +163,11 @@ object ConnectedComponents {
     var converged = false
     var eCount = e.count()
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(e))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
+      val next = roundBarrier(
+        smallStar(largeStar(e))
+          .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+          .distinct(),
+        iter)
       // both sides are distinct sets, so equal counts + empty one-way
       // difference proves set equality (no second exceptAll needed)
       val nextCount = next.count()

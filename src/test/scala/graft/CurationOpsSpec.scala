@@ -36,6 +36,23 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(cc(Seq((7L, 3L), (3L, 5L))) == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
 
+  test("CC writes durable (reliable-checkpoint) snapshots, not just executor-local blocks") {
+    // diameter-9 path: the loop crosses the ReliableEvery cadence
+    // multiple times, so periodic reliable checkpoints MUST have fired.
+    // localCheckpoint blocks live only on executors (no lineage, no
+    // storage) — durable RDD snapshot files in the checkpoint dir are
+    // the artifact proving a lost executor would NOT kill the loop: the
+    // state is recomputable from the last on-disk snapshot.
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(cc(path) == (0L to 9L).map(_ -> 0L).toMap)
+    val dir = spark.sparkContext.getCheckpointDir
+    assert(dir.isDefined, "reliable checkpointing must provision a checkpoint dir")
+    val local = new java.io.File(new java.net.URI(
+      if (dir.get.contains(":/")) dir.get else "file:" + dir.get).getPath)
+    val snapshots = Option(local.listFiles()).getOrElse(Array.empty)
+    assert(snapshots.nonEmpty, s"expected durable RDD snapshots under $local")
+  }
+
   private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents
       .connectedComponentsStar(edges.toDF("i", "j"), "i", "j")
