@@ -40,6 +40,17 @@ object TextFunctions {
     * Stable across engines (DuckDB md5() agrees), unlike hash/xxhash64. */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
+  /** Engine-portable 64-bit hash: the first 16 hex chars of md5, as a
+    * signed long (the bit pattern of the unsigned value — any engine
+    * with md5 + a hex fold reproduces it exactly, unlike xxhash64).
+    * Built from two 32-bit conv() halves: conv of the full 16-hex
+    * string would overflow a signed long for values >= 2^63, while
+    * shiftleft is a pure bit op — ANSI-safe, wraps to the intended
+    * negative bit patterns. */
+  def portableHash64(s: Column): Column =
+    shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+
   // ---- MinHash ------------------------------------------------------------
 
   /** Mersenne prime 2^31-1: hash values stay < 2^31 so a*h+b fits in a

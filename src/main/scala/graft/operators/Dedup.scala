@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-shingle cutoff the REGISTERED pipeline queries run with: drop
+    * shingles shared by more than this many documents before the
+    * inverted-index join. Pair generation is quadratic in a shingle's
+    * doc frequency (df=10^6 boilerplate → 10^12 pairs from ONE key), so
+    * production runs need the cap on; 500 bounds any one posting list
+    * at ~1.25e5 pairs while sitting 20x above the fixtures' max df
+    * (7 at sf0.01, 25 at sf0.1 — measured), so the DuckDB oracle,
+    * which computes the UNCUT exact Jaccard, is unchanged. */
+  val HotShingleCutoff: Long = 500L
+
   /** Exact duplicate groups by normalized-content MD5. Returns one row
     * per duplicated fingerprint: (fp, n_copies, keep_id = min id).
     * Map-side partial aggregation; the shuffle carries one row per
@@ -219,12 +229,17 @@ object Dedup {
     * shingles, candidates from the 4x16-bit chunk pigeonhole (Hamming
     * distance <= 3 GUARANTEES agreement on >= 1 chunk, so recall is 1
     * for the d<=3 band), verified with the true Hamming distance.
-    * Emits (i, j) pairs with distance <= maxHamming. */
+    * Emits (i, j) pairs with distance <= maxHamming.
+    *
+    * Shingles are hashed with the md5-derived `portableHash64` (not
+    * xxhash64) so the whole pipeline — fingerprints, pigeonhole
+    * buckets, Hamming filter — is reproducible in any engine with md5:
+    * the DuckDB oracle rebuilds it verbatim and hash-checks the result. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val d = shingleSets(df, idCol, textCol, n)
       .repartition(col("doc_id")) // spread fingerprint work; see nearDupPairsExact
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("hs", transform(col("sh"), s => portableHash64(s)))
       // native codegen'd expression: one pass over the hashes with 64
       // vote counters (the nested-aggregate HOF version re-walks the
       // array once per bit, interpreted)

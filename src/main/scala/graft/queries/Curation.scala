@@ -24,7 +24,8 @@ object Curation extends QueryModule {
     // round, diameter-bounded (see ConnectedComponents). The DuckDB
     // oracle recomputes the closure with a recursive CTE.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text")
+      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff)
       ConnectedComponents.connectedComponents(pairs, "i", "j")
         .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))
@@ -35,7 +36,8 @@ object Curation extends QueryModule {
     // implementations are verified against the same recursive-CTE
     // oracle, on the real near-dup graph.
     "dedup_clusters_star" -> ((s, dir) => {
-      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text")
+      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff)
       ConnectedComponents.connectedComponentsStar(pairs, "i", "j")
         .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))

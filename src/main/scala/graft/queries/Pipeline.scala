@@ -81,9 +81,13 @@ object Pipeline extends QueryModule {
         .orderBy(col("fp"))
     }),
 
-    // Exact 3-gram Jaccard near-dup pairs (inverted-index join).
+    // Exact 3-gram Jaccard near-dup pairs (inverted-index join), run
+    // with the hot-shingle cutoff ON — the production configuration
+    // (see Dedup.HotShingleCutoff; no fixture shingle reaches it, so
+    // the exact-Jaccard oracle is unchanged).
     "dedup_near" -> ((s, dir) =>
-      Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text")
+      Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+          maxDocFreq = Dedup.HotShingleCutoff)
         .orderBy(col("i"), col("j"))),
 
     // MinHash-LSH candidates + exact rerank: same answer as dedup_near
@@ -96,8 +100,10 @@ object Pipeline extends QueryModule {
 
     // SimHash chunk-bucket near-dup pair list (ids only — Hamming radius
     // 3 over 64-bit fingerprints of the shingle sets). A deliberately
-    // stricter notion than Jaccard 0.5: rows-only driver check, exact
-    // semantics pinned by DedupSpec.
+    // stricter notion than Jaccard 0.5; md5-derived shingle hashes make
+    // the whole pipeline engine-portable, so the DuckDB oracle rebuilds
+    // fingerprints, pigeonhole buckets and the Hamming filter verbatim
+    // and the result is hash-checked (DedupSpec pins the contract too).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("i"), col("j"))),
@@ -110,7 +116,8 @@ object Pipeline extends QueryModule {
     // projection), so Catalyst sees and optimizes the whole thing.
     "curation_keep" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val nearDupJ = Dedup.nearDupPairsExact(docs, "doc_id", "text")
+      val nearDupJ = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+          maxDocFreq = Dedup.HotShingleCutoff)
         .select(col("j").as("doc_id")).distinct()
       val t = tokens(col("text"))
       docs
@@ -498,11 +505,43 @@ object Pipeline extends QueryModule {
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     "dedup_near" -> (nearPairsSql + " ORDER BY i, j"),
     "dedup_minhash" -> (nearPairsSql + " ORDER BY i, j"),
-    // dedup_simhash has NO oracle on purpose: Hamming<=3 over SimHash is
-    // its own (stricter) similarity notion, not Jaccard>=0.5 — on this
-    // corpus it keeps only the J>=0.985-ish pairs — and DuckDB cannot
-    // recompute xxhash64-based fingerprints anyway. DedupSpec pins its
-    // semantics (subset of the exact-Jaccard pairs, finds 1-token edits).
+    // dedup_simhash: the oracle rebuilds the ENTIRE simhash pipeline —
+    // md5-derived 64-bit shingle hashes (hex fold in HUGEINT), per-bit
+    // strict-majority votes folded into the fingerprint, 4x16-bit
+    // pigeonhole buckets, exact Hamming filter — so the pair list is
+    // hash-checked end to end, not rows-only. All bit arithmetic stays
+    // in unsigned HUGEINT; Spark's signed longs share the bit patterns.
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          sh AS (
+            SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                 for i in generate_series(1, len(toks) - 2)])) s
+            FROM t WHERE len(toks) >= 3),
+          hh AS (
+            SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                [CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)
+                 for c in string_split(substr(md5(s), 1, 16), '')]),
+                (a, x) -> a * 16 + x) h
+            FROM sh),
+          fps AS (
+            SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                [CASE WHEN len([x for x in hs if (x >> (63 - i)) & 1 = 1]) * 2 > len(hs)
+                      THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+                 for i in generate_series(0, 63)]),
+                (a, b) -> a * 2 + b) fp
+            FROM (SELECT doc_id, list(h) hs FROM hh GROUP BY 1)),
+          ch AS (
+            SELECT doc_id, fp, k, (fp >> (16 * k)) & 65535 ck
+            FROM fps, generate_series(0, 3) g(k)),
+          cand AS (
+            SELECT DISTINCT a.doc_id i, b.doc_id j, a.fp fa, b.fp fb
+            FROM ch a JOIN ch b ON a.k = b.k AND a.ck = b.ck AND a.doc_id < b.doc_id)
+          SELECT i, j FROM cand
+          WHERE len([x for x in generate_series(0, 63)
+                     if ((xor(fa, fb) >> x) & 1) = 1]) <= 3
+          ORDER BY i, j""",
     "curation_keep" ->
       s"""WITH near AS (SELECT DISTINCT j FROM ($nearPairsSql)),
           t AS (SELECT doc_id, $toksSql toks FROM documents)

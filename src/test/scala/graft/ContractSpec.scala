@@ -23,8 +23,11 @@ class ContractSpec extends SparkSpecBase {
   }
 
   test("oracle coverage: only the approximate-by-design ops are rows-only") {
+    // dedup_simhash left this set in round 6: md5-derived shingle hashes
+    // made the fingerprints engine-portable, so DuckDB rebuilds them and
+    // the pair list is hash-checked like everything else.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_cosine_lsh", "dedup_simhash", "profile_sketch"),
+    assert(rowsOnly == Set("ann_cosine_lsh", "profile_sketch"),
       rowsOnly.toString)
   }
 
