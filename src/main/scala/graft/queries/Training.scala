@@ -149,6 +149,37 @@ object Training extends QueryModule {
         .orderBy(col("rk"))
     }),
 
+    // Model-scoring inference: a linear quality classifier applied over
+    // the hashing-trick features — the natural completion of
+    // featurize (feature_hash) -> score, and the shape every learned
+    // quality filter runs at corpus scale: per-doc bucket counts (one
+    // (doc, bucket) shuffle), a BROADCAST join against the 16-row
+    // weight table, one groupBy(doc) for the dot product, sigmoid on
+    // top. The corpus is scanned once and never meets itself; the
+    // model (weights) ships to the data, not the reverse. Weights are
+    // exact binary fractions (k/16) so partial-agg addition order
+    // cannot perturb the sum and both engines produce identical bits.
+    "quality_score" -> ((s, dir) => {
+      val weights = graft.Graft.fromValues(s, Seq("bucket", "w"),
+        "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+          Seq[Any](c.toString, (i - 8) / 16.0) })
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 1).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("w")).as("dot"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dot"), 6).as("dot"),
+          round(lit(1.0) / (lit(1.0) + exp(-(col("dot") / col("n_tokens") + lit(0.125)))), 6)
+            .as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic per-group quota sampling: exactly 50 customers per
     // market segment, chosen by md5 order — the fixed-size-per-stratum
     // complement of Sampling.stratifiedHashSample's fixed-fraction
@@ -228,6 +259,23 @@ object Training extends QueryModule {
           r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, bg) AS INTEGER) rk, bg, c
                 FROM cnt)
           SELECT rk, bg, c FROM r WHERE rk <= 100 ORDER BY rk""",
+    "quality_score" -> {
+      // CAST to DOUBLE: DuckDB would otherwise type the VALUES weights
+      // DECIMAL and carry decimal arithmetic into dot/score (Spark
+      // computes in doubles; the hash compare needs identical types)
+      val weightRows = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+        s"('$c', CAST(${(i - 8) / 16.0} AS DOUBLE))" }.mkString(", ")
+      s"""WITH f AS (
+            SELECT doc_id, substr(md5(tok), 1, 1) bucket, count(*) cnt
+            FROM (SELECT doc_id, unnest(${Pipeline.toksSql}) tok FROM documents)
+            WHERE tok <> '' GROUP BY 1, 2),
+          w(bucket, w) AS (VALUES $weightRows)
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            round(sum(cnt * w), 6) AS dot,
+            round(1.0 / (1.0 + exp(-(sum(cnt * w) / sum(cnt) + 0.125))), 6) AS quality_score
+          FROM f JOIN w USING (bucket)
+          GROUP BY 1 ORDER BY 1"""
+    },
     "quota_sample" ->
       """SELECT c_mktsegment, c_custkey, CAST(rn AS INTEGER) AS rn FROM (
            SELECT c_mktsegment, c_custkey,
