@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * one column; Catalyst prunes them away from any query that does not
   * touch them).
   *
-  * The actual media DECODE is stubbed: this container has no image or
-  * audio libraries, so `decodeImageFeaturesStub` derives a deterministic
-  * fake feature vector from the bytes. Everything around the stub — the
-  * metadata schema, magic-byte sniffing, the mapPartitions batch shape
-  * and its Encoder — is real: swapping the stub body for a JNI/library
-  * call is a one-function change.
+  * IMAGE decode is REAL: `decodeImageMeta` reads width/height/channels
+  * from the actual bytes via the JDK's own ImageIO (PNG/JPEG/GIF/BMP).
+  * Only the deep featurize/resize/frame-extract steps are stubbed
+  * (`decodeImageFeaturesStub`, `resizeStub`, `frameSampleStub` — this
+  * container has no vision/audio model libraries): they keep the exact
+  * mapPartitions / Column batch shape a real decoder plugs into, so
+  * swapping a stub body for a JNI/library call is a one-function change.
   */
 object MultimodalFunctions {
 
@@ -55,6 +56,37 @@ object MultimodalFunctions {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         Row.fromSeq(r.toSeq :+ (if (bytes == null) null else fakeDecode(bytes, dim).toSeq))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode via the JDK's ImageIO in `mapPartitions`:
+    * width / height / channel count read from the ACTUAL bytes for the
+    * formats the JDK ships decoders for (PNG, JPEG, GIF, BMP); null
+    * metadata for payloads ImageIO cannot decode (other media, junk).
+    * Same batch shape as `decodeImageFeaturesStub` — one iterator per
+    * partition, rows stream through — so swapping in a heavier decoder
+    * (JNI codec, model featurizer) changes only the per-row body. No
+    * external libraries: `javax.imageio` is part of the JDK, so this
+    * path is real, not a stub, everywhere the engine runs. */
+  def decodeImageMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("img_channels", IntegerType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta: Seq[Any] =
+          if (bytes == null) Seq(null, null, null)
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Seq(null, null, null)
+            else Seq(img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+          } catch { case _: java.io.IOException => Seq(null, null, null) }
+        Row.fromSeq(r.toSeq ++ meta)
       }
     }(enc)
   }

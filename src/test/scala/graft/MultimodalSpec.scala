@@ -73,6 +73,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.map(_.head.toInt) == Seq(0, 25, 50, 75)) // evenly spaced starts
   }
 
+  test("decodeImageMeta reads real dimensions from an actual PNG and a JPEG") {
+    import java.awt.image.BufferedImage
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must encode $fmt")
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, encode(7, 5, "png")),
+      (2L, encode(12, 3, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media")
+    val got = MultimodalFunctions.decodeImageMeta(df, "media")
+      .select("id", "img_width", "img_height", "img_channels").orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 3).map(i => if (r.isNullAt(i)) -1 else r.getInt(i)))
+      .toMap
+    assert(got(1L) == Seq(7, 5, 3), s"png meta: ${got(1L)}")
+    assert(got(2L) == Seq(12, 3, 3), s"jpeg meta: ${got(2L)}")
+    assert(got(3L) == Seq(-1, -1, -1), "junk bytes must decode to nulls")
+    assert(got(4L) == Seq(-1, -1, -1), "null payload must pass through as nulls")
+    // the sniffer and the decoder agree on what a PNG is
+    val mime = MultimodalFunctions.withMediaMeta(df.filter(col("id") === 1), "media")
+      .select("media_mime").collect()(0).getString(0)
+    assert(mime == "image/png")
+  }
+
   test("decode stub passes null media through as null features") {
     val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") === 5), "media")
       .collect()
