@@ -26,23 +26,30 @@ import org.apache.spark.sql.functions._
   * Lineage policy (fault tolerance at cluster scale), two different
   * treatments for two different roles:
   *
-  *  - LOOP INVARIANTS (edge set, node set — reread every round, never
-  *    change): ONE reliable `checkpoint()` each. Durable, truncates the
-  *    (potentially huge) upstream pair-generation plan, and — unlike
-  *    `persist()` — registers nothing in the session CacheManager:
-  *    cached plans are consulted by EVERY later query's planning
-  *    (`sameResult` scans), so persisting the enormous dedup pipeline
-  *    plans measurably taxes the whole session. Checkpoint yields a
-  *    plain LogicalRDD with no such global footprint.
+  *  - LOOP INVARIANTS (edge/node sets — reread every round, never
+  *    change): `persist(MEMORY_AND_DISK)` with lineage INTACT,
+  *    materialized once, UNPERSISTED before returning. Cached blocks
+  *    serve every round; a lost executor recomputes its blocks from
+  *    the upstream plan — fault-tolerant at zero snapshot cost. The
+  *    prompt unpersist matters: cached entries are consulted by every
+  *    later query's planning (`sameResult` scans against the enormous
+  *    near-dup pipeline plan measurably taxed the whole session), so
+  *    nothing may outlive the call. Alternatives measured and
+  *    rejected: `Dataset.checkpoint()` re-executes the full lineage in
+  *    a second non-AQE job (50x the round 5 bench figure); an eager
+  *    parquet snapshot of the input re-runs pair generation once per
+  *    operator call (3-10x).
   *  - ITERATED STATE (labels / contracted edges): lineage MUST be
-  *    truncated (plans would otherwise nest `iterations` deep), which
-  *    is what forfeits recompute. `localCheckpoint` between rounds
-  *    (fast, executor-stored) and a RELIABLE `checkpoint()` every
-  *    `ReliableEvery`-th round (durable storage; on a cluster point
-  *    `sparkContext.setCheckpointDir` at HDFS/object storage — if
-  *    unset a local temp dir is provisioned so local runs work out of
-  *    the box). A lost executor then costs at most `ReliableEvery`
-  *    rounds of replay from the last durable snapshot, not the job.
+  *    truncated every round (plans would otherwise nest `iterations`
+  *    deep), which forfeits recompute — so `localCheckpoint` between
+  *    rounds and a durable PARQUET snapshot into the checkpoint dir
+  *    every `ReliableEvery`-th round (the write IS the materialization;
+  *    the state is small — one row per node/edge of the duplicate
+  *    graph). A lost executor costs at most `ReliableEvery` rounds of
+  *    replay from the last durable snapshot, not the whole job. On a
+  *    cluster, point `sparkContext.setCheckpointDir` at HDFS/object
+  *    storage; if unset, a local temp dir is provisioned so local runs
+  *    work out of the box.
   */
 object ConnectedComponents {
 
@@ -59,27 +66,40 @@ object ConnectedComponents {
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
   }
 
-  /** Loop-invariant materialization: one durable checkpoint (see the
-    * object scaladoc for why NOT persist()). */
-  private def invariant(df: DataFrame): DataFrame = {
+  /** Durable snapshot: parquet round-trip into the checkpoint dir (see
+    * the object scaladoc for why not checkpoint()/persist()). One write
+    * job materializes the plan; the returned frame reads the files. */
+  private def durable(df: DataFrame, tag: String): DataFrame = {
     ensureCheckpointDir(df)
-    df.checkpoint()
+    val spark = df.sparkSession
+    val path = spark.sparkContext.getCheckpointDir.get +
+      s"/graft-cc-$tag-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Loop-invariant materialization: cached with lineage intact; the
+    * CALLER must unpersist before returning (see object scaladoc). */
+  private def invariant(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
   }
 
   /** Per-round barrier for the iterated state: durable every
     * ReliableEvery-th round, fast executor-local otherwise. `round` is
     * 0-based. */
-  private def roundBarrier(df: DataFrame, round: Int): DataFrame =
-    if (round % ReliableEvery == ReliableEvery - 1) {
-      ensureCheckpointDir(df)
-      df.checkpoint() // eager: materializes to the checkpoint dir now
-    } else df.localCheckpoint(true)
+  private def roundBarrier(df: DataFrame, round: Int, tag: String): DataFrame =
+    if (round % ReliableEvery == ReliableEvery - 1) durable(df, tag)
+    else df.localCheckpoint(true)
 
   /** Edge list (srcCol, dstCol; undirected, ids long) -> one row per
     * distinct node: (node, cluster), cluster = min node id reachable. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // loop-invariant: cached with lineage intact (see object scaladoc)
+    // loop-invariant: one materialization of the (typically expensive)
+    // upstream pair pipeline — the union's two branches share their
+    // exchanges, so pair generation runs once (ReuseExchange)
     val bidir = invariant(
       edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
@@ -96,7 +116,7 @@ object ConnectedComponents {
       val next = roundBarrier(
         labels.union(msgs)
           .groupBy(col("node")).agg(min(col("cluster")).as("cluster")),
-        iter)
+        iter, "labels")
       val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster").cast("decimal(38,0)")))
         .first().getDecimal(0)
       converged = lastSum != null && sum.compareTo(lastSum) == 0
@@ -104,6 +124,9 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // labels is already materialized by its round barrier, so the
+    // invariant cache can go now — nothing may outlive the call
+    bidir.unpersist(blocking = false)
     labels
   }
 
@@ -124,15 +147,17 @@ object ConnectedComponents {
     * `connectedComponents`: (node, cluster = min reachable id). */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 30): DataFrame = {
-    // loop-invariant (nodes joins the final labels): cached, lineage
-    // intact — recomputable on executor loss at no checkpoint cost
-    val nodes = invariant(
-      edges.select(col(srcCol).cast("long").as("n"))
-        .union(edges.select(col(dstCol).cast("long").as("n"))).distinct())
+    // loop-invariant: ONE materialization of the upstream pair
+    // pipeline; nodes and the seeded edge set both derive from it
+    val base = invariant(
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+    // used once, in the final join — stays lazy over the cached base
+    val nodes = base.select(col("u").as("n"))
+      .union(base.select(col("v").as("n"))).distinct()
     // drop self-loops; normalize to a distinct undirected pair set.
     // e is ITERATED state (reassigned every round), so its round-0 seed
     // enters the same barrier discipline as the loop body.
-    var e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    var e = base
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
@@ -167,7 +192,7 @@ object ConnectedComponents {
         smallStar(largeStar(e))
           .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
           .distinct(),
-        iter)
+        iter, "star")
       // both sides are distinct sets, so equal counts + empty one-way
       // difference proves set equality (no second exceptAll needed)
       val nextCount = next.count()
@@ -176,11 +201,16 @@ object ConnectedComponents {
       eCount = nextCount
       iter += 1
     }
-    // stars: every non-root points at its component min; roots get themselves
-    nodes
+    // stars: every non-root points at its component min; roots get
+    // themselves. Materialized HERE (one cheap barrier over tiny
+    // frames) so the invariant cache can be dropped before returning.
+    val result = nodes
       .join(e.select(col("u").as("n"), col("v").as("c")), Seq("n"), "left")
       .groupBy(col("n"))
       .agg(min(col("c")).as("mc"))
       .select(col("n").as("node"), least(coalesce(col("mc"), col("n")), col("n")).as("cluster"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    result
   }
 }

@@ -65,10 +65,13 @@ object Dedup {
     * Scale shape: the self-join shuffles on the shingle key — documents
     * sharing no shingle never meet. The known hazard is hot shingles
     * (boilerplate phrases shared by millions of docs): `maxDocFreq`
-    * drops shingles occurring in more than that many documents before
-    * the join. Dropping only *frequent* shingles barely moves Jaccard
+    * drops posting lists longer than that many documents before pair
+    * explosion (see the inline note on why the cap rides the existing
+    * groupBy). Dropping only *frequent* shingles barely moves Jaccard
     * for true near-dups while removing the quadratic blowup; 0 disables
-    * the cutoff (exact, used by the oracle-checked query at test SF). */
+    * the cutoff. Jaccard denominators use the FULL per-doc shingle
+    * counts either way, so at fixture scale (max df far below the
+    * cutoff) results are bit-identical to the exact oracle. */
   def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 0L): DataFrame = {
@@ -88,22 +91,24 @@ object Dedup {
     // isNotNull on the OUTPUT column keeps the same row set.
     val exploded = d.select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    val ex =
-      if (maxDocFreq <= 0) exploded
-      else {
-        val hot = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("s")
-        exploded.join(hot, Seq("s"), "left_anti")
-      }
     // Pair generation by grouping the inverted index instead of a
     // self-join: one shuffle on the shingle builds each posting list,
-    // pairs explode from the sorted list (i < j by construction). The
-    // posting-list array is bounded by the shingle's doc frequency —
-    // the same quantity maxDocFreq caps — so skew is controlled by the
-    // same knob that controls the join blowup.
-    val pairs = ex.groupBy(col("s"))
+    // pairs explode from the sorted list (i < j by construction).
+    //
+    // The hot-shingle cutoff applies ON the posting list: the groupBy
+    // that builds the list already counts the doc frequency, so the cap
+    // costs ZERO extra shuffles (a pre-join anti-filter variant costs a
+    // full second aggregation over the exploded shingles — measured 3x
+    // the whole query). What the cutoff must prevent is the QUADRATIC
+    // pair explosion (df=10^6 boilerplate -> 10^12 pairs from one key);
+    // the list buffer itself is linear — df x 8 bytes, 8 MB at df=10^6
+    // — bounded and droppable. Only beyond df~10^7 would the buffer
+    // itself hurt, at which point pre-filtering against a profiled hot
+    // set is the escalation.
+    val pairs = exploded.groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 &&
+        (if (maxDocFreq > 0) size(col("ds")) <= maxDocFreq else lit(true)))
       .select(explode_outer(expr(
         """flatten(transform(ds, (x, i) ->
              transform(slice(ds, i + 2, size(ds)), y -> struct(x AS i, y AS j))))"""))
