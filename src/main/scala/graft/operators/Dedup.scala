@@ -244,7 +244,9 @@ object Dedup {
                           n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val d = shingleSets(df, idCol, textCol, n)
       .repartition(col("doc_id")) // spread fingerprint work; see nearDupPairsExact
-      .withColumn("hs", transform(col("sh"), s => portableHash64(s)))
+      // native expression: one compiled pass + thread-local digest per
+      // row; semantics pinned to portableHash64 by NativeExprSpec
+      .withColumn("hs", NativeExpressions.md5Hashes64(col("sh")))
       // native codegen'd expression: one pass over the hashes with 64
       // vote counters (the nested-aggregate HOF version re-walks the
       // array once per bit, interpreted)

@@ -35,6 +35,9 @@ object NativeExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(tokens), n))
 
+  def md5Hashes64(strings: Column): Column =
+    ExpressionUtils.column(Md5Hashes64Expr(ExpressionUtils.expression(strings)))
+
   def wordNgrams(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordNgramsExpr(ExpressionUtils.expression(tokens), n))
 
@@ -70,6 +73,7 @@ object NativeExpressions {
   /** (name, builder) pairs for SQL registration. */
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
+    "md5_hashes64" -> (exprs => Md5Hashes64Expr(exprs.head)),
     "minhash_signature" -> buildMinhash _)
 
   /** Register the native expressions as SQL functions on an existing
@@ -202,6 +206,51 @@ case class StringArrayHitsExpr(child: Expression, words: Array[String])
 
   override protected def withNewChildInternal(newChild: Expression): StringArrayHitsExpr =
     copy(child = newChild)
+}
+
+/** md5-derived 64-bit hashes of an array<string>: per element, the
+  * first 8 md5 bytes as a signed big-endian long — bit-identical to
+  * TextFunctions.portableHash64 (pinned by NativeExprSpec), but one
+  * compiled pass per row with a thread-local digest instead of an
+  * interpreted per-element HOF lambda of md5/substring/conv string
+  * ops. Engine-portable by construction: first 16 hex chars of md5 =
+  * these 8 bytes, so any engine with md5 reproduces the value. */
+case class Md5Hashes64Expr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_hashes64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    val md = Md5Hashes64Expr.digest.get()
+    val out = new Array[Any](num)
+    var i = 0
+    while (i < num) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hashes64Expr =
+    copy(child = newChild)
+}
+
+object Md5Hashes64Expr {
+  /** MessageDigest is stateful and not thread-safe; one per task thread. */
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 }
 
 /** 64-bit SimHash of an array<bigint> of token/shingle hashes: bit b of

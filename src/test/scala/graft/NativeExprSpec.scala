@@ -87,6 +87,20 @@ class NativeExprSpec extends SparkSpecBase {
     assert(edge(1).getSeq[String](0) == Seq("one two"))
   }
 
+  test("native md5 hashes equal the portableHash64 Column formulation") {
+    val both = docs
+      .withColumn("sh", shingles(tokens(col("t")), 3))
+      .withColumn("a", transform(col("sh"), s => TextFunctions.portableHash64(s)))
+      .withColumn("b", NativeExpressions.md5Hashes64(col("sh")))
+      .select(col("a"), col("b")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // a known vector: md5("abc") = 900150983cd24fb0..., first 16 hex
+    // chars as signed big-endian 64-bit
+    val known = Seq(Seq("abc")).toDF("sh")
+      .select(NativeExpressions.md5Hashes64(col("sh"))).collect()(0).getSeq[Long](0)
+    assert(known == Seq(java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16)))
+  }
+
   test("native expressions survive both codegen and interpreted paths") {
     // force interpreted fallback by evaluating through a filter too
     val n = hashed.withColumn("fp", NativeExpressions.simhash64(col("hs")))
