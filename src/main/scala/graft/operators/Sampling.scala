@@ -50,6 +50,27 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Weighted deterministic sampling: row `i` is kept with probability
+    * p_i = min(1, rate * w_i) — inclusion probability proportional to
+    * its weight (probability-proportional-to-size Bernoulli sampling,
+    * the corpus-reweighting primitive: upsample long/high-quality
+    * documents without a shuffle). Membership is key-stable like
+    * `hashSample`: the uniform draw is the first 4 hex digits of
+    * md5(key) read as an integer in [0, 65536), compared against
+    * p_i * 65536. Everything is a codegen'd scan-level filter — no
+    * shuffle, no state, no aggregate.
+    *
+    * `rate` is an explicit constant (kept / unit weight), NOT a target
+    * fraction: deriving it from avg(weight) inside the operator would
+    * make membership depend on a floating-point aggregate whose
+    * summation order varies run-to-run. Calibrate once
+    * (rate = targetFraction / avgWeight) and pin the constant; rows
+    * with null weights are dropped. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, rate: Double): DataFrame = {
+    val draw = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    df.filter(draw < least(lit(1.0), lit(rate) * weight) * 65536.0)
+  }
+
   /** Stratified deterministic sampling: a different fraction per
     * stratum value (rebalancing a corpus by language/source is the
     * training-data use). Same md5-prefix mechanics as `hashSample`, the

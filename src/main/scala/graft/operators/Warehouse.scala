@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse maintenance operators: slowly-changing-dimension (SCD2)
+  * merge and CDC change-log materialization — the two standard shapes
+  * for keeping dimension/state tables current under a stream of
+  * updates, re-expressed as single-pass Spark plans.
+  */
+object Warehouse {
+
+  val EndOfTime = "9999-12-31"
+
+  /** SCD type-2 merge: fold a new attribute snapshot into a versioned
+    * dimension, closing changed rows and appending their successors.
+    *
+    * `dim` is an SCD2 table (business key `key`, tracked attributes
+    * `trackCols`, plus `valid_from`/`valid_to`/`is_current`); `updates`
+    * is the incoming snapshot (`key` + `trackCols`). For each key:
+    *
+    *  - attributes changed  → the current row closes
+    *    (`valid_to = effectiveDate`, `is_current = false`) and a new
+    *    current row opens at `effectiveDate`;
+    *  - attributes unchanged → the current row passes through;
+    *  - key absent from `updates` → current row passes through
+    *    (snapshot-missing keys are NOT implicitly deleted — deletions
+    *    are a CDC concern, see `applyChangeLog`);
+    *  - key new in `updates` → a new current row opens.
+    *
+    * Plan shape: ONE join (current rows ⋈ updates, full outer so new
+    * keys surface; Spark broadcasts the snapshot when it's small) and
+    * ONE generate — each join row explodes into its 0-2 output rows via
+    * an inline array, so the join never re-executes per output branch.
+    * History rows (`is_current = false`) union straight through without
+    * touching the join. Change detection compares every tracked column
+    * null-safely (`<=>`).
+    *
+    * At 100 TB the dimension is the big side and this is one shuffle of
+    * the CURRENT slice only (history never moves), which is the minimum
+    * any SCD2 merge can do. */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
+                trackCols: Seq[String], effectiveDate: String): DataFrame = {
+    val validFrom = "valid_from"; val validTo = "valid_to"; val isCurrent = "is_current"
+    val outCols = Seq(key) ++ trackCols ++ Seq(validFrom, validTo, isCurrent)
+
+    val cur = dim.filter(col(isCurrent))
+    val hist = dim.filter(!col(isCurrent)).select(outCols.map(col): _*)
+
+    val u = updates.select(col(key).as("__u_key") +: trackCols.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = cur.join(u, col(key) === col("__u_key"), "full_outer")
+
+    val inDim = col(key).isNotNull
+    val inUpd = col("__u_key").isNotNull
+    val changed = trackCols.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+
+    def rowStruct(k: Column, track: Seq[Column], from: Column, to: Column, current: Column) =
+      struct((k.as(key) +: track.zip(trackCols).map { case (c, n) => c.as(n) }) ++
+        Seq(from.as(validFrom), to.as(validTo), current.as(isCurrent)): _*)
+
+    // each joined row contributes 0-2 output rows, emitted through one
+    // inline array so the join executes exactly once
+    val emitted = joined.select(explode(array(
+      // surviving current row: unchanged, or closed at effectiveDate
+      when(inDim, rowStruct(col(key), trackCols.map(col), col(validFrom),
+        when(inUpd && changed, lit(effectiveDate)).otherwise(col(validTo)),
+        !(inUpd && changed))),
+      // successor row: changed attributes or a brand-new key
+      when(inUpd && (!inDim || changed),
+        rowStruct(col("__u_key"), trackCols.map(c => col(s"__u_$c")),
+          lit(effectiveDate), lit(EndOfTime), lit(true)))
+    )).as("__r")).filter(col("__r").isNotNull).select(outCols.map(c => col(s"__r.$c")): _*)
+
+    hist.union(emitted)
+  }
+
+  /** CDC change-log materialization: collapse an (upsert|delete) event
+    * log to the latest live state per key.
+    *
+    * `op` must evaluate to "U" (upsert) or "D" (delete tombstone); the
+    * latest entry per key — ordered by `seq`, ties broken by the later
+    * `tieBreak` — wins, and keys whose winning entry is a tombstone
+    * drop out entirely.
+    *
+    * Plan shape: row_number over (key, seq desc) then rank = 1 — the
+    * same top-1-per-group shape as `Dedup.keepBest`, which Spark
+    * executes with WindowGroupLimit pushdown: each shuffle partition
+    * keeps only its per-key leader, so state never exceeds one row per
+    * key per partition. One shuffle on the key — the minimum for a
+    * per-key fold. */
+  def applyChangeLog(log: DataFrame, key: Column, seq: Seq[Column],
+                     op: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(seq.map(_.desc): _*)
+    log.withColumn("__op", op)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") === "U")
+      .drop("__rn", "__op")
+  }
+}

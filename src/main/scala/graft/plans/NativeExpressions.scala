@@ -57,6 +57,18 @@ object NativeExpressions {
       ExpressionUtils.expression(v), planes.flatten, planes.length,
       if (planes.isEmpty) 0 else planes.head.length))
 
+  /** Membership probe against a serialized `org.apache.spark.util.sketch.
+    * BloomFilter`, via Spark's own codegen'd `BloomFilterMightContain`
+    * (the expression behind the runtime-filter optimization). `value`
+    * must be a LongType column — hash non-long keys with xxhash64, the
+    * same digest `DataFrameStatFunctions.bloomFilter` puts for longs. */
+  def bloomMightContain(bloom: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloom, org.apache.spark.sql.types.BinaryType),
+        ExpressionUtils.expression(value)))
+
   private def buildMinhash(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2 && exprs(1).foldable,
       "minhash_signature(hashes, k): k must be a literal integer")

@@ -1,0 +1,183 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.operators.{BloomPrune, Sampling, Warehouse, ZOrder}
+import graft.sources.ParquetSource
+import org.apache.spark.sql.functions._
+
+/** Round-6 scale-mechanics queries: the operators whose whole point is
+  * the 100 TB execution shape — bloom-prefiltered membership joins,
+  * SCD2/CDC warehouse maintenance, weight-proportional sampling, and
+  * the physical-layout levers (bucketed joins, partition pruning,
+  * z-order clustering) exercised end-to-end through the oracle gate,
+  * not just plan-asserted in specs.
+  */
+object Scale extends QueryModule {
+
+  /** DuckDB arithmetic for "first 4 hex digits of md5(key) as an int in
+    * [0, 65536)" — the uniform draw both engines must agree on
+    * digit-for-digit (Spark side: `conv(substring(md5(key), 1, 4), 16, 10)`). */
+  private def md5DrawSql(keySql: String): String =
+    (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($keySql AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    }.mkString("(", " + ", ")")
+
+  val queries: Map[String, Q] = Map(
+
+    // Bloom-prefiltered exact semi join: orders scrubbed against a
+    // customer blocklist. The bloom runs next to the orders scan and
+    // drops ~99% of rows before the confirming join ever shuffles —
+    // the result is still EXACT (bloom removes only certain
+    // non-members), which is why a DuckDB oracle exists at all.
+    "bloom_prune" -> ((s, dir) => {
+      val blocklist = Tables(s, dir, "customer").filter(col("c_acctbal") < 0)
+      BloomPrune.semiJoin(
+        Tables(s, dir, "orders"), col("o_custkey"),
+        blocklist, col("c_custkey"),
+        expectedItems = 100000L, fpp = 0.01)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // SCD2 merge: fold an attribute snapshot into a versioned customer
+    // dimension. Keys ≡ 0 (mod 7) arrive with a changed balance (old
+    // row closes, successor opens), keys ≡ 0 (mod 97) also appear as
+    // brand-new customers, everything else is a no-op pass-through.
+    "scd2_merge" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val dim = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("valid_from", lit("2024-01-01"))
+        .withColumn("valid_to", lit(Warehouse.EndOfTime))
+        .withColumn("is_current", lit(true))
+      val snapshot = c.select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .union(c.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey") + 1000000, lit("NEW"), lit(0.0)))
+      Warehouse.scd2Merge(dim, snapshot, "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
+    // CDC change-log materialization: the events feed as an upsert log
+    // (any event updates the user's latest state; an `error` event
+    // tombstones the user). Latest-per-key via the WindowGroupLimit
+    // top-1 shape; tombstoned users drop out.
+    "cdc_apply" -> ((s, dir) =>
+      Warehouse.applyChangeLog(Tables(s, dir, "events"),
+          col("user_id"), Seq(col("ts"), col("event_id")),
+          when(col("event_type") === "error", "D").otherwise("U"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))),
+
+    // Weight-proportional deterministic sampling: documents kept with
+    // probability 0.001 * n_chars (longer docs upsampled) — scan-level
+    // filter, key-stable, zero shuffles; DuckDB recomputes the exact
+    // md5 draw and threshold.
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(Tables(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), rate = 0.001)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Bucketed-table join: both sides written bucketed+sorted by the
+    // join key, then merge-joined with no exchange (the write paid the
+    // shuffle once; ScaleLayoutSpec pins the exchange-free plan). The
+    // oracle only sees the RESULT — identical to a plain join.
+    "layout_bucket_join" -> ((s, dir) => {
+      ParquetSource.saveBucketed(Tables(s, dir, "orders"), "graft_bkt_orders", "o_custkey", 8)
+      ParquetSource.saveBucketed(Tables(s, dir, "customer"), "graft_bkt_customer", "c_custkey", 8)
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Hive-partitioned write + pruned read: events land partitioned by
+    // event_type; the purchase-only read prunes every other directory
+    // before IO (PartitionFilters, pinned by ScaleLayoutSpec).
+    "layout_partition_prune" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_part").toString + "/events_by_type"
+      ParquetSource.savePartitioned(Tables(s, dir, "events"), out, Seq("event_type"))
+      ParquetSource.load(s, out)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("purchase_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Z-order (Morton) clustering code over (l_partkey, l_suppkey):
+    // the sort key behind multi-dimensional data skipping. Built from
+    // shift/mask/or built-ins (whole-stage codegen), recomputed
+    // verbatim by the oracle's integer arithmetic.
+    "zorder_code" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          ZOrder.interleave2(col("l_partkey"), col("l_suppkey"), 16).as("zcode"))
+        .orderBy(col("zcode"), col("l_orderkey"), col("l_linenumber")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         ORDER BY o_orderkey""",
+    "scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         upd AS (
+           SELECT c_custkey, c_mktsegment,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 97 = 0),
+         changed AS (
+           SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
+           WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+              OR d.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+         SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+                '2024-01-01' AS valid_from, '2024-06-01' AS valid_to, false AS is_current
+         FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
+         UNION ALL
+         SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+                '2024-01-01', '9999-12-31', true
+         FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+         UNION ALL
+         SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+                '2024-06-01', '9999-12-31', true
+         FROM upd u
+         WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+            OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+         ORDER BY c_custkey, valid_from""",
+    "cdc_apply" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_id AS last_event_id,
+                event_type AS last_type, value AS last_value
+         FROM ranked WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         WHERE ${md5DrawSql("doc_id")} < least(1.0, 0.001 * n_chars) * 65536.0
+         ORDER BY doc_id""",
+    "layout_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "layout_partition_prune" ->
+      """SELECT user_id, count(*) AS n_purchases, round(sum(value), 2) AS purchase_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
+    "zorder_code" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          ${ZOrder.interleaveSql("l_partkey", "l_suppkey", 16)} AS zcode
+          FROM lineitem ORDER BY zcode, l_orderkey, l_linenumber"""
+  )
+}

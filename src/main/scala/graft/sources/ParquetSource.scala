@@ -35,10 +35,29 @@ object ParquetSource {
     * count join with NO exchange and no sort — the shuffle is paid once
     * at write time instead of per query. The layout for fact-fact joins
     * repeated at 100 TB. */
-  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A location left behind by a PREVIOUS session is invisible to this
+    // session's in-memory catalog, so CREATE would fail with
+    // LOCATION_ALREADY_EXISTS — clear it, which is exactly what DROP
+    // TABLE would have done had the metastore survived. (With a real
+    // Hive metastore the DROP above already handles it.)
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    if (wh.getScheme == null || wh.getScheme == "file") {
+      val loc = new java.io.File(
+        if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath, table)
+      if (loc.exists()) {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
     df.write.format("parquet")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 }

@@ -182,6 +182,71 @@ object StreamOps {
       .outputMode(mode)
       .start()
 
+  /** Streaming CDC upsert sink: maintain a keyed state table under
+    * `stateDir` from an (upsert|delete) change stream, via foreachBatch
+    * + `Warehouse.applyChangeLog`.
+    *
+    * Each micro-batch writes a full state SNAPSHOT to
+    * `stateDir/v<batchId>`: merge(latest snapshot with id < batchId,
+    * batch changes), folded latest-wins per key with tombstone removal.
+    * Exactly-once by IDEMPOTENCE, the foreachBatch contract: a replayed
+    * batch re-reads the same prior snapshot (versions are keyed by
+    * batchId, so a crash between write and commit cannot make the
+    * replay observe its own output) and deterministically rewrites the
+    * same v<batchId>. Snapshots older than the previous one are
+    * garbage-collected after each successful write.
+    *
+    * State rows keep their seq/op columns, so merges across batches
+    * compare event time, not arrival time — a late upsert older than
+    * the state's current row loses, exactly as in the batch fold.
+    *
+    * This is snapshot-based materialization: each batch rewrites the
+    * full state. The right trade up to state ~ a few GB per executor
+    * partition; beyond that the known upgrade is a log-structured table
+    * format (Delta/Iceberg/Hudi) doing the same merge incrementally —
+    * same applyChangeLog semantics, different storage. */
+  def upsertSink(changes: DataFrame, stateDir: String, checkpointDir: String,
+                 keyCol: String, seqCols: Seq[String], opCol: String) = {
+    val dir = new java.io.File(stateDir)
+    def versions: Seq[(Long, java.io.File)] =
+      Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(f => (f.getName.drop(1).toLong, f))
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = versions.filter(_._1 < batchId).sortBy(-_._1).headOption
+        val base = prior match {
+          case Some((_, f)) => spark.read.parquet(f.getPath)
+          case None         => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        }
+        val merged = graft.operators.Warehouse.applyChangeLog(
+          base.unionByName(batch), col(keyCol), seqCols.map(col), col(opCol))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // keep the new snapshot and its predecessor (replay safety);
+        // everything older is unreachable
+        for ((v, f) <- versions if v < prior.map(_._1).getOrElse(-1L)) {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.delete)
+        }
+      }
+      .start()
+  }
+
+  /** Latest materialized state written by `upsertSink`. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val vs = Option(new java.io.File(stateDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(-_.getName.drop(1).toLong)
+    require(vs.nonEmpty, s"no state snapshots under $stateDir")
+    spark.read.parquet(vs.head.getPath)
+  }
+
   /** Wire a streaming frame to an exactly-once parquet file sink: the
     * production path (the file-sink commit log makes restarts replay
     * nothing and readers never see partial files). Append-mode only, by

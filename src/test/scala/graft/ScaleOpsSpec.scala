@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{BloomPrune, Sampling, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Contracts for the scan-side scale operators: bloom-prefiltered
+  * joins (exactness + plan shape), weighted sampling (determinism +
+  * proportionality), and z-order clustering (bit math + file-level
+  * locality of the written layout). */
+class ScaleOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def probe = (1L to 2000L).map(i => (i, s"p$i")).toDF("id", "pv")
+  private def build = (1L to 2000L by 13).map(i => (i, s"b$i")).toDF("bid", "bv")
+
+  test("bloom semiJoin equals the exact semi join") {
+    val got = BloomPrune.semiJoin(probe, $"id", build, $"bid", 1000, 0.03)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = probe.join(build, $"id" === $"bid", "left_semi")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bloom antiJoin equals the exact anti join") {
+    val got = BloomPrune.antiJoin(probe, $"id", build, $"bid", 1000, 0.03)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = probe.join(build, $"id" === $"bid", "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bloom semiJoin plans might_contain as a filter below the confirm join") {
+    // parquet-backed probe: over a LocalRelation the optimizer folds the
+    // whole filter at plan time, which hides the shape being asserted
+    val dir = java.nio.file.Files.createTempDirectory("bloomp").toString
+    probe.write.mode("overwrite").parquet(s"$dir/probe")
+    val plan = BloomPrune.semiJoin(spark.read.parquet(s"$dir/probe"), $"id",
+        build, $"bid", 1000, 0.03)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter missing from plan:\n$plan")
+    // the prune must be a Filter on the probe side, not folded into the join
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(filterIdx > joinIdx, // executedPlan prints top-down: join first, filter beneath it
+      s"might_contain should sit under the join on the probe branch:\n$plan")
+  }
+
+  test("weightedSample keeps rows in proportion to weight, deterministically") {
+    val df = (1L to 20000L).map(i => (i, if (i % 2 == 0) 400L else 100L))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, $"id", $"w", rate = 0.001)
+    val again = Sampling.weightedSample(df, $"id", $"w", rate = 0.001)
+      .select("id").as[Long].collect().toSet
+    assert(kept.select("id").as[Long].collect().toSet == again, "not deterministic")
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected inclusion: p=0.1 for w=100 (~1000 kept), p=0.4 for w=400 (~4000)
+    assert(math.abs(byW(100L) - 1000.0) < 150, s"w=100 kept ${byW(100L)}")
+    assert(math.abs(byW(400L) - 4000.0) < 300, s"w=400 kept ${byW(400L)}")
+  }
+
+  test("zorder interleave2 matches hand-computed Morton codes") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.interleave2($"x", $"y", 16).as("z")).as[Long].collect().toSeq
+    // (5,3): x=101 -> even positions 4,2,0 = 1,0,1; y=011 -> odd
+    // positions 5,3,1 = 0,1,1; z = 0b011011 = 27
+    assert(got == Seq(0L, 1L, 2L, 3L, 27L, (1L << 32) - 1))
+  }
+
+  test("zorder write clusters both dimensions into few files per rectangle") {
+    val n = 64
+    val df = for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    ZOrder.writeZOrdered(df.toDF("x", "y"), out, "x", "y", numFiles = 16, bits = 6)
+    val withFile = spark.read.parquet(out)
+      .select($"x", $"y", input_file_name().as("f"))
+    // a point-ish range on EITHER dimension must touch a strict subset
+    // of files — the property row-group min/max skipping relies on
+    val filesTotal = withFile.select("f").distinct().count()
+    val filesForX = withFile.filter($"x" === 7).select("f").distinct().count()
+    val filesForY = withFile.filter($"y" === 7).select("f").distinct().count()
+    assert(filesTotal >= 8, s"expected a multi-file layout, got $filesTotal")
+    assert(filesForX <= filesTotal / 2, s"x slice touches $filesForX of $filesTotal files")
+    assert(filesForY <= filesTotal / 2, s"y slice touches $filesForY of $filesTotal files")
+  }
+
+  test("zorder interleaveSql mirrors the column expression digit-for-digit") {
+    val df = Seq((12345L, 54321L), (7L, 99L), (65535L, 0L)).toDF("x", "y")
+    df.createOrReplaceTempView("zt")
+    val viaSql = spark.sql(
+      s"SELECT ${ZOrder.interleaveSql("x", "y", 16).replace("//", " DIV ")} AS z FROM zt")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(ZOrder.interleave2($"x", $"y", 16).as("z")).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+    spark.catalog.dropTempView("zt")
+  }
+}

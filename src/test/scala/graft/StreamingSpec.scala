@@ -242,6 +242,33 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("upsertSink materializes latest-wins keyed state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ms = MemoryStream[(Long, Long, String, String)]
+    val changes = ms.toDF().toDF("k", "seq", "typ", "payload")
+    val q = StreamOps.upsertSink(changes, s"$tmp/state", s"$tmp/ckpt",
+      "k", Seq("seq"), "typ")
+    try {
+      ms.addData((1L, 10L, "U", "v1"), (2L, 10L, "U", "v1"))
+      q.processAllAvailable()
+      val s0 = StreamOps.readState(spark, s"$tmp/state")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(s0 == Map(1L -> "v1", 2L -> "v1"))
+      // batch 2: k1 updated, k2 tombstoned, k3 inserted, plus a LATE
+      // upsert for k1 older than its existing state row (must lose)
+      ms.addData((1L, 20L, "U", "v2"), (1L, 5L, "U", "v0"),
+        (2L, 30L, "D", "-"), (3L, 5L, "U", "v9"))
+      q.processAllAvailable()
+      val s1 = StreamOps.readState(spark, s"$tmp/state")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(s1 == Map(1L -> "v2", 3L -> "v9"))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("enrichStream attaches static dimension rows without shuffling the stream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
