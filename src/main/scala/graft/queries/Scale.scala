@@ -3,8 +3,10 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.Tables
-import graft.operators.{BloomPrune, Sampling, Warehouse, ZOrder}
+import graft.functions.VectorFunctions
+import graft.operators.{BloomPrune, Quality, Sampling, Warehouse, ZOrder}
 import graft.sources.ParquetSource
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 scale-mechanics queries: the operators whose whole point is
@@ -110,6 +112,52 @@ object Scale extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Declarative data-quality audit across the star schema: row
+    // predicates evaluate in ONE scan per table (N rules = N
+    // conditional sums in the same partial agg), uniqueness is one
+    // keyed shuffle, referential integrity one left join against
+    // distinct parent keys. The c_acctbal rule fails on real rows —
+    // the report shape carries violations, it doesn't crash.
+    "dq_audit" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val customer = Tables(s, dir, "customer")
+      Quality.audit(orders, "orders", Seq(
+          "totalprice_positive" -> (col("o_totalprice") > 0),
+          "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "orderdate_present" -> col("o_orderdate").isNotNull))
+        .union(Quality.audit(lineitem, "lineitem", Seq(
+          "quantity_range" -> col("l_quantity").between(1, 50),
+          "discount_range" -> col("l_discount").between(0, 1))))
+        .union(Quality.audit(customer, "customer", Seq(
+          "acctbal_nonneg" -> (col("c_acctbal") >= 0))))
+        .union(Quality.uniqueKeys(orders, "orders", Seq("o_orderkey")))
+        .union(Quality.orphans(lineitem, "lineitem", "l_orderkey", orders, "o_orderkey"))
+        .union(Quality.orphans(orders, "orders", "o_custkey", customer, "c_custkey"))
+        .orderBy(col("check"))
+    }),
+
+    // Hard-negative mining for contrastive training: each probe
+    // embedding retrieves its top-3 most-similar vectors with a
+    // DIFFERENT label — the pairs that sharpen a metric-learning
+    // objective. Probes broadcast over one corpus scan; per-probe top-k
+    // via the rank window Spark rewrites to WindowGroupLimit. Ranks on
+    // the ROUNDED cosine so cross-engine ties break identically.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+          col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("probe_label"))
+        .select(col("probe_id"), col("vec_id"), col("label"),
+          round(VectorFunctions.cosine(col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Z-order (Morton) clustering code over (l_partkey, l_suppkey):
     // the sort key behind multi-dimensional data skipping. Built from
     // shift/mask/or built-ins (whole-stage codegen), recomputed
@@ -175,6 +223,53 @@ object Scale extends QueryModule {
       """SELECT user_id, count(*) AS n_purchases, round(sum(value), 2) AS purchase_value
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
+    "dq_audit" ->
+      """WITH o AS (SELECT count(*) n,
+           sum(CASE WHEN NOT coalesce(o_totalprice > 0, false) THEN 1 ELSE 0 END) v_price,
+           sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false) THEN 1 ELSE 0 END) v_status,
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) v_date,
+           count(DISTINCT o_orderkey) d FROM orders),
+         l AS (SELECT count(*) n,
+           sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) v_qty,
+           sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) v_disc
+           FROM lineitem),
+         c AS (SELECT count(*) n,
+           sum(CASE WHEN NOT coalesce(c_acctbal >= 0, false) THEN 1 ELSE 0 END) v_bal
+           FROM customer),
+         lo AS (SELECT count(*) n,
+           sum(CASE WHEN l_orderkey IS NULL
+                      OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                    THEN 1 ELSE 0 END) v FROM lineitem),
+         oc AS (SELECT count(*) n,
+           sum(CASE WHEN o_custkey IS NULL
+                      OR o_custkey NOT IN (SELECT c_custkey FROM customer)
+                    THEN 1 ELSE 0 END) v FROM orders)
+         SELECT "check", n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+                round(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+         FROM (
+           SELECT 'orders.totalprice_positive' AS "check", n n_rows, v_price n_violations FROM o
+           UNION ALL SELECT 'orders.status_domain', n, v_status FROM o
+           UNION ALL SELECT 'orders.orderdate_present', n, v_date FROM o
+           UNION ALL SELECT 'lineitem.quantity_range', n, v_qty FROM l
+           UNION ALL SELECT 'lineitem.discount_range', n, v_disc FROM l
+           UNION ALL SELECT 'customer.acctbal_nonneg', n, v_bal FROM c
+           UNION ALL SELECT 'orders.unique_o_orderkey', n, n - d FROM o
+           UNION ALL SELECT 'lineitem.l_orderkey_in_o_orderkey', n, v FROM lo
+           UNION ALL SELECT 'orders.o_custkey_in_c_custkey', n, v FROM oc)
+         ORDER BY "check"""",
+    "hard_negatives" ->
+      """WITH p AS (SELECT vec_id probe_id, label probe_label, embedding::DOUBLE[] pv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT probe_id, vec_id, label,
+             round(list_dot_product(e, pv) /
+                   (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pv, pv))), 6) cos
+           FROM (SELECT vec_id, label, embedding::DOUBLE[] e FROM embeddings)
+           CROSS JOIN p WHERE label <> probe_label),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos DESC, vec_id) rk FROM c)
+         SELECT probe_id, vec_id, label, cos, rk FROM r WHERE rk <= 3
+         ORDER BY probe_id, rk""",
     "zorder_code" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           ${ZOrder.interleaveSql("l_partkey", "l_suppkey", 16)} AS zcode
