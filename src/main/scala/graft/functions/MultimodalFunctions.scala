@@ -91,6 +91,58 @@ object MultimodalFunctions {
     }(enc)
   }
 
+  /** REAL audio metadata decode: walk a RIFF/WAVE container's chunk
+    * list from the actual bytes — `fmt ` yields channels / sample rate /
+    * bits per sample, `data` yields the payload size, and duration
+    * follows as dataBytes * 1000 / byteRate. Pure-JVM byte parsing (no
+    * libraries), so like `decodeImageMeta` this path is real everywhere
+    * the engine runs; non-WAV or truncated payloads yield null metadata.
+    * Same mapPartitions batch shape as the other decoders. */
+  def decodeWavMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("wav_sample_rate", IntegerType, nullable = true),
+      StructField("wav_channels", IntegerType, nullable = true),
+      StructField("wav_bits", IntegerType, nullable = true),
+      StructField("wav_duration_ms", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq ++ parseWav(bytes))
+      }
+    }(enc)
+  }
+
+  private def parseWav(bytes: Array[Byte]): Seq[Any] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = ((bytes(o) & 0xff).toLong | ((bytes(o + 1) & 0xff).toLong << 8) |
+      ((bytes(o + 2) & 0xff).toLong << 16) | ((bytes(o + 3) & 0xff).toLong << 24))
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    val none = Seq[Any](null, null, null, null)
+    if (bytes == null || bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") none
+    else {
+      var off = 12
+      var rate, ch, bits = -1; var byteRate = -1L; var dataLen = -1L
+      while (off + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+        val id = tag(off); val sz = u32(off + 4)
+        if (id == "fmt " && off + 24 <= bytes.length) {
+          ch = u16(off + 10); rate = u32(off + 12).toInt
+          byteRate = u32(off + 16); bits = u16(off + 22)
+        } else if (id == "data") {
+          // size may legally exceed the remaining bytes only in
+          // streaming writers; clamp to what is actually present
+          dataLen = math.min(sz, (bytes.length - off - 8).toLong)
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || byteRate <= 0 || dataLen < 0) none
+      // Seq[Any] ascription: without it Scala widens the Int fields to
+      // Long to unify with the duration, breaking the Row's INT columns
+      else Seq[Any](rate, ch, bits, dataLen * 1000L / byteRate)
+    }
+  }
+
   /** The stub body: byte-value histogram, L1-normalized. Deterministic
     * in the input bytes, so tests and reruns agree. */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Double] = {

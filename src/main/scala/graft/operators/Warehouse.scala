@@ -75,6 +75,36 @@ object Warehouse {
     hist.union(emitted)
   }
 
+  /** Snapshot reconciliation: row-level diff of two keyed table
+    * versions — the audit step before publishing a regenerated table
+    * ("what did this pipeline change?"). One full-outer join on the
+    * key; every compared column is checked null-safely (`<=>`), and
+    * changed rows report WHICH columns moved (sorted array, so the
+    * output is deterministic). Status ∈ added | removed | changed |
+    * unchanged.
+    *
+    * One shuffle each side (or broadcast when one snapshot is small) —
+    * the minimum for a keyed diff; the column comparison itself is a
+    * codegen'd projection on the joined row. */
+  def tableDiff(before: DataFrame, after: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    val b = before.select(col(key) +: compareCols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(key).as("__a_key") +: compareCols.map(c => col(c).as(s"__a_$c")): _*)
+    val joined = b.join(a, col(key) === col("__a_key"), "full_outer")
+    val inB = col(key).isNotNull
+    val inA = col("__a_key").isNotNull
+    val changedCols = array_sort(filter(array(compareCols.map(c =>
+      when(!(col(s"__b_$c") <=> col(s"__a_$c")), lit(c))): _*), _.isNotNull))
+    joined.select(
+      coalesce(col(key), col("__a_key")).as(key),
+      when(!inB, "added")
+        .when(!inA, "removed")
+        .when(size(changedCols) > 0, "changed")
+        .otherwise("unchanged").as("diff_status"),
+      when(inB && inA, changedCols).otherwise(array().cast("array<string>"))
+        .as("changed_cols"))
+  }
+
   /** CDC change-log materialization: collapse an (upsert|delete) event
     * log to the latest live state per key.
     *

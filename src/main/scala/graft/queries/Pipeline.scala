@@ -314,6 +314,37 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio-metadata decode: each document's text bytes are
+    // wrapped in a canonical 44-byte RIFF/WAVE header (sample rate /
+    // channels varied deterministically by doc_id; header bytes built
+    // with codegen'd hex/unhex arithmetic), and decodeWavMeta walks the
+    // ACTUAL chunk list to recover rate/channels/bits/duration. The
+    // oracle recomputes the expected values from the same doc_id
+    // arithmetic — agreement proves the parser read the header right.
+    "media_audio" -> ((s, dir) => {
+      def le16(x: org.apache.spark.sql.Column) =
+        format_string("%02x%02x", pmod(x, lit(256)), pmod(x.divide(lit(256)).cast("int"), lit(256)))
+      def le32(x: org.apache.spark.sql.Column) =
+        concat(le16(pmod(x, lit(65536))), le16((x / 65536).cast("int")))
+      val rate = element_at(array(lit(8000), lit(11025), lit(22050)),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val blockAlign = ch * 2 // 16-bit PCM
+      val byteRate = rate * blockAlign
+      val dataLen = octet_length(col("text").cast("binary"))
+      val headerHex = concat(
+        hex(lit("RIFF")), le32(dataLen + 36), hex(lit("WAVE")),
+        hex(lit("fmt ")), le32(lit(16)), le16(lit(1)), le16(ch),
+        le32(rate), le32(byteRate), le16(blockAlign), le16(lit(16)),
+        hex(lit("data")), le32(dataLen))
+      val wav = concat(unhex(headerHex), col("text").cast("binary"))
+      MultimodalFunctions.decodeWavMeta(
+          Tables(s, dir, "documents").withColumn("wav", wav), "wav")
+        .select(col("doc_id"), col("wav_sample_rate"), col("wav_channels"),
+          col("wav_bits"), col("wav_duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling plumbing (video/audio batch shape): 4 evenly
     // spaced 16-byte windows per binary payload via frameSampleStub,
     // posexploded to one row per frame — the real one-row-in, n-frames-
@@ -679,6 +710,15 @@ object Pipeline extends QueryModule {
            md5(frame) AS frame_md5,
            CAST(length(frame) AS BIGINT) AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",
+    "media_audio" ->
+      """SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 22050 END AS INTEGER) AS wav_sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS wav_channels,
+           CAST(16 AS INTEGER) AS wav_bits,
+           CAST(octet_length(text::BLOB) * 1000 //
+                ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 22050 END) *
+                 (doc_id % 2 + 1) * 2) AS BIGINT) AS wav_duration_ms
+         FROM documents ORDER BY doc_id""",
     "media_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

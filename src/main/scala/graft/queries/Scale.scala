@@ -137,6 +137,28 @@ object Scale extends QueryModule {
         .orderBy(col("check"))
     }),
 
+    // Snapshot reconciliation: what changed between two versions of the
+    // customer table (keys %7 changed balance, %13 removed, %97 cloned
+    // as new +1000000 keys). One full-outer join; changed rows name the
+    // columns that moved. The report is the publish-gate a regenerated
+    // 100 TB table passes before replacing its predecessor.
+    "table_diff" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val before = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val after = c.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .union(c.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey") + 1000000, lit("NEW"), lit(0.0)))
+      Warehouse.tableDiff(before, after, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+        .filter(col("diff_status") =!= "unchanged")
+        // string-join the column list so the hash compare sees a scalar
+        .select(col("c_custkey"), col("diff_status"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Hard-negative mining for contrastive training: each probe
     // embedding retrieves its top-3 most-similar vectors with a
     // DIFFERENT label — the pairs that sharpen a metric-learning
@@ -257,6 +279,28 @@ object Scale extends QueryModule {
            UNION ALL SELECT 'lineitem.l_orderkey_in_o_orderkey', n, v FROM lo
            UNION ALL SELECT 'orders.o_custkey_in_c_custkey', n, v FROM oc)
          ORDER BY "check"""",
+    "table_diff" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         a AS (
+           SELECT c_custkey, c_mktsegment,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 97 = 0)
+         SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'added'
+                WHEN a.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_status,
+           CASE WHEN b.c_custkey IS NULL OR a.c_custkey IS NULL THEN ''
+                ELSE concat_ws(',',
+                  CASE WHEN b.c_acctbal IS DISTINCT FROM a.c_acctbal THEN 'c_acctbal' END,
+                  CASE WHEN b.c_mktsegment IS DISTINCT FROM a.c_mktsegment THEN 'c_mktsegment' END)
+                END AS changed_cols
+         FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
+         WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+            OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+            OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         ORDER BY 1""",
     "hard_negatives" ->
       """WITH p AS (SELECT vec_id probe_id, label probe_label, embedding::DOUBLE[] pv
                     FROM embeddings WHERE vec_id < 5),

@@ -103,6 +103,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(mime == "image/png")
   }
 
+  test("decodeWavMeta reads rate/channels/bits/duration from a real WAV container") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a genuine WAV encoder (JDK javax.sound), not hand-rolled bytes:
+    // 16-bit PCM, 1s of samples at the given rate/channels
+    def encode(rate: Int, channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](rate * channels * 2) // exactly 1 second
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, encode(8000, 1)),
+      (2L, encode(44100, 2)),
+      (3L, "RIFFjunk".getBytes("US-ASCII")), // RIFF magic but no WAVE structure
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media")
+    val got = MultimodalFunctions.decodeWavMeta(df, "media")
+      .select("id", "wav_sample_rate", "wav_channels", "wav_bits", "wav_duration_ms")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) ->
+        (1 to 4).map(i => if (r.isNullAt(i)) -1L else r.get(i).toString.toLong))
+      .toMap
+    assert(got(1L) == Seq(8000L, 1L, 16L, 1000L), s"mono 8k: ${got(1L)}")
+    assert(got(2L) == Seq(44100L, 2L, 16L, 1000L), s"stereo 44.1k: ${got(2L)}")
+    assert(got(3L) == Seq(-1L, -1L, -1L, -1L), "truncated RIFF must yield nulls")
+    assert(got(4L) == Seq(-1L, -1L, -1L, -1L), "null payload must yield nulls")
+    // the MIME sniffer agrees it's audio/wav
+    val mime = MultimodalFunctions.withMediaMeta(df.filter(col("id") === 1), "media")
+      .select("media_mime").collect()(0).getString(0)
+    assert(mime == "audio/wav")
+  }
+
   test("decode stub passes null media through as null features") {
     val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") === 5), "media")
       .collect()

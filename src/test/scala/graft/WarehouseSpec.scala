@@ -61,6 +61,22 @@ class WarehouseSpec extends SparkSpecBase {
     assert(plan.contains("Generate explode"), s"expected explode emission:\n$plan")
   }
 
+  test("tableDiff classifies added/removed/changed/unchanged and names changed columns") {
+    val before = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, null.asInstanceOf[String], 4.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 1.0), (2L, "B", 9.0), (4L, "d", 4.0), (5L, "e", 5.0))
+      .toDF("k", "s", "v")
+    val out = Warehouse.tableDiff(before, after, "k", Seq("s", "v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toList))
+    assert(out.toSeq == Seq(
+      (1L, "unchanged", Nil),
+      (2L, "changed", List("s", "v")),
+      (3L, "removed", Nil),
+      (4L, "changed", List("s")),   // null -> "d" is a change (null-safe compare)
+      (5L, "added", Nil)))
+  }
+
   private def log = Seq(
     // key, seq, op-ish type, payload
     (1L, 10L, "set", "v1"), (1L, 20L, "set", "v2"),
