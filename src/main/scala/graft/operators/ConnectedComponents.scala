@@ -59,6 +59,51 @@ object ConnectedComponents {
     * bounded replay at one checkpoint's cost. */
   val ReliableEvery: Int = 3
 
+  /** Local-endgame threshold (edge count): when the — possibly already
+    * contracted — edge set fits comfortably on the driver, one collect
+    * plus an in-memory union-find replaces the remaining distributed
+    * rounds. Every per-round shuffle costs fixed scheduling latency
+    * regardless of data volume, so below this size the distributed loop
+    * is pure overhead; this is the same endgame the MapReduce CC papers
+    * apply to their final rounds (finish locally once the frontier is
+    * small). 1M edges ≈ 16 MB of long pairs — far below any driver
+    * budget, far above every dedup graph a 100 TB corpus produces AFTER
+    * pair generation (duplicate clusters are sparse by construction).
+    * Both algorithms take it as a parameter; pass 0 to force the fully
+    * distributed path (the equivalence specs do). */
+  val LocalFinishEdges: Long = 1L << 20
+
+  /** Driver-side min-label union-find over a collected edge list:
+    * path-halving find, union by attaching the larger root to the
+    * smaller (labels must be the component MINIMUM, so the smaller id
+    * always wins root). Returns (node, cluster) rows. */
+  private def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path-halving
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp; x = gp; p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      else { parent.getOrElseUpdate(u, ru); parent.getOrElseUpdate(v, rv) }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.toSeq.map(n => (n, find(n)))
+  }
+
+  private def finishLocally(edgePairs: DataFrame): DataFrame = {
+    val spark = edgePairs.sparkSession
+    import spark.implicits._
+    val collected = edgePairs.as[(Long, Long)].collect()
+    localComponents(collected).toDF("node", "cluster")
+  }
+
   private def ensureCheckpointDir(df: DataFrame): Unit = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
@@ -96,14 +141,28 @@ object ConnectedComponents {
   /** Edge list (srcCol, dstCol; undirected, ids long) -> one row per
     * distinct node: (node, cluster), cluster = min node id reachable. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     // loop-invariant: one materialization of the (typically expensive)
-    // upstream pair pipeline — the union's two branches share their
-    // exchanges, so pair generation runs once (ReuseExchange)
+    // upstream pair pipeline. Bidirectionalizing via explode, NOT
+    // union(pairs, pairs.reversed): a union re-executes the whole pair
+    // pipeline for its second branch whenever exchange reuse doesn't
+    // apply, doubling the dominant cost; the explode emits both
+    // directions from ONE pass over the pairs.
     val bidir = invariant(
       edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+        .select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct())
+    // local endgame: below the threshold the remaining rounds are pure
+    // scheduling overhead — collect once, union-find, done
+    if (bidir.count() <= localFinishEdges) {
+      val result = finishLocally(bidir)
+      bidir.unpersist(blocking = false)
+      return result
+    }
     var labels = bidir.select(col("u").as("node"), col("u").as("cluster")).distinct()
       .localCheckpoint(true)
     var lastSum: java.math.BigDecimal = null
@@ -146,7 +205,8 @@ object ConnectedComponents {
     * anti-joins over the shrinking edge set). Same output contract as
     * `connectedComponents`: (node, cluster = min reachable id). */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-                              maxIter: Int = 30): DataFrame = {
+                              maxIter: Int = 30,
+                              localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     // loop-invariant: ONE materialization of the upstream pair
     // pipeline; nodes and the seeded edge set both derive from it
     val base = invariant(
@@ -187,7 +247,11 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     var eCount = e.count()
-    while (iter < maxIter && !converged) {
+    // the edge set CONTRACTS every round, so the local-endgame check
+    // runs before each round, not just once: a graph too big to collect
+    // at round 0 usually shrinks under the threshold within a round or
+    // two, and the collect replaces the remaining O(log^2 n) rounds
+    while (iter < maxIter && !converged && eCount > localFinishEdges) {
       val next = roundBarrier(
         smallStar(largeStar(e))
           .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -200,6 +264,14 @@ object ConnectedComponents {
       e = next
       eCount = nextCount
       iter += 1
+    }
+    if (!converged && eCount <= localFinishEdges && eCount > 0) {
+      // local union-find emits node -> component-min directly: exactly
+      // the star edges (u >= v = root) the converged loop would reach
+      val spark = e.sparkSession
+      import spark.implicits._
+      val local = localComponents(e.as[(Long, Long)].collect())
+      e = local.filter { case (n, r) => n != r }.toDF("u", "v")
     }
     // stars: every non-root points at its component min; roots get
     // themselves. Materialized HERE (one cheap barrier over tiny

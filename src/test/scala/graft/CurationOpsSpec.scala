@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 class CurationOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // localFinishEdges = 0 pins these contracts to the DISTRIBUTED loop;
+  // the local union-find endgame is covered by its own equivalence test
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents
-      .connectedComponents(edges.toDF("i", "j"), "i", "j")
+      .connectedComponents(edges.toDF("i", "j"), "i", "j", localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("connected components collapses a chain the pair list never closes") {
@@ -55,7 +57,7 @@ class CurationOpsSpec extends SparkSpecBase {
 
   private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents
-      .connectedComponentsStar(edges.toDF("i", "j"), "i", "j")
+      .connectedComponentsStar(edges.toDF("i", "j"), "i", "j", localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("star-contraction CC equals propagation CC on chains, cliques and self-loops") {
@@ -74,6 +76,31 @@ class CurationOpsSpec extends SparkSpecBase {
     val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter { case (a, b) => a != b }
     assert(ccStar(edges) == cc(edges))
+  }
+
+  test("local union-find endgame equals the distributed loop, in both algorithms") {
+    val rnd = new scala.util.Random(77)
+    val edges = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    def run(f: Long => Map[Long, Long]) = (f(0L), f(Long.MaxValue)) // distributed vs local
+    val (distProp, localProp) = run(t => ConnectedComponents
+      .connectedComponents(edges.toDF("i", "j"), "i", "j", localFinishEdges = t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(localProp == distProp, "propagation: local endgame diverged")
+    val (distStar, localStar) = run(t => ConnectedComponents
+      .connectedComponentsStar(edges.toDF("i", "j"), "i", "j", localFinishEdges = t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(localStar == distStar, "star: local endgame diverged")
+    assert(localStar == localProp)
+  }
+
+  test("star-contraction switches to the local endgame once rounds contract the edge set") {
+    // threshold between the seed size and the contracted size: round 1
+    // runs distributed, the shrunken remnant finishes locally
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val got = ConnectedComponents
+      .connectedComponentsStar(path.toDF("i", "j"), "i", "j", localFinishEdges = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
   }
 
   test("hash sample is deterministic, key-stable and near the asked fraction") {
