@@ -235,11 +235,16 @@ object ConnectedComponents {
     }
 
     def smallStar(cur: DataFrame): DataFrame = {
-      // cur is already oriented u >= v (largeStar emits v = min <= u)
+      // cur is already oriented u >= v (largeStar emits v = min <= u).
+      // Both re-pointed edges (v->m and u->m) come out of ONE explode
+      // over the joined row — a union of two selects would re-execute
+      // the join per branch.
       val mins = cur.groupBy("u").agg(min(col("v")).as("m"))
-      val withM = cur.join(mins, "u")
-      withM.select(col("v").as("u"), col("m").as("v"))
-        .union(withM.select(col("u"), col("m").as("v")))
+      cur.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
     }

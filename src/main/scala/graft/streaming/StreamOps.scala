@@ -172,6 +172,31 @@ object StreamOps {
       .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
   }
 
+  /** LEFT OUTER variant of `matchPairsStream`: every `typeA` event is
+    * emitted exactly once — joined to its in-window `typeB` matches, or
+    * with null match columns once the watermark proves no match can
+    * still arrive (b_ts <= a_ts + gap has expired). The funnel-dropoff
+    * shape: "views that never converted" needs the NON-match emitted,
+    * which an inner interval join structurally cannot do. Same bounded
+    * state as the inner variant — the outer row materializes at state
+    * expiry, so it costs nothing extra to buffer. */
+  def matchPairsStreamOuter(events: DataFrame, typeA: String, typeB: String,
+                            gap: String = "30 minutes",
+                            watermark: String = "30 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = events.filter(col("event_type") === typeB)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gap"),
+      "left_outer")
+      .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
+
   /** Wire a streaming frame to an in-memory sink (tests / debugging):
     * returns the query; results land in table `name`. */
   def toMemorySink(df: DataFrame, name: String,

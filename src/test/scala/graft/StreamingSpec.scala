@@ -242,6 +242,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("matchPairsStreamOuter emits non-converting events with null match columns") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val raw = ms.toDF()
+      .withColumnRenamed("eventId", "event_id")
+      .withColumnRenamed("userId", "user_id")
+      .withColumnRenamed("eventType", "event_type")
+    val q = StreamOps.toMemorySink(
+      StreamOps.matchPairsStreamOuter(raw, "view", "purchase", gap = "30 minutes"),
+      "pairs_outer_test")
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 00:10:00"), 1, "purchase", 9.0), // converts
+        Event(3, ts("2024-01-01 00:00:00"), 2, "view", 0.0))    // never converts
+      q.processAllAvailable()
+      // advance the watermark on BOTH branches: the global watermark is
+      // the MIN across the two filtered streams, so a late view alone
+      // would leave the purchase branch (and the join state) frozen
+      ms.addData(
+        Event(9, ts("2024-01-01 03:00:00"), 4, "view", 0.0),
+        Event(10, ts("2024-01-01 03:00:00"), 4, "purchase", 0.0))
+      q.processAllAvailable()
+      // outer results surface on the batch AFTER the watermark advance
+      // (eviction happens at the start of the next micro-batch)
+      ms.addData(
+        Event(11, ts("2024-01-01 03:10:00"), 5, "view", 0.0),
+        Event(12, ts("2024-01-01 03:10:00"), 5, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("pairs_outer_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_id"),
+          Option(r.getAs[java.lang.Long]("b_id")).map(_.toLong)))
+        .filter(r => r._1 <= 2) // the watermark-advancing probes are not under test
+      // user 1's view matched; user 2's view emitted with NO match once
+      // the watermark passed its join window
+      assert(rows.toSet == Set((1L, 1L, Some(2L)), (2L, 3L, None)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("upsertSink materializes latest-wins keyed state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
