@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash sampling — the reproducible alternative to
@@ -48,6 +49,63 @@ object Sampling {
       case ((name, thr), els) => when(prefix < thr, name).otherwise(els)
     }
     df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic k-fold assignment (cross-validation): every row gets
+    * a fold in [0, k) from its md5 draw — key-stable like `splitByHash`
+    * (a row's fold never changes as the table grows), one codegen'd
+    * projection. Draw granularity is 1/65536, so the per-fold bias for
+    * k << 65536 is negligible (≤ k/65536). */
+  def foldByHash(df: DataFrame, key: Column, k: Int, foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, "foldByHash: k in [2, 1000]")
+    val draw = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    df.withColumn(foldCol, (draw % k).cast("int"))
+  }
+
+  /** Greedy budgeted selection: walk rows in `orderCols` order and keep
+    * each row while the EXCLUSIVE running sum of `weight` before it is
+    * under `budget` — "take the best documents until the token budget
+    * is spent", the corpus-selection primitive.
+    *
+    * A naive global cumulative sum is a single-partition window — the
+    * classic scale-killer. This runs it distributed in two passes:
+    * range-partition by the order key (global order across partitions),
+    * per-partition exclusive window sums, then one tiny per-partition
+    * totals frame (numPartitions rows) turns into broadcast offsets
+    * added back to each row's local sum. The global prefix sum is
+    * boundary-invariant — WHERE the range partitioner cuts changes
+    * nothing about any row's cumulative value — so the selection is
+    * deterministic as long as `orderCols` is a total order.
+    *
+    * Weights are summed as LONGs (token/byte counts are integral):
+    * integer addition is associative, so the partitioned two-pass sum
+    * is BIT-equal to a sequential scan — float weights would drift in
+    * the last ulp between groupings and make boundary rows flip.
+    *
+    * The returned frame carries `cumCol` = tokens consumed BEFORE each
+    * kept row. */
+  def takeWhileBudget(df: DataFrame, orderCols: Seq[Column], weight: Column,
+                      budget: Long, cumCol: String = "cum_before",
+                      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__w", weight.cast("long"))
+    val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = ranged.withColumn("__lcum",
+      coalesce(sum(col("__w")).over(local), lit(0L)))
+    // numPartitions rows: the one place a single-partition window is
+    // legitimate — its input is bounded by the partition count
+    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid")).agg(sum(col("__w")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, col("__lcum") + col("__off"))
+      .filter(col(cumCol) < budget)
+      .drop("__pid", "__w", "__lcum", "__off")
   }
 
   /** Weighted deterministic sampling: row `i` is kept with probability

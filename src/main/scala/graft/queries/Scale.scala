@@ -137,6 +137,30 @@ object Scale extends QueryModule {
         .orderBy(col("check"))
     }),
 
+    // Greedy budgeted corpus selection: best documents first (by
+    // length, doc_id tiebreak) until a 12k-token budget is spent. The
+    // global exclusive running sum runs DISTRIBUTED — range partition,
+    // per-partition window, broadcast offsets — never as one
+    // single-partition window; long arithmetic keeps the two-pass sum
+    // bit-equal to the oracle's sequential scan.
+    "budget_select" -> ((s, dir) =>
+      Sampling.takeWhileBudget(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"),
+              size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+          Seq(col("n_chars").desc, col("doc_id").asc), col("n_tokens"), budget = 12000L)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("cum_before"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic 5-fold cross-validation assignment, summarized per
+    // fold — key-stable like split_assign (a doc's fold survives corpus
+    // growth), one codegen'd projection before the fold aggregate.
+    "fold_assign" -> ((s, dir) =>
+      Sampling.foldByHash(Tables(s, dir, "documents"), col("doc_id"), 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("fold"))),
+
     // Snapshot reconciliation: what changed between two versions of the
     // customer table (keys %7 changed balance, %13 removed, %97 cloned
     // as new +1000000 keys). One full-outer join; changed rows name the
@@ -279,6 +303,19 @@ object Scale extends QueryModule {
            UNION ALL SELECT 'lineitem.l_orderkey_in_o_orderkey', n, v FROM lo
            UNION ALL SELECT 'orders.o_custkey_in_c_custkey', n, v FROM oc)
          ORDER BY "check"""",
+    "budget_select" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+              CAST(len(${Pipeline.toksSql}) AS BIGINT) n_tokens FROM documents),
+          w AS (SELECT *, coalesce(CAST(sum(n_tokens) OVER (
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) cum_before
+                FROM t)
+          SELECT doc_id, n_chars, n_tokens, cum_before FROM w
+          WHERE cum_before < 12000 ORDER BY doc_id""",
+    "fold_assign" ->
+      s"""SELECT CAST(${md5DrawSql("doc_id")} % 5 AS INTEGER) AS fold,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY 1 ORDER BY 1""",
     "table_diff" ->
       """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
          a AS (

@@ -161,6 +161,37 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(Sampling.hashSample(df, col("id"), 1.0).count() == 100)
   }
 
+  test("foldByHash assigns stable folds covering [0, k) at ~uniform mass") {
+    val df = spark.range(0, 20000).select(col("id"))
+    val folds = Sampling.foldByHash(df, col("id"), 5)
+      .groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4))
+    folds.values.foreach(n => assert(math.abs(n - 4000.0) < 300, s"fold sizes $folds"))
+    // key-stable: same fold for id=7 regardless of table contents
+    val one = Sampling.foldByHash(spark.range(7, 8).select(col("id")), col("id"), 5)
+      .collect()(0).getInt(1)
+    val again = Sampling.foldByHash(df, col("id"), 5)
+      .filter(col("id") === 7).collect()(0).getInt(1)
+    assert(one == again)
+  }
+
+  test("takeWhileBudget's distributed prefix sum equals a sequential scan") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 5000L).map(i => (i, 1L + rnd.nextInt(100)))
+    val df = rows.toDF("id", "w").repartition(16) // scrambled input partitioning
+    val got = Sampling.takeWhileBudget(df, Seq(col("id").asc), col("w"),
+        budget = 50000L, partitions = 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // sequential reference: exclusive cumsum in id order
+    var cum = 0L
+    val want = rows.sortBy(_._1).iterator.map { case (id, w) =>
+      val before = cum; cum += w; (id, before)
+    }.takeWhile(_._2 < 50000L).toSeq
+    assert(got.toSeq == want, s"got ${got.length} rows, want ${want.length}")
+    assert(want.length > 100 && want.length < 5000) // the budget genuinely truncates
+  }
+
   test("profile_sketch approximations stay within sketch error bounds of exact") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables(spark, dir, "lineitem")
