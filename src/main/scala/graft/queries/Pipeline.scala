@@ -250,6 +250,26 @@ object Pipeline extends QueryModule {
           min(col("vec_id")).as("min_vec"))
         .orderBy(col("cluster_id"))),
 
+    // Symmetric int8 quantization per embedding (max-abs scaling) with
+    // the reconstruction RMSE — the compression step before shipping a
+    // 100 TB embedding corpus to an ANN index (4x smaller, error
+    // reported per vector). One codegen-bounded projection per row; the
+    // oracle rebuilds codes and error with list comprehensions and must
+    // agree on the md5 of the code array itself. The rounded scale is
+    // what both engines divide by, so codes are bit-identical.
+    "embed_quantize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("qscale",
+          expr("""case when round(array_max(transform(v, x -> abs(x))) / 127.0, 9) = 0
+                  then 1.0 else round(array_max(transform(v, x -> abs(x))) / 127.0, 9) end"""))
+        .withColumn("qv", expr("transform(v, x -> cast(round(x / qscale, 0) as int))"))
+        .select(col("vec_id"), col("qscale"),
+          md5(concat_ws(",", expr("transform(qv, x -> cast(x as string))"))).as("q_md5"),
+          expr("""round(sqrt(aggregate(zip_with(v, qv, (x, q) -> pow(x - q * qscale, 2)),
+                  cast(0 as double), (acc, e) -> acc + e) / size(v)), 6)""").as("recon_rmse"))
+        .orderBy(col("vec_id"))),
+
     // Per-document mean bigram log-probability under the corpus bigram
     // MLE — the cheap "language-model surprise" quality signal: junk
     // and boilerplate sit far from the corpus distribution. Bigram
@@ -818,6 +838,21 @@ object Pipeline extends QueryModule {
             round(n_tokens / tt, 6) AS token_share
           FROM cells CROSS JOIN tot
           ORDER BY source, lang""",
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 CASE WHEN round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) = 0
+                      THEN 1.0
+                      ELSE round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) END AS qscale
+               FROM e),
+         q AS (SELECT vec_id, qscale, v,
+                 [CAST(round(v[i] / qscale, 0) AS INTEGER) for i in generate_series(1, len(v))] AS qv
+               FROM s)
+         SELECT vec_id, qscale,
+           md5(array_to_string(qv, ',')) AS q_md5,
+           round(sqrt(list_sum([pow(v[i] - qv[i] * qscale, 2)
+                                for i in generate_series(1, len(v))]) / len(v)), 6) AS recon_rmse
+         FROM q ORDER BY vec_id""",
     "embed_clusters" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
