@@ -133,4 +133,41 @@ class PlanSpec extends SparkSpecBase {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"chunking must stay shuffle-free:\n${p.take(800)}")
   }
+
+  test("bloom_prune runs might_contain at the scan, then an exact confirm join") {
+    val p = planOf("bloom_prune")
+    assert(p.contains("might_contain"), p.take(900))
+    assert(p.contains("LeftSemi"), p.take(900))
+  }
+
+  test("hard_negatives group-limits per probe with broadcast probes") {
+    val p = planOf("hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("budget_select windows over the data only WITH a partition spec") {
+    // the global prefix sum must stay distributed: any window whose
+    // partition spec is empty may only sit over the tiny per-partition
+    // totals aggregate (its input is bounded by the partition count)
+    val p = planOf("budget_select")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.exists(_.contains("__pid")), s"expected a __pid-partitioned window:\n$p")
+  }
+
+  test("scd2_merge and cdc_apply keep their one-shuffle shapes end-to-end") {
+    val scd2 = planOf("scd2_merge")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(scd2).size == 1,
+      scd2.take(900))
+    assert(scd2.contains("Generate explode"), scd2.take(900))
+    val cdc = planOf("cdc_apply")
+    assert(cdc.contains("WindowGroupLimit"), cdc.take(800))
+  }
+
+  test("sample_weighted and fold_assign stay scan-level (no joins, no extra exchanges)") {
+    val sw = planOf("sample_weighted")
+    assert(!sw.contains("Join"), sw.take(800))
+    // one exchange for the output range sort only
+    assert("Exchange".r.findAllIn(sw).size <= 1, sw.take(800))
+  }
 }
