@@ -39,7 +39,12 @@ object Warehouse {
     *
     * At 100 TB the dimension is the big side and this is one shuffle of
     * the CURRENT slice only (history never moves), which is the minimum
-    * any SCD2 merge can do. */
+    * any SCD2 merge can do.
+    *
+    * CONTRACT: `updates` must carry ONE row per key — a full-outer join
+    * against a multi-row snapshot would silently fan every matching dim
+    * row out. A multi-update CDC feed folds to one-row-per-key first
+    * with `applyChangeLog` (WarehouseSpec pins the composition). */
   def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
                 trackCols: Seq[String], effectiveDate: String): DataFrame = {
     val validFrom = "valid_from"; val validTo = "valid_to"; val isCurrent = "is_current"
@@ -85,7 +90,10 @@ object Warehouse {
     *
     * One shuffle each side (or broadcast when one snapshot is small) —
     * the minimum for a keyed diff; the column comparison itself is a
-    * codegen'd projection on the joined row. */
+    * codegen'd projection on the joined row.
+    *
+    * CONTRACT: `key` must be unique in each snapshot (it is a table
+    * version's primary key); duplicate keys would fan the join out. */
   def tableDiff(before: DataFrame, after: DataFrame, key: String,
                 compareCols: Seq[String]): DataFrame = {
     val b = before.select(col(key) +: compareCols.map(c => col(c).as(s"__b_$c")): _*)

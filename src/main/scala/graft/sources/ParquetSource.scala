@@ -30,6 +30,42 @@ object ParquetSource {
   def loadOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Per-file parquet footer statistics for a LONG column: (file, rows,
+    * min, max) straight from the metadata the format keeps for data
+    * skipping — no data pages are read. This is layout introspection:
+    * "which files would a filter on this column touch", the check that
+    * PROVES a sort/z-order write produced skippable files (narrow
+    * per-file ranges) instead of just claiming it. Driver-side by
+    * design — cost is one footer read per file, the same metadata pass
+    * every planner makes. */
+  def parquetLongColStats(spark: SparkSession, path: String, column: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val stats = files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val colStats = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+        val mins = colStats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+        val maxs = colStats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+        (f.getPath.getName, blocks.map(_.getRowCount).sum,
+          if (mins.isEmpty) None else Some(mins.min),
+          if (maxs.isEmpty) None else Some(maxs.max))
+      } finally reader.close()
+    }
+    import spark.implicits._
+    stats.toDF("file", "rows", "min", "max")
+  }
+
   /** Bucketed + sorted table layout (requires the session catalog):
     * both sides of a join bucketed by the join key into the same bucket
     * count join with NO exchange and no sort — the shuffle is paid once

@@ -85,6 +85,26 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(filesForY <= filesTotal / 2, s"y slice touches $filesForY of $filesTotal files")
   }
 
+  test("zorder write yields narrow per-file footer ranges on BOTH dimensions") {
+    // the quantitative data-skipping proof, from REAL parquet footers:
+    // 64x64 grid into 16 z-ordered files => each file covers ~a 16x16
+    // rectangle, so per-file min/max spread on x AND y is far below the
+    // full range (an x-sorted write would give y spread = 63 everywhere)
+    import graft.sources.ParquetSource
+    val n = 64
+    val df = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = java.nio.file.Files.createTempDirectory("zstats").toString + "/t"
+    ZOrder.writeZOrdered(df, out, "x", "y", numFiles = 16, bits = 6)
+    for (c <- Seq("x", "y")) {
+      val spreads = ParquetSource.parquetLongColStats(spark, out, c)
+        .collect().filter(_.getLong(1) > 0)
+        .map(r => r.getLong(3) - r.getLong(2))
+      assert(spreads.nonEmpty)
+      assert(spreads.max <= 31, s"$c spreads ${spreads.mkString(",")}")
+    }
+  }
+
   test("zorder interleaveSql mirrors the column expression digit-for-digit") {
     val df = Seq((12345L, 54321L), (7L, 99L), (65535L, 0L)).toDF("x", "y")
     df.createOrReplaceTempView("zt")

@@ -61,6 +61,26 @@ class WarehouseSpec extends SparkSpecBase {
     assert(plan.contains("Generate explode"), s"expected explode emission:\n$plan")
   }
 
+  test("a multi-update CDC feed folds through applyChangeLog into an SCD2 merge") {
+    // the documented composition for feeds with several updates per key:
+    // fold latest-wins first, then merge the one-row-per-key snapshot
+    val feed = Seq(
+      (1L, 10L, "U", "a1"), (1L, 20L, "U", "a2"),  // two updates: a2 wins
+      (2L, 10L, "D", "-")                           // tombstone: key absent from snapshot
+    ).toDF("k", "seq", "typ", "attr")
+    val snapshot = Warehouse.applyChangeLog(feed, col("k"), Seq(col("seq")),
+      when(col("typ") === "D", "D").otherwise("U")).select("k", "attr")
+    val out = Warehouse.scd2Merge(dim, snapshot, "k", Seq("attr"), "2024-06-01")
+      .orderBy("k", "valid_from").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getBoolean(4)))
+    // k1: closed + successor a2 (one pair, not one per feed row);
+    // k2 absent from snapshot: passes through untouched (no implicit delete)
+    assert(out.toSeq == Seq(
+      (1L, "a", false), (1L, "a2", true),
+      (2L, "b", true),
+      (3L, "c", false), (3L, "c2", true)))
+  }
+
   test("tableDiff classifies added/removed/changed/unchanged and names changed columns") {
     val before = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, null.asInstanceOf[String], 4.0))
       .toDF("k", "s", "v")
