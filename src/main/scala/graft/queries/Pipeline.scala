@@ -365,6 +365,44 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image pipeline end-to-end: synthesize a solid-gray PNG per
+    // document (dimensions and gray level varied by doc_id), decode →
+    // bilinear-resize to 8x8 → decode again → luminance-histogram the
+    // pixels. Every step runs the real JDK codec path; the oracle
+    // recomputes the expected dimensions, dominant luma bin and mass
+    // from doc_id arithmetic (bilinear resize of a uniform color is the
+    // same color, so the histogram is fully predictable).
+    "media_resize" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents").select(col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("img",
+          org.apache.spark.sql.types.BinaryType, nullable = false))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val synth = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 5).toInt; val h = 3 + (id % 3).toInt
+          val g = ((id * 37) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bos.toByteArray)
+        }
+      }(enc)
+      val resized = MultimodalFunctions.resizeImage(synth, "img", 8, 8)
+      val feat = MultimodalFunctions.imageLumaHistogram(
+        MultimodalFunctions.decodeImageMeta(resized.drop("img")
+          .withColumnRenamed("resized", "img"), "img"), "img", bins = 16)
+      feat.select(col("doc_id"), col("img_width"), col("img_height"),
+          expr("array_position(luma_hist, array_max(luma_hist))").cast("int").as("top_bin1"),
+          round(expr("array_max(luma_hist)"), 6).as("top_mass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling plumbing (video/audio batch shape): 4 evenly
     // spaced 16-byte windows per binary payload via frameSampleStub,
     // posexploded to one row per frame — the real one-row-in, n-frames-
@@ -730,6 +768,12 @@ object Pipeline extends QueryModule {
            md5(frame) AS frame_md5,
            CAST(length(frame) AS BIGINT) AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",
+    "media_resize" ->
+      """SELECT doc_id,
+           CAST(8 AS INTEGER) AS img_width, CAST(8 AS INTEGER) AS img_height,
+           CAST(((doc_id * 37) % 256) * 16 // 256 + 1 AS INTEGER) AS top_bin1,
+           CAST(1.0 AS DOUBLE) AS top_mass
+         FROM documents ORDER BY doc_id""",
     "media_audio" ->
       """SELECT doc_id,
            CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 22050 END AS INTEGER) AS wav_sample_rate,

@@ -103,6 +103,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(mime == "image/png")
   }
 
+  test("resizeImage scales a real PNG; imageLumaHistogram features the decoded pixels") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(8, 6, 0xFFFFFF)),                       // white
+      (2L, png(4, 4, 0x000000)),                       // black
+      (3L, "junk".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media")
+    val resized = MultimodalFunctions.resizeImage(df, "media", 4, 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("resized"))).toMap
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).get))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    assert(resized(3L).isEmpty && resized(4L).isEmpty, "junk/null must resize to null")
+
+    val hists = MultimodalFunctions.imageLumaHistogram(df, "media", bins = 16)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](2))).toMap
+    assert(hists(1L).get.last == 1.0, s"white mass in top bin: ${hists(1L).get}")
+    assert(hists(2L).get.head == 1.0, s"black mass in bottom bin: ${hists(2L).get}")
+    assert(math.abs(hists(1L).get.sum - 1.0) < 1e-9)
+    assert(hists(3L).isEmpty && hists(4L).isEmpty)
+  }
+
   test("decodeWavMeta reads rate/channels/bits/duration from a real WAV container") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // a genuine WAV encoder (JDK javax.sound), not hand-rolled bytes:
