@@ -10,7 +10,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private[graft] val modules: Seq[QueryModule] = Seq(Relational, Parity, Pipeline, Typed, Curation, Training, TpchSuite, IoQueries, Scale)
+  private[graft] val modules: Seq[QueryModule] = Seq(Relational, Parity, Pipeline, Typed, Curation, Training, TpchSuite, IoQueries, Scale, Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval algebra over keyed [start, end) spans — the sweep-line
+  * merge every usage-metering / session-coverage / speech-segment
+  * pipeline needs ("how much wall-clock does this user's activity
+  * actually cover once overlaps collapse?").
+  *
+  * Shape: ONE window shuffle on the key. The classic sweep — order by
+  * start, flag a new group whenever start exceeds the running max of
+  * end, prefix-sum the flags into group ids — is two stacked window
+  * functions over the SAME (partitionBy key, orderBy start) spec, so
+  * Catalyst evaluates both in a single WindowExec after a single
+  * exchange; the per-group min/max aggregation then reuses that
+  * partitioning. Per-key state is one running long, never a buffer of
+  * intervals — a key with 10⁹ spans streams through.
+  *
+  * All arithmetic is integer (epoch micros), so coverage sums are exact
+  * and engine-portable — no FP rounding anywhere.
+  */
+object Intervals {
+
+  /** Collapse overlapping/touching [startUs, endUs) spans per key.
+    * Returns one row per merged span: (key, span_start, span_end).
+    * Touching spans (next.start == prev.end) merge, as [a,b)∪[b,c)=[a,c).
+    */
+  def mergeSpans(df: DataFrame, key: Column, startUs: Column, endUs: Column): DataFrame = {
+    val byStart = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    df.select(key.as("k"), startUs.as("s"), endUs.as("e"))
+      // running max of end over PRECEDING rows only: a new group starts
+      // where this span begins strictly after everything seen so far ended
+      .withColumn("new_grp",
+        when(col("s") > coalesce(
+          max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(byStart))
+      .groupBy(col("k"), col("grp"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .drop(col("grp"))
+      .withColumnRenamed("k", "key")
+  }
+
+  /** Total covered micros and merged-span count per key. */
+  def coverage(df: DataFrame, key: Column, startUs: Column, endUs: Column): DataFrame =
+    mergeSpans(df, key, startUs, endUs)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("covered_us"))
+}

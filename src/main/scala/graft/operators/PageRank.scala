@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank over an edge list, in FIXED-POINT integer
+  * arithmetic so the result is bit-exact across engines and cluster
+  * topologies.
+  *
+  * Floating-point PageRank is not reproducible on a cluster: the
+  * per-destination contribution sum is order-dependent, and partial
+  * aggregation visits rows in a different order on every run. Scaling
+  * ranks to long integers (SCALE = 1e12) makes every operation — the
+  * out-degree division, the damping multiply, the contribution sum —
+  * exact 64-bit arithmetic with one defined answer. Overflow headroom:
+  * total mass is ~SCALE (1e12); a single node's summed contribution is
+  * bounded by total mass, and the damping step multiplies by 85 before
+  * dividing — max intermediate ~8.5e13, far under Long.MaxValue (9.2e18).
+  *
+  * Scale shape: each iteration is ONE shuffle-join of ranks against the
+  * edge list on `src` plus ONE keyed aggregation on `dst` — the same
+  * join+groupBy round the connected-components operators use
+  * (ConnectedComponents.scala:31). Edges are never collected; the rank
+  * table is one row per node. For the default small iteration counts the
+  * unrolled lineage is fine; callers looping to convergence at 100 TB
+  * should snapshot the rank table every few rounds exactly as
+  * `ConnectedComponents.connectedComponents` checkpoints its label table.
+  *
+  * Dangling nodes (no out-edges) keep their rank out of circulation —
+  * the classic simplified formulation; both this and the SQL oracle drop
+  * the same mass, so the results agree. Reference scope: the reference
+  * engine has no graph operators at all (SURVEY.md §2.11); this is part
+  * of the north-star surface (duplicate-cluster authority scoring,
+  * domain-graph weighting for crawl curation).
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // 1e12 fixed-point scale
+
+  /** Ranks after `iters` rounds over `edges(src, dst)` (string node ids,
+    * duplicate edges ignored). Returns (node, rank_scaled) where
+    * rank_scaled is the fixed-point rank; ranks sum to ≤ SCALE (dangling
+    * leakage). The node count feeding the base rank is computed IN the
+    * plan (a one-row aggregate cross-joined in) — no driver-side count
+    * action, so the whole computation is one lazy plan.
+    */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    // degree-annotated edge list: ONE row per edge carrying its source's
+    // out-degree — the per-iteration join against it is the only big
+    // input, computed once and persisted (persist keeps lineage, so an
+    // executor loss recomputes lost blocks; MEMORY_AND_DISK spills
+    // rather than evicting into recomputation)
+    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // rank' = (15 * (SCALE div N)) div 100  +  (85 * Σ contrib) div 100,
+    // contrib = rank div deg. Every div is integer; the oracle repeats
+    // the identical expression text. N rides along as a one-row
+    // aggregate cross-joined where needed (broadcast nested loop of a
+    // single row — free).
+    //
+    // Per-iteration shape: the rank table is one SMALL row per node while
+    // `ed` is one row per edge, so the join wants rank on the build side
+    // (AQE picks broadcast from runtime stats; no hardcoded hint — at
+    // billions of nodes it degrades gracefully to a shuffled join).
+    // Missing destinations get their zero via the union of explicit zero
+    // rows instead of a post-hoc left join: one join + one keyed
+    // aggregation per round, nothing else.
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    var rank = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"${Scale}L div nn").as("rank"))
+    for (_ <- 1 to iters) {
+      // `div`, not `/`: long / long in Spark is DOUBLE division, and at
+      // rank ~1e12 a double's ulp (~1.2e-4) exceeds 1/deg for large
+      // degrees — the cast-back could round across an integer boundary.
+      val contribs = ed.join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+      rank = contribs
+        .union(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .crossJoin(nn)
+        .select(col("dst").as("node"),
+          expr(s"(15 * (${Scale}L div nn)) div 100 + (85 * c) div 100").as("rank"))
+    }
+    rank.withColumnRenamed("rank", "rank_scaled")
+  }
+
+  /** The identical computation as chained SQL CTEs (aggregates are not
+    * allowed in a recursive CTE's recursive term in most engines, so the
+    * fixed iteration count is unrolled). `edgesSql` must yield (src, dst)
+    * without duplicates; `nNodesSql` a scalar subquery for N.
+    */
+  def ranksSql(edgesSql: String, iters: Int): String = {
+    val prelude =
+      s"""WITH e AS ($edgesSql),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS rank FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      s""" r$i AS (
+           SELECT nodes.node,
+                  (15 * ($Scale // (SELECT n FROM nn))) // 100
+                  + (85 * coalesce(s.c, 0)) // 100 AS rank
+           FROM nodes LEFT JOIN (
+             SELECT e.dst, sum(r.rank // deg.deg) AS c
+             FROM r${i - 1} r JOIN deg ON r.node = deg.src
+                              JOIN e ON r.node = e.src
+             GROUP BY e.dst) s ON nodes.node = s.dst)"""
+    }
+    (prelude +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r$iters"
+  }
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{FuzzyJoin, Intervals, PageRank}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytic-operator queries: graph centrality, interval
+  * algebra, fuzzy matching and regression aggregates — the operator
+  * families a curation pipeline reaches for once the relational core
+  * and the dedup/ANN stack exist (domain authority for crawl
+  * weighting, activity coverage, dirty-name resolution, drift trends).
+  */
+object Analytics extends QueryModule {
+
+  /** 2024-01-01 00:00:00 UTC in epoch micros: zeroes the hour index so
+    * regression x-values are small positive ints (no FP cancellation,
+    * and truncating vs flooring integer division can't diverge). */
+  private val HourBase = 1704067200000000L
+
+  val queries: Map[String, Q] = Map(
+
+    // PageRank over the supplier↔customer trade graph (edges from
+    // lineitem⋈orders, both directions), 5 rounds of fixed-point
+    // integer arithmetic — bit-exact, so a HASH oracle exists for an
+    // iterative graph algorithm. Each round is one join + one keyed
+    // aggregation; the rank table is one row per node.
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      PageRank.ranks(edges, iters = 5)
+        .orderBy(col("rank_scaled").desc, col("node"))
+    }),
+
+    // Merged-interval activity coverage: each event claims 15 minutes;
+    // overlaps collapse via the sweep-line window (one shuffle on
+    // user_id) and the per-user covered wall-clock comes out in exact
+    // integer micros.
+    "interval_union" -> ((s, dir) => {
+      val iv = Tables(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + lit(900000000L)).as("e_us"))
+      Intervals.coverage(iv, col("user_id"), col("s_us"), col("e_us"))
+        .select(col("key").as("user_id"), col("n_spans"), col("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Fuzzy entity match: part names with a deterministic typo (2nd
+    // character deleted) resolved back against the canonical part
+    // table at edit distance ≤ 2 — deletion-neighborhood blocking, no
+    // cross join. The oracle verifies with a brute-force levenshtein
+    // join, which the blocking must reproduce EXACTLY.
+    "fuzzy_match" -> ((s, dir) => {
+      val parts = Tables(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 1), expr("substr(p_name, 3)")).as("probe_name"))
+      FuzzyJoin.join(probes, col("probe_name"), parts, col("p_name"), maxDist = 2)
+        .select(col("probe_key"), col("probe_name"), col("p_partkey"),
+          col("p_name"), col("edit_dist"))
+        .orderBy(col("probe_key"), col("p_partkey"))
+    }),
+
+    // Per-segment OLS trend: value regressed on hours-since-Jan-1 —
+    // drift detection over a metric stream as three associative
+    // regression aggregates (one partial-agg shuffle, no windows).
+    "ols_trend" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          expr(s"(unix_micros(ts) - ${HourBase}L) div 3600000000").cast("double").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (round(expr("regr_slope(value, x)"), 6) + lit(0.0)).as("slope"),
+          (round(expr("regr_intercept(value, x)"), 6) + lit(0.0)).as("intercept"),
+          (round(expr("regr_r2(value, x)"), 6) + lit(0.0)).as("r2"))
+        .orderBy(col("event_type"))),
+
+    // Spearman rank correlation: monotone association between value
+    // and event time per type. Ranks are deterministic row_numbers
+    // (event_id tiebreak), so the only FP is the final Pearson over
+    // integer ranks — rounded like corr_stats.
+    "spearman_rank" -> ((s, dir) => {
+      val byValue = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val byTime = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"), col("ts"))
+        .withColumn("rv", row_number().over(byValue).cast("double"))
+        .withColumn("rt", row_number().over(byTime).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (round(corr(col("rv"), col("rt")), 6) + lit(0.0)).as("spearman"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Fixed-width value histogram: the one-scan distribution profile
+    // (bin = floor(price / 25000)); integer bin ids, exact counts.
+    "value_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("bin_total"))
+        .withColumn("bin_lo", col("bin") * 25000L)
+        .orderBy(col("bin")))
+  )
+
+  private val edgesSql: String =
+    """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, 'c' || CAST(o_custkey AS VARCHAR) AS dst
+       FROM (SELECT DISTINCT l_suppkey, o_custkey
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       UNION ALL
+       SELECT 'c' || CAST(o_custkey AS VARCHAR), 's' || CAST(l_suppkey AS VARCHAR)
+       FROM (SELECT DISTINCT l_suppkey, o_custkey
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      (PageRank.ranksSql(edgesSql, iters = 5) + "\nORDER BY rank_scaled DESC, node"),
+    "interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS e FROM events),
+         f AS (SELECT user_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ng
+               FROM iv),
+         g AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY s, e) AS grp FROM f),
+         m AS (SELECT user_id, grp, min(s) AS ss, max(e) AS se FROM g GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_spans, CAST(sum(se - ss) AS BIGINT) AS covered_us
+         FROM m GROUP BY 1 ORDER BY 1""",
+    "fuzzy_match" ->
+      """WITH probes AS (
+           SELECT p_partkey AS probe_key,
+                  substr(p_name, 1, 1) || substr(p_name, 3) AS probe_name
+           FROM part WHERE p_partkey % 97 = 0)
+         SELECT probe_key, probe_name, p.p_partkey, p.p_name,
+                levenshtein(probe_name, p.p_name) AS edit_dist
+         FROM probes, part p
+         WHERE levenshtein(probe_name, p.p_name) <= 2
+         ORDER BY probe_key, p.p_partkey""",
+    "ols_trend" ->
+      """SELECT event_type, count(*) AS n,
+           round(regr_slope(value, x), 6) + 0.0 AS slope,
+           round(regr_intercept(value, x), 6) + 0.0 AS intercept,
+           round(regr_r2(value, x), 6) + 0.0 AS r2
+         FROM (SELECT event_type, value,
+                 CAST((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) // 3600000000 AS DOUBLE) AS x
+               FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "spearman_rank" ->
+      """WITH r AS (
+           SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE) AS rv,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS DOUBLE) AS rt
+           FROM events)
+         SELECT event_type, count(*) AS n, round(corr(rv, rt), 6) + 0.0 AS spearman
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "value_histogram" ->
+      """SELECT bin, count(*) AS n_orders, round(sum(o_totalprice), 2) AS bin_total,
+           bin * 25000 AS bin_lo
+         FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, o_totalprice
+               FROM orders)
+         GROUP BY bin ORDER BY bin"""
+  )
+}

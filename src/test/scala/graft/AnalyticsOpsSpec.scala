@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{FuzzyJoin, Intervals, PageRank}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 analytic operators: fixed-point PageRank,
+  * interval merge/coverage, and the deletion-neighborhood fuzzy join
+  * (whose blocking must be EXACT — same pairs as brute force). */
+class AnalyticsOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- PageRank ----------------------------------------------------
+
+  /** Sequential reference implementation of the identical fixed-point
+    * arithmetic, for hand-verifiable cross-checks. */
+  private def prRef(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = (15L * (PageRank.Scale / n)) / 100L
+    var rank = nodes.map(_ -> PageRank.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = nodes.map(v => v -> (base + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def prSpark(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    PageRank.ranks(edges.toDF("src", "dst"), iters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("pagerank matches the sequential fixed-point reference on a cycle") {
+    // symmetric triangle: all nodes equal by symmetry, rank conserved
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "a", "c" -> "b", "a" -> "c")
+    val got = prSpark(e, 5)
+    assert(got == prRef(e, 5))
+    assert(got.values.toSet.size == 1, "symmetric graph must give equal ranks")
+  }
+
+  test("pagerank concentrates rank on the hub of a star") {
+    // spokes all point at the hub; hub points back at one spoke
+    val e = Seq("s1" -> "hub", "s2" -> "hub", "s3" -> "hub", "hub" -> "s1")
+    val got = prSpark(e, 5)
+    assert(got == prRef(e, 5))
+    assert(got("hub") > got("s2") && got("s1") > got("s2"))
+  }
+
+  test("pagerank handles dangling nodes (sinks keep mass out of circulation)") {
+    val e = Seq("a" -> "b", "c" -> "b") // b has no out-edges
+    val got = prSpark(e, 3)
+    assert(got == prRef(e, 3))
+    assert(got("b") > got("a") && got("a") == got("c"))
+  }
+
+  // --- interval union ----------------------------------------------
+
+  private def cov(spans: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+    Intervals.coverage(spans.toDF("k", "s", "e"), col("k"), col("s"), col("e"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("interval coverage merges overlaps, keeps gaps, and joins touching spans") {
+    val got = cov(Seq(
+      ("u", 0L, 10L), ("u", 5L, 15L),   // overlap -> [0,15)
+      ("u", 15L, 20L),                  // touching -> extends to [0,20)
+      ("u", 30L, 40L),                  // gap -> second span
+      ("v", 0L, 100L), ("v", 10L, 20L)  // nested -> absorbed
+    ))
+    assert(got == Map("u" -> ((2L, 30L)), "v" -> ((1L, 100L))))
+  }
+
+  test("interval merge emits the exact merged span bounds") {
+    val spans = Intervals.mergeSpans(
+      Seq(("u", 0L, 10L), ("u", 5L, 15L), ("u", 30L, 40L)).toDF("k", "s", "e"),
+      col("k"), col("s"), col("e"))
+      .orderBy("span_start").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((0L, 15L), (30L, 40L)))
+  }
+
+  test("interval coverage with duplicate identical spans is deterministic") {
+    val got = cov(Seq(("u", 0L, 10L), ("u", 0L, 10L), ("u", 0L, 10L)))
+    assert(got == Map("u" -> ((1L, 10L))))
+  }
+
+  // --- fuzzy join --------------------------------------------------
+
+  test("deletion neighborhood of 'abc' at d=2 is exactly the 0/1/2-deletion set") {
+    val got = spark.range(1).select(FuzzyJoin.neighborhood(lit("abc"), 2).as("v"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(got == Set("abc", "ab", "ac", "bc", "a", "b", "c"))
+  }
+
+  test("fuzzy join finds exactly the brute-force pair set (exact blocking)") {
+    val names = Seq("kitten", "sitten", "sittin", "sitting", "mitten",
+      "bitten", "kitchen", "a", "", "ab", "ba", "widget", "gadget")
+    val l = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("lid", "lname")
+    val r = names.zipWithIndex.map { case (n, i) => (i.toLong + 100, n) }.toDF("rid", "rname")
+    for (d <- 0 to 2) {
+      val got = FuzzyJoin.join(l, col("lname"), r, col("rname"), d)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = l.crossJoin(r)
+        .filter(levenshtein(col("lname"), col("rname")) <= d)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"d=$d: blocking missed or invented pairs")
+    }
+  }
+
+  test("fuzzy join reports the verified edit distance") {
+    val l = Seq((1L, "kitten")).toDF("lid", "lname")
+    val r = Seq((2L, "sitten"), (3L, "sittin"), (4L, "kitten")).toDF("rid", "rname")
+    val got = FuzzyJoin.join(l, col("lname"), r, col("rname"), 2)
+      .select("rid", "edit_dist").collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    assert(got == Map(2L -> 1, 3L -> 2, 4L -> 0))
+  }
+}
