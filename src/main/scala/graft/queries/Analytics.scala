@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{FuzzyJoin, Intervals, PageRank}
+import graft.operators.{ConnectedComponents, FuzzyJoin, Intervals, PageRank}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,17 +54,47 @@ object Analytics extends QueryModule {
     // Fuzzy entity match: part names with a deterministic typo (2nd
     // character deleted) resolved back against the canonical part
     // table at edit distance ≤ 2 — deletion-neighborhood blocking, no
-    // cross join. The oracle verifies with a brute-force levenshtein
-    // join, which the blocking must reproduce EXACTLY.
+    // cross join. The pairwise work runs on DISTINCT strings (the
+    // string-dedup-then-re-expand shape: at 100 TB the name vocabulary
+    // is orders of magnitude smaller than the row count), then cheap
+    // equi-joins fan the matches back out to rows. The oracle verifies
+    // with a brute-force levenshtein join, which the blocking + re-
+    // expansion must reproduce EXACTLY.
     "fuzzy_match" -> ((s, dir) => {
       val parts = Tables(s, dir, "part").select(col("p_partkey"), col("p_name"))
       val probes = parts.filter(col("p_partkey") % 97 === 0)
         .select(col("p_partkey").as("probe_key"),
           concat(substring(col("p_name"), 1, 1), expr("substr(p_name, 3)")).as("probe_name"))
-      FuzzyJoin.join(probes, col("probe_name"), parts, col("p_name"), maxDist = 2)
+      val matchedNames = FuzzyJoin.join(
+        probes.select(col("probe_name").as("pn")).distinct(), col("pn"),
+        parts.select(col("p_name").as("cn")).distinct(), col("cn"), maxDist = 2)
+      probes.join(matchedNames, col("probe_name") === col("pn"))
+        .join(parts, col("p_name") === col("cn"))
         .select(col("probe_key"), col("probe_name"), col("p_partkey"),
           col("p_name"), col("edit_dist"))
         .orderBy(col("probe_key"), col("p_partkey"))
+    }),
+
+    // Entity resolution end-to-end: canonical name vocabulary →
+    // fuzzy-pair graph (deletion-neighborhood join on DISTINCT names,
+    // lev ≤ 2) → connected components → per-cluster rollup. The
+    // composition a dirty-catalog consolidation runs: vocabulary-sized
+    // pairwise work, row-sized only at the final fan-out. Singleton
+    // names (no fuzzy neighbor) keep their own id as cluster label.
+    "entity_clusters" -> ((s, dir) => {
+      val names = Tables(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"), count(lit(1)).as("n_parts"))
+      val pairs = FuzzyJoin.join(
+        names.select(col("p_name").as("ln"), col("name_id").as("i")), col("ln"),
+        names.select(col("p_name").as("rn"), col("name_id").as("j")), col("rn"),
+        maxDist = 2)
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+      val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
+      names.join(labels, col("name_id") === col("node"), "left")
+        .groupBy(coalesce(col("cluster"), col("name_id")).as("cluster"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n_parts")).as("n_parts"))
+        .orderBy(col("cluster"))
     }),
 
     // Per-segment OLS trend: value regressed on hours-since-Jan-1 —
@@ -143,6 +173,23 @@ object Analytics extends QueryModule {
          FROM probes, part p
          WHERE levenshtein(probe_name, p.p_name) <= 2
          ORDER BY probe_key, p.p_partkey""",
+    "entity_clusters" ->
+      """WITH RECURSIVE names AS (
+           SELECT p_name, min(p_partkey) AS name_id, count(*) AS n_parts
+           FROM part GROUP BY p_name),
+         pr AS (SELECT a.name_id AS i, b.name_id AS j FROM names a, names b
+                WHERE a.name_id < b.name_id
+                  AND levenshtein(a.p_name, b.p_name) <= 2),
+         edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         lab AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+         SELECT coalesce(l.cluster, n.name_id) AS cluster,
+                count(*) AS n_names, CAST(sum(n.n_parts) AS BIGINT) AS n_parts
+         FROM names n LEFT JOIN lab l ON n.name_id = l.u
+         GROUP BY 1 ORDER BY 1""",
     "ols_trend" ->
       """SELECT event_type, count(*) AS n,
            round(regr_slope(value, x), 6) + 0.0 AS slope,
