@@ -114,6 +114,20 @@ object IoQueries extends QueryModule {
       castLike(back, src).orderBy(col("n_nationkey"))
     }),
 
+    // Small-file compaction: orders written as 40 deliberately tiny
+    // files, compacted to target-sized ones (shuffle-free coalesce),
+    // read back — the maintenance pass that keeps a streaming-fed table
+    // scannable. The oracle is the original table: compaction must be
+    // a pure re-layout.
+    "io_compact_roundtrip" -> ((s, dir) => {
+      val src = Tables(s, dir, "orders")
+      val shattered = tmpDir("shatter")
+      src.repartition(40).write.mode("overwrite").parquet(shattered)
+      val out = tmpDir("compact")
+      ParquetSource.compact(s, shattered, out)
+      ParquetSource.load(s, out).orderBy(col("o_orderkey"))
+    }),
+
     // §2.8 scatter_plot: the distributed binning grid behind the render
     // (the render itself is a driver-side paint of these rows).
     "plot_bins" -> ((s, dir) =>
@@ -164,6 +178,7 @@ object IoQueries extends QueryModule {
     "io_orc_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
     "io_excel_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
     "io_sql_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "io_compact_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     // Identical double arithmetic, term for term, to Display.scatterBins
     // (same op order → same IEEE result → same bin).
     "plot_bins" ->

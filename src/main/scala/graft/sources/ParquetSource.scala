@@ -66,6 +66,43 @@ object ParquetSource {
     stats.toDF("file", "rows", "min", "max")
   }
 
+  /** Small-file compaction: rewrite a directory of parquet files into
+    * ~targetBytes-sized files. The chronic 100 TB table disease is the
+    * opposite of "too big": streaming sinks, partitioned writes and
+    * incremental jobs leave thousands of KB-sized files whose per-file
+    * open/footer cost dominates scans and whose count bloats every
+    * planner listing. Compaction is a pure re-layout — `coalesce`, NOT
+    * `repartition`: merging partitions needs no shuffle (each output
+    * task reads several input files sequentially); data order inside
+    * partitions is preserved, so a sorted/z-ordered layout stays
+    * clustered. Returns (filesBefore, filesAfter).
+    *
+    * File count comes from the same FS listing the planner does; sizing
+    * uses real on-disk bytes, not row estimates, so heavily-compressed
+    * columns still land near the target. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(inDir)
+    val fs = root.getFileSystem(conf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(root)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // coalesce only ever REDUCES partition count, so make the scan
+    // produce at-least-target-grained partitions first: scope
+    // maxPartitionBytes to the target for this one read (restored
+    // after), then coalesce to the exact output count.
+    val k = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, targetBytes.toString)
+    try spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    finally spark.conf.set(k, prev)
+    (before.length, parquetFiles(new org.apache.hadoop.fs.Path(outDir)).length)
+  }
+
   /** Bucketed + sorted table layout (requires the session catalog):
     * both sides of a join bucketed by the join key into the same bucket
     * count join with NO exchange and no sort — the shuffle is paid once

@@ -170,4 +170,34 @@ class PlanSpec extends SparkSpecBase {
     // one exchange for the output range sort only
     assert("Exchange".r.findAllIn(sw).size <= 1, sw.take(800))
   }
+
+  test("fuzzy_match blocks with equi-joins — never a cartesian/nested-loop product") {
+    val p = planOf("fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
+  test("interval_union runs the whole sweep after ONE keyed exchange") {
+    val p = planOf("interval_union")
+    // running-max and group-id windows share (partition, order), so they
+    // stack back-to-back over a single sort after a single hash
+    // exchange; the only other exchange is the output range sort, and
+    // the span/coverage aggregations reuse the window's partitioning
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p.take(1200))
+    assert("Sort ".r.findAllIn(p).size == 2, p.take(1200))
+  }
+
+  test("graph_pagerank iterations aggregate map-side (partial_sum before each exchange)") {
+    val p = planOf("graph_pagerank")
+    assert(p.contains("partial_sum"), p.take(900))
+    // the rank-side joins must never multiply the edge list: no cartesian
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("value_histogram is one partial-agg scan (no joins, minimal exchanges)") {
+    val p = planOf("value_histogram")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
+  }
 }

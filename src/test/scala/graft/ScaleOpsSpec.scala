@@ -115,4 +115,32 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(viaSql == viaCol)
     spark.catalog.dropTempView("zt")
   }
+
+  test("compact merges shattered files with exact multiset fidelity") {
+    import graft.sources.ParquetSource
+    val df = (0L until 5000L).map(i => (i, s"row_$i")).toDF("id", "v")
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    df.repartition(40).write.parquet(s"$base/in")
+    // huge target => everything fits one file
+    val (nBefore, nAfter) = ParquetSource.compact(spark, s"$base/in", s"$base/out")
+    assert(nBefore == 40 && nAfter == 1, s"($nBefore, $nAfter)")
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 5000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("compact splits to the byte target when one file would be too big") {
+    import graft.sources.ParquetSource
+    val df = (0L until 20000L).map(i => (i, ("x" * 64) + i)).toDF("id", "v")
+    val base = java.nio.file.Files.createTempDirectory("compact2").toString
+    df.repartition(32).write.parquet(s"$base/in")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // target ~ quarter of the payload => ~4 output files
+    val (_, nAfter) = ParquetSource.compact(spark, s"$base/in", s"$base/out", total / 4)
+    assert(nAfter >= 3 && nAfter <= 5, s"nAfter=$nAfter")
+    assert(spark.read.parquet(s"$base/out").count() == 20000)
+  }
 }
