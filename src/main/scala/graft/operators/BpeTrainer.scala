@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge learning — the tokenizer-
+  * training step of an LLM data pipeline (Sennrich et al. 2016: start
+  * from characters, repeatedly merge the most frequent adjacent symbol
+  * pair).
+  *
+  * Scale shape: the corpus is touched ONCE (word-frequency aggregation —
+  * map-side partial, one shuffle). Every learning round then works on
+  * the WORD VOCABULARY, which is orders of magnitude smaller than the
+  * corpus and stays distributed: pair counts are an explode + keyed sum
+  * weighted by word frequency; only the single argmax row crosses to the
+  * driver each round (merge decisions are inherently sequential — that
+  * one-row-per-round sync is the algorithm, not a driver bottleneck).
+  * The vocabulary is re-persisted per round and the previous round
+  * unpersisted, so lineage stays flat across any number of merges.
+  *
+  * Determinism: counts are exact longs; argmax ties break on the pair's
+  * lexicographic order, so the learned merge table is reproducible
+  * across partitionings and cluster sizes.
+  */
+object BpeTrainer {
+
+  /** One learned merge: the pair, its weighted count, and its rank. */
+  final case class Merge(rank: Int, a: String, b: String, count: Long)
+
+  /** Corpus → (word, freq): lowercase, split on non-letters. The single
+    * corpus-sized pass; everything after works on this vocabulary. */
+  def wordFreq(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(lower(textCol), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Learn up to `numMerges` merges from a (word, freq) vocabulary.
+    * Stops early if no adjacent pair is left. */
+  def learnMerges(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = wordFreq.select(col("word"), col("freq"),
+      expr("filter(split(word, ''), x -> x != '')").as("syms")).persist(lvl)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // one Spark job per round: the argmax action below both reads the
+    // previous round's cache and materializes the current one, so the
+    // predecessor is unpersisted one round late instead of paying a
+    // separate count() job to hand the cache over eagerly
+    var retiring: List[DataFrame] = Nil
+    try {
+      for (r <- 1 to numMerges) {
+        val top = vocab
+          .select(col("freq"), explode(expr(
+            "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
+              "(x, y) -> struct(x AS a, y AS b))")).as("pr"))
+          .select(col("freq"), col("pr.a").as("a"), col("pr.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        retiring.foreach(_.unpersist())
+        retiring = Nil
+        if (top.isEmpty) return merges.toSeq
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(r, a, b, cnt)
+        // left-to-right greedy merge of (a,b) occurrences, as a fold:
+        // append, or replace the accumulated tail when it is `a` and the
+        // incoming symbol is `b`. Symbols are [a-z]+ so literal quoting
+        // below is safe.
+        val next = vocab.withColumn("syms", expr(
+          s"aggregate(syms, cast(array() as array<string>), (acc, s) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND s = '$b' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+            s"ELSE concat(acc, array(s)) END)")).persist(lvl)
+        retiring = List(vocab)
+        vocab = next
+      }
+      merges.toSeq
+    } finally {
+      retiring.foreach(_.unpersist())
+      vocab.unpersist()
+    }
+  }
+
+  /** Tokenize a vocabulary with an already-learned merge table (applies
+    * merges in rank order, each with the same greedy fold the learner
+    * used). Returns (word, freq, syms) with post-merge symbols. */
+  def applyMerges(wordFreq: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(
+      wordFreq.select(col("word"), col("freq"),
+        expr("filter(split(word, ''), x -> x != '')").as("syms"))) { (df, m) =>
+      df.withColumn("syms", expr(
+        s"aggregate(syms, cast(array() as array<string>), (acc, s) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${m.a}' AND s = '${m.b}' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('${m.a}${m.b}')) " +
+          s"ELSE concat(acc, array(s)) END)"))
+    }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.BpeTrainer
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -194,6 +195,20 @@ object Training extends QueryModule {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 50)
         .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // BPE tokenizer training: 12 merge rounds over the documents corpus.
+    // The merge sequence is exact and deterministic (long counts,
+    // lexicographic tie-break) but the per-round argmax is inherently
+    // sequential — no closed-form SQL exists, so this is a rows-only
+    // row; BpeSpec pins the algorithm against a sequential reference.
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val wf = BpeTrainer.wordFreq(Tables(s, dir, "documents"), col("text"))
+      BpeTrainer.learnMerges(wf, numMerges = 12)
+        .toDF().select(col("rank"), col("a").as("sym_a"), col("b").as("sym_b"),
+          col("count").as("pair_count"))
+        .orderBy(col("rank"))
     }))
 
   val oracle: Map[String, String] = Map(

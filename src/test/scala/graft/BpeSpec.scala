@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.BpeTrainer
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning pinned against a sequential reference
+  * implementation of the same greedy algorithm (exact counts +
+  * lexicographic tie-break make the merge sequence fully
+  * deterministic, so the distributed run must reproduce it merge for
+  * merge). */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Sequential BPE with the identical merge rule (left-to-right greedy
+    * fold) and tie-break (count desc, then pair lexicographic). */
+  private def ref(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) return out.toSeq
+      val ((a, b), c) = counts.minBy { case ((x, y), cnt) => (-cnt, x, y) }
+      out += ((a, b, c))
+      vocab = vocab.groupMapReduce { case (syms, _) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      }(_._2)(_ + _)
+    }
+    out.toSeq
+  }
+
+  private val classic: Map[String, Long] =
+    Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  private def wfDf(words: Map[String, Long]) =
+    words.toSeq.toDF("word", "freq")
+
+  test("distributed merges equal the sequential reference on the classic corpus") {
+    val got = BpeTrainer.learnMerges(wfDf(classic), 8)
+      .map(m => (m.a, m.b, m.count))
+    assert(got == ref(classic, 8))
+    // spot-check the first merge is the expected (e,s) with weight 9
+    // (newest x6 + widest x3), per the published worked example
+    assert(got.head == (("e", "s", 9L)))
+  }
+
+  test("merging repeated symbols is left-to-right greedy (aaa -> [aa, a])") {
+    val words = Map("aaa" -> 1L)
+    val merges = BpeTrainer.learnMerges(wfDf(words), 1)
+    assert(merges.map(m => (m.a, m.b, m.count)) == Seq(("a", "a", 2L)))
+    val toks = BpeTrainer.applyMerges(wfDf(words), merges)
+      .select(col("syms")).as[Seq[String]].collect().head
+    assert(toks == Seq("aa", "a"))
+  }
+
+  test("applyMerges preserves reconstruction: concatenated symbols spell the word") {
+    val merges = BpeTrainer.learnMerges(wfDf(classic), 6)
+    val bad = BpeTrainer.applyMerges(wfDf(classic), merges)
+      .filter(concat_ws("", col("syms")) =!= col("word"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("learning stops early when no pair remains") {
+    // single-char words have no adjacent pairs at all
+    val merges = BpeTrainer.learnMerges(wfDf(Map("a" -> 3L, "b" -> 2L)), 5)
+    assert(merges.isEmpty)
+  }
+
+  test("wordFreq lowercases, splits on non-letters and weights by occurrence") {
+    val docs = Seq("The cat, the CAT!", "cat").toDF("text")
+    val got = BpeTrainer.wordFreq(docs, col("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("the" -> 2L, "cat" -> 3L))
+  }
+}

@@ -26,8 +26,11 @@ class ContractSpec extends SparkSpecBase {
     // dedup_simhash left this set in round 6: md5-derived shingle hashes
     // made the fingerprints engine-portable, so DuckDB rebuilds them and
     // the pair list is hash-checked like everything else.
+    // bpe_merges: the per-round argmax is inherently sequential — no
+    // closed-form SQL oracle exists; BpeSpec pins it against a
+    // sequential reference implementation instead.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_cosine_lsh", "profile_sketch"),
+    assert(rowsOnly == Set("ann_cosine_lsh", "profile_sketch", "bpe_merges"),
       rowsOnly.toString)
   }
 
