@@ -283,4 +283,46 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Trending top-k sink: per finalized window, the k event types with
+    * the highest counts ("what spiked in the last 10 minutes") — the
+    * cross-KEY ranking append-mode aggregation cannot express, done in
+    * foreachBatch over finalized rows.
+    *
+    * Why ranking per batch is sound: append mode emits a window's rows
+    * exactly when the watermark passes its end, so ALL of a window's
+    * per-type rows surface in the SAME micro-batch — the rank window in
+    * the batch always sees complete windows. Exactly-once by
+    * idempotence: each batch writes (overwrite) its own b<batchId>
+    * subdirectory, so a replayed batch rewrites the same files instead
+    * of double-appending.
+    *
+    * State stays bounded exactly as windowedCounts' does; the rank work
+    * per batch is over finalized aggregate rows (one per window×type),
+    * orders of magnitude smaller than the event stream. */
+  def trendingSink(events: DataFrame, outDir: String, checkpointDir: String,
+                   k: Int = 3, windowLen: String = "10 minutes",
+                   watermark: String = "20 minutes") = {
+    val counts = windowedCounts(events, windowLen, watermark)
+    counts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w_start")).orderBy(col("n").desc, col("event_type"))
+        batch.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      }
+      .start()
+  }
+
+  /** All trending rows written by `trendingSink`. */
+  def readTrending(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = Option(new java.io.File(outDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath)
+    require(dirs.nonEmpty, s"no trending batches under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
 }

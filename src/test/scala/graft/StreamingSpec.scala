@@ -352,4 +352,31 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows.toSet == Set((1L, 1L, 2L)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("trendingSink ranks finalized windows top-k and tolerates replayed batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val base = java.nio.file.Files.createTempDirectory("trend").toString
+    val q = StreamOps.trendingSink(
+      ms.toDF().withColumnRenamed("eventType", "event_type"),
+      s"$base/out", s"$base/ckpt", k = 2)
+    try {
+      // window 00:00-00:10 — view 3, click 2, error 1 => top-2: view, click
+      ms.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 2, "view", 1.0),
+        Event(3, ts("2024-01-01 00:03:00"), 3, "view", 1.0),
+        Event(4, ts("2024-01-01 00:04:00"), 1, "click", 1.0),
+        Event(5, ts("2024-01-01 00:05:00"), 2, "click", 1.0),
+        Event(6, ts("2024-01-01 00:06:00"), 3, "error", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(9, ts("2024-01-01 01:00:00"), 4, "view", 0.0)) // close the window
+      q.processAllAvailable()
+      val got = StreamOps.readTrending(spark, s"$base/out")
+        .filter($"w_start" === ts("2024-01-01 00:00:00"))
+        .orderBy($"rk").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Int]("rk")))
+      assert(got.toSeq == Seq(("view", 3L, 1), ("click", 2L, 2)), got.mkString(","))
+    } finally q.stop()
+  }
 }
