@@ -94,6 +94,28 @@ object Warehouse {
     *
     * CONTRACT: `key` must be unique in each snapshot (it is a table
     * version's primary key); duplicate keys would fan the join out. */
+  /** Point-in-time lookup against an SCD2 dimension: each fact row
+    * fetches the dimension version that was valid at its as-of date —
+    * "what did we believe about this key WHEN the fact happened", the
+    * reproducibility primitive for training-data snapshots (features
+    * must come from the world as of the label's timestamp, or the
+    * pipeline leaks the future).
+    *
+    * Shape: an EQUI-join on the key (the validity-range predicate rides
+    * along as a join filter, not a range-join problem — each key has
+    * few versions, so the fan-out before filtering is the version
+    * count, not the row count). Broadcasts or shuffles like any keyed
+    * join; [valid_from, valid_to) half-open intervals mean exactly one
+    * version matches any date within the dimension's history.
+    *
+    * ISO yyyy-MM-dd strings compare lexicographically in date order, so
+    * the range filter needs no date parsing on either engine. */
+  def pitLookup(facts: DataFrame, factKey: Column, asOf: Column,
+                dim: DataFrame, dimKey: String): DataFrame =
+    facts.join(dim,
+      factKey === col(dimKey) && asOf >= col("valid_from") && asOf < col("valid_to"),
+      "left")
+
   def tableDiff(before: DataFrame, after: DataFrame, key: String,
                 compareCols: Seq[String]): DataFrame = {
     val b = before.select(col(key) +: compareCols.map(c => col(c).as(s"__b_$c")): _*)

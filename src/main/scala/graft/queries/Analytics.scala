@@ -128,6 +128,50 @@ object Analytics extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Linear interpolation over the per-user hourly grid: silent hours
+    // get the value a straight line between the neighboring observed
+    // hours predicts (pandas `interpolate` semantics) — the gap-repair
+    // step before feeding a model a regular series. Shape: the same
+    // grid build as time_densify, then TWO frame-bounded ignore-null
+    // windows (last-known-before, first-known-after) over ONE
+    // (user, hour) sort/exchange; per-row state is O(1).
+    "time_interpolate" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("h", date_trunc("hour", col("ts")))
+      val span = ev.groupBy(col("user_id")).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val sparse = grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("hs", col("h").cast("long")) // epoch seconds, exact
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      sparse
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(wNext))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v").as("observed"),
+          (when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            // floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): both engines see
+            // the identical IEEE double x (same op order), but their
+            // round() implementations break scaled-representation ties
+            // differently — floor composed of plain IEEE ops is a pure
+            // function of x and cannot diverge.
+            .otherwise(
+              floor((col("pv") + (col("nv") - col("pv")) *
+                ((col("hs") - col("ph")) / (col("nh") - col("ph")))) * 1000000.0 + 0.5)
+                / 1000000.0) + lit(0.0))
+            .as("interp"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Fixed-width value histogram: the one-scan distribution profile
     // (bin = floor(price / 25000)); integer bin ids, exact counts.
     "value_histogram" -> ((s, dir) =>
@@ -207,6 +251,34 @@ object Analytics extends QueryModule {
            FROM events)
          SELECT event_type, count(*) AS n, round(corr(rv, rt), 6) + 0.0 AS spearman
          FROM r GROUP BY 1 ORDER BY 1""",
+    "time_interpolate" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) h, value FROM events),
+         span AS (SELECT user_id, min(h) h0, max(h) h1 FROM e GROUP BY 1),
+         grid AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM span),
+         hourly AS (SELECT user_id, h, round(sum(value), 2) v FROM e GROUP BY 1, 2),
+         sparse AS (
+           SELECT g.user_id, g.h, v, epoch_us(g.h) // 1000000 AS hs
+           FROM grid g LEFT JOIN hourly USING (user_id, h)),
+         w AS (
+           SELECT *,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wp AS ph,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wn AS nh
+           FROM sparse
+           WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wn AS (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v AS observed,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE floor((pv + (nv - pv) * ((hs - ph) / (nh - ph))) * 1000000.0 + 0.5)
+                     / 1000000.0 END + 0.0 AS interp
+         FROM w ORDER BY user_id, hour""",
     "value_histogram" ->
       """SELECT bin, count(*) AS n_orders, round(sum(o_totalprice), 2) AS bin_total,
            bin * 25000 AS bin_lo

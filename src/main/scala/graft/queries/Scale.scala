@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Scale extends QueryModule {
 
+  /** The versioned customer dimension the scd2_merge and pit_lookup
+    * queries share: base dim as of 2024-01-01, merged with a snapshot
+    * where keys ≡0 (mod 7) changed balance and ≡0 (mod 97) are new. */
+  private def scd2Dim(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = Tables(s, dir, "customer")
+    val dim = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(Warehouse.EndOfTime))
+      .withColumn("is_current", lit(true))
+    val snapshot = c.select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .union(c.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey") + 1000000, lit("NEW"), lit(0.0)))
+    Warehouse.scd2Merge(dim, snapshot, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), "2024-06-01")
+  }
+
   /** DuckDB arithmetic for "first 4 hex digits of md5(key) as an int in
     * [0, 65536)" — the uniform draw both engines must agree on
     * digit-for-digit (Spark side: `conv(substring(md5(key), 1, 4), 16, 10)`). */
@@ -47,20 +65,22 @@ object Scale extends QueryModule {
     // dimension. Keys ≡ 0 (mod 7) arrive with a changed balance (old
     // row closes, successor opens), keys ≡ 0 (mod 97) also appear as
     // brand-new customers, everything else is a no-op pass-through.
-    "scd2_merge" -> ((s, dir) => {
-      val c = Tables(s, dir, "customer")
-      val dim = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .withColumn("valid_from", lit("2024-01-01"))
-        .withColumn("valid_to", lit(Warehouse.EndOfTime))
-        .withColumn("is_current", lit(true))
-      val snapshot = c.select(col("c_custkey"), col("c_mktsegment"),
-          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
-            .otherwise(col("c_acctbal")).as("c_acctbal"))
-        .union(c.filter(col("c_custkey") % 97 === 0)
-          .select(col("c_custkey") + 1000000, lit("NEW"), lit(0.0)))
-      Warehouse.scd2Merge(dim, snapshot, "c_custkey",
-          Seq("c_mktsegment", "c_acctbal"), "2024-06-01")
-        .orderBy(col("c_custkey"), col("valid_from"))
+    "scd2_merge" -> ((s, dir) =>
+      scd2Dim(s, dir).orderBy(col("c_custkey"), col("valid_from"))),
+
+    // Point-in-time lookup against that versioned dimension: each order
+    // fetches the customer attributes that were TRUE at its as-of date
+    // (half the facts date before the 2024-06-01 merge, half after, so
+    // both versions of the changed keys are exercised). The
+    // reproducibility primitive that keeps training features from
+    // leaking the future.
+    "pit_lookup" -> ((s, dir) => {
+      val facts = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 2 === 0, "2024-03-01").otherwise("2024-09-01").as("as_of"))
+      Warehouse.pitLookup(facts, col("o_custkey"), col("as_of"), scd2Dim(s, dir), "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("as_of"),
+          col("c_acctbal").as("acctbal_asof"), col("valid_from"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // CDC change-log materialization: the events feed as an upsert log
@@ -215,23 +235,21 @@ object Scale extends QueryModule {
         .orderBy(col("zcode"), col("l_orderkey"), col("l_linenumber")))
   )
 
-  val oracle: Map[String, String] = Map(
-    "bloom_prune" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-         ORDER BY o_orderkey""",
-    "scd2_merge" ->
-      """WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
-         upd AS (
-           SELECT c_custkey, c_mktsegment,
-                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
-           FROM customer
-           UNION ALL
-           SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 97 = 0),
-         changed AS (
-           SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
-           WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
-              OR d.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+  /** The scd2_merge dimension as reusable CTEs ending in `scd2` —
+    * shared by the scd2_merge and pit_lookup oracles. */
+  private val Scd2CteSql: String =
+    """dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+       upd AS (
+         SELECT c_custkey, c_mktsegment,
+                CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 97 = 0),
+       changed AS (
+         SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
+         WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+            OR d.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
+       scd2 AS (
          SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
                 '2024-01-01' AS valid_from, '2024-06-01' AS valid_to, false AS is_current
          FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
@@ -244,8 +262,29 @@ object Scale extends QueryModule {
                 '2024-06-01', '9999-12-31', true
          FROM upd u
          WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
-            OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
-         ORDER BY c_custkey, valid_from""",
+            OR u.c_custkey NOT IN (SELECT c_custkey FROM dim))"""
+
+  val oracle: Map[String, String] = Map(
+    "bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         ORDER BY o_orderkey""",
+    "scd2_merge" ->
+      s"""WITH $Scd2CteSql
+         SELECT * FROM scd2 ORDER BY c_custkey, valid_from""",
+    "pit_lookup" ->
+      s"""WITH $Scd2CteSql,
+         facts AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 2 = 0 THEN '2024-03-01'
+                       ELSE '2024-09-01' END AS as_of
+           FROM orders)
+         SELECT f.o_orderkey, f.o_custkey, f.as_of,
+                d.c_acctbal AS acctbal_asof, d.valid_from
+         FROM facts f LEFT JOIN scd2 d
+           ON f.o_custkey = d.c_custkey
+          AND f.as_of >= d.valid_from AND f.as_of < d.valid_to
+         ORDER BY f.o_orderkey""",
     "cdc_apply" ->
       """WITH ranked AS (
            SELECT user_id, event_id, event_type, value,

@@ -119,4 +119,24 @@ class WarehouseSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"),
       s"latest-per-key should push the group limit into the shuffle:\n$plan")
   }
+
+  test("pitLookup resolves each as-of date to exactly one version, half-open") {
+    val dim = Seq(
+      (1L, "old", "2024-01-01", "2024-06-01", false),
+      (1L, "new", "2024-06-01", "9999-12-31", true),
+      (2L, "only", "2024-01-01", "9999-12-31", true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, "2024-03-15"), // inside the old version
+      (11L, 1L, "2024-06-01"), // ON the boundary: half-open => new
+      (12L, 1L, "2024-05-31"), // last day of old
+      (13L, 2L, "2025-01-01"), // single-version key
+      (14L, 9L, "2024-03-01")  // unknown key => null attrs
+    ).toDF("fid", "fk", "as_of")
+    val got = Warehouse.pitLookup(facts, col("fk"), col("as_of"), dim, "k")
+      .orderBy("fid").collect()
+      .map(r => (r.getAs[Long]("fid"), r.getAs[String]("attr")))
+    assert(got.toSeq == Seq((10L, "old"), (11L, "new"), (12L, "old"),
+      (13L, "only"), (14L, null)))
+  }
 }
