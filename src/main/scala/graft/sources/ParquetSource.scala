@@ -91,15 +91,15 @@ object ParquetSource {
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // coalesce only ever REDUCES partition count, so make the scan
-    // produce at-least-target-grained partitions first: scope
-    // maxPartitionBytes to the target for this one read (restored
-    // after), then coalesce to the exact output count.
-    val k = "spark.sql.files.maxPartitionBytes"
-    val prev = spark.conf.get(k)
-    spark.conf.set(k, targetBytes.toString)
-    try spark.read.parquet(inDir).coalesce(nOut)
+    // produce at-least-target-grained partitions first: set
+    // maxPartitionBytes to the target in an ISOLATED child session
+    // (same SparkContext, own SQL conf) — concurrent queries on the
+    // caller's session never observe the override — then coalesce to
+    // the exact output count.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    s2.read.parquet(inDir).coalesce(nOut)
       .write.mode("overwrite").parquet(outDir)
-    finally spark.conf.set(k, prev)
     (before.length, parquetFiles(new org.apache.hadoop.fs.Path(outDir)).length)
   }
 
