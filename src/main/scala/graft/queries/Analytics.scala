@@ -144,15 +144,29 @@ object Analytics extends QueryModule {
         .agg(round(sum(col("value")), 2).as("v"))
       val sparse = grid.join(hourly, Seq("user_id", "h"), "left")
         .withColumn("hs", col("h").cast("long")) // epoch seconds, exact
-      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      // O(n) last-known propagation, NOT ignore-null last()/first() over
+      // running frames (Spark evaluates those by re-scanning the frame
+      // per row — O(n²) per partition, 34s vs ~2s here at sf0.1).
+      // Running non-null COUNTS are incremental; they carve each
+      // partition into [observed row + trailing gap] groups (inclusive
+      // count) and [gap + next observed row] groups (exclusive count),
+      // and a whole-partition max inside each group broadcasts the
+      // neighbor's value — every window here is O(n), and the group
+      // windows reuse the same user_id exchange (subset partitioning).
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
-        .rowsBetween(0, Window.unboundedFollowing)
-      sparse
-        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
-        .withColumn("ph", last(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
-        .withColumn("nh", first(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(wNext))
+      val wRunX = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withGroups = sparse
+        .withColumn("nn", count(col("v")).over(wRun))
+        .withColumn("nne", count(col("v")).over(wRunX))
+      val wPrevG = Window.partitionBy(col("user_id"), col("nn"))
+      val wNextG = Window.partitionBy(col("user_id"), col("nne"))
+      withGroups
+        .withColumn("pv", max(col("v")).over(wPrevG))
+        .withColumn("ph", max(when(col("v").isNotNull, col("hs"))).over(wPrevG))
+        .withColumn("nv", max(col("v")).over(wNextG))
+        .withColumn("nh", max(when(col("v").isNotNull, col("hs"))).over(wNextG))
         .select(col("user_id"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("v").as("observed"),
@@ -261,17 +275,20 @@ object Analytics extends QueryModule {
          sparse AS (
            SELECT g.user_id, g.h, v, epoch_us(g.h) // 1000000 AS hs
            FROM grid g LEFT JOIN hourly USING (user_id, h)),
+         n AS (
+           SELECT *,
+             count(v) OVER (PARTITION BY user_id ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+             count(v) OVER (PARTITION BY user_id ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nne
+           FROM sparse),
          w AS (
            SELECT *,
-             last_value(v IGNORE NULLS) OVER wp AS pv,
-             last_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wp AS ph,
-             first_value(v IGNORE NULLS) OVER wn AS nv,
-             first_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wn AS nh
-           FROM sparse
-           WINDOW wp AS (PARTITION BY user_id ORDER BY h
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                  wn AS (PARTITION BY user_id ORDER BY h
-                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             max(v) OVER (PARTITION BY user_id, nn) AS pv,
+             max(CASE WHEN v IS NOT NULL THEN hs END) OVER (PARTITION BY user_id, nn) AS ph,
+             max(v) OVER (PARTITION BY user_id, nne) AS nv,
+             max(CASE WHEN v IS NOT NULL THEN hs END) OVER (PARTITION BY user_id, nne) AS nh
+           FROM n)
          SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v AS observed,
            CASE WHEN v IS NOT NULL THEN v
                 WHEN pv IS NULL THEN nv
