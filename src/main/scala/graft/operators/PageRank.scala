@@ -59,8 +59,10 @@ object PageRank {
     val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .persist(lvl)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+    // node set derived from the persisted edge list, not from `e` — the
+    // upstream distinct is paid once, the disk blocks serve both
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst"))).distinct()
       .persist(lvl)
 
     // rank' = (15 * (SCALE div N)) div 100  +  (85 * Σ contrib) div 100,

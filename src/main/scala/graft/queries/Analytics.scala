@@ -38,6 +38,22 @@ object Analytics extends QueryModule {
         .orderBy(col("rank_scaled").desc, col("node"))
     }),
 
+    // Degree distribution of the same trade graph: the first diagnostic
+    // run on any production graph (hubs, dangling mass, skew — the
+    // numbers that decide salting and partitioning strategy before an
+    // iterative algorithm runs). Two keyed aggregations, no iteration.
+    "graph_degrees" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .distinct()
+      pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    }),
+
     // Merged-interval activity coverage: each event claims 15 minutes;
     // overlaps collapse via the sweep-line window (one shuffle on
     // user_id) and the per-user covered wall-clock comes out in exact
@@ -209,6 +225,13 @@ object Analytics extends QueryModule {
   val oracle: Map[String, String] = Map(
     "graph_pagerank" ->
       (PageRank.ranksSql(edgesSql, iters = 5) + "\nORDER BY rank_scaled DESC, node"),
+    "graph_degrees" ->
+      """WITH pairs AS (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src)
+         SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""",
     "interval_union" ->
       """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
                epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS e FROM events),
