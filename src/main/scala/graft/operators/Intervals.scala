@@ -49,4 +49,35 @@ object Intervals {
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start")).as("covered_us"))
+
+  /** Interval-overlap JOIN: all (left, right) pairs of half-open spans
+    * [s, e) sharing a key that overlap (l.s < r.e AND r.s < l.e) —
+    * WITHOUT the cross join a naive overlap predicate forces.
+    *
+    * Both sides explode into coarse time bins (floor(s/bin)..floor(
+    * (e-1)/bin)); overlapping spans necessarily share at least one bin,
+    * so candidates meet in a plain (key, bin) equi-join, the exact
+    * predicate prunes false bin-neighbors, and a distinct collapses
+    * pairs that shared several bins. Pick `binUs` near the typical span
+    * length: fan-out per row is len/binUs + 1 while longer bins make
+    * fatter candidate buckets — the usual interval-binning trade
+    * (the same one RangeJoin.pointInRange makes for points).
+    *
+    * Left columns must not collide with right columns; both frames need
+    * (key, s, e). */
+  def overlapJoin(left: DataFrame, lKey: String, lS: String, lE: String,
+                  right: DataFrame, rKey: String, rS: String, rE: String,
+                  binUs: Long): DataFrame = {
+    require(binUs > 0)
+    // `div`, not `/`: micros divided as doubles can round across a bin
+    // boundary at epoch magnitudes
+    val l = left.withColumn("_lbin",
+      explode(sequence(expr(s"$lS div ${binUs}L"), expr(s"($lE - 1) div ${binUs}L"))))
+    val r = right.withColumn("_rbin",
+      explode(sequence(expr(s"$rS div ${binUs}L"), expr(s"($rE - 1) div ${binUs}L"))))
+    l.join(r, col(lKey) === col(rKey) && col("_lbin") === col("_rbin"))
+      .filter(col(lS) < col(rE) && col(rS) < col(lE))
+      .drop("_lbin", "_rbin")
+      .distinct()
+  }
 }

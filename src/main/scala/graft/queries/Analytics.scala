@@ -67,6 +67,46 @@ object Analytics extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Interval-overlap join via time binning: every (view, purchase)
+    // pair of the same user whose 15-minute activity windows overlap —
+    // attribution without a cross join (bin equi-join + exact predicate
+    // + dedup; bin = the span length, so fan-out is ≤ 2 per row).
+    "interval_overlaps" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def spans(t: String, idAs: String, keyAs: String, sAs: String, eAs: String) =
+        ev.filter(col("event_type") === t).select(
+          col("event_id").as(idAs), col("user_id").as(keyAs),
+          unix_micros(col("ts")).as(sAs),
+          (unix_micros(col("ts")) + lit(900000000L)).as(eAs))
+      Intervals.overlapJoin(
+          spans("view", "view_id", "lu", "ls", "le"),
+          "lu", "ls", "le",
+          spans("purchase", "purchase_id", "ru", "rs", "re"),
+          "ru", "rs", "re",
+          binUs = 900000000L)
+        // raw micros difference: exact long arithmetic (integer-division
+        // semantics on negatives differ between engines — truncate vs
+        // floor — so don't divide)
+        .select(col("lu").as("user_id"), col("view_id"), col("purchase_id"),
+          (col("rs") - col("ls")).as("gap_us"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
+    // Batch face of the streaming trending sink: top-3 event types per
+    // finalized 10-minute window — the same rank-over-finalized-windows
+    // shape trendingSink computes incrementally, here hash-checked.
+    "events_trending" -> ((s, dir) => {
+      val bucketed = Tables(s, dir, "events")
+        .select(expr("600000000 * (unix_micros(ts) div 600000000)").as("w_us"),
+          col("event_type"))
+        .groupBy(col("w_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("w_us")).orderBy(col("n").desc, col("event_type"))
+      bucketed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("w_us"), col("rk"))
+    }),
+
     // Fuzzy entity match: part names with a deterministic typo (2nd
     // character deleted) resolved back against the canonical part
     // table at edit distance ≤ 2 — deletion-neighborhood blocking, no
@@ -244,6 +284,28 @@ object Analytics extends QueryModule {
          m AS (SELECT user_id, grp, min(s) AS ss, max(e) AS se FROM g GROUP BY 1, 2)
          SELECT user_id, count(*) AS n_spans, CAST(sum(se - ss) AS BIGINT) AS covered_us
          FROM m GROUP BY 1 ORDER BY 1""",
+    "interval_overlaps" ->
+      """WITH v AS (SELECT event_id view_id, user_id u,
+              epoch_us(CAST(ts AS TIMESTAMP)) s,
+              epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 e
+            FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id purchase_id, user_id u,
+              epoch_us(CAST(ts AS TIMESTAMP)) s,
+              epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 e
+            FROM events WHERE event_type = 'purchase')
+         SELECT v.u AS user_id, view_id, purchase_id,
+                CAST(p.s - v.s AS BIGINT) AS gap_us
+         FROM v JOIN p ON v.u = p.u AND v.s < p.e AND p.s < v.e
+         ORDER BY user_id, view_id, purchase_id""",
+    "events_trending" ->
+      """WITH b AS (
+           SELECT 600000000 * (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) AS w_us,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY w_us
+                 ORDER BY n DESC, event_type) AS rk FROM b)
+         SELECT CAST(w_us AS BIGINT) AS w_us, event_type, n, rk
+         FROM r WHERE rk <= 3 ORDER BY w_us, rk""",
     "fuzzy_match" ->
       """WITH probes AS (
            SELECT p_partkey AS probe_key,

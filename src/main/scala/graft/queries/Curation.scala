@@ -31,6 +31,28 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The kept corpus after cluster-level dedup: one representative per
+    // near-dup CLUSTER (longest text, doc_id tiebreak), singletons kept
+    // as-is — the semantics curation pipelines actually want (pairwise
+    // anti-joins over-delete chains: in a~b~c, pair logic can drop both
+    // b and c even when only one true duplicate group exists). Labels
+    // from connected components; representative via WindowGroupLimit
+    // top-1 per cluster.
+    "cluster_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff)
+      val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(labels, col("doc_id") === col("node"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id"), col("n_chars"))
+        .orderBy(col("cluster"))
+    }),
+
     // Same contract through the star-contraction algorithm (large-star/
     // small-star, round count independent of graph diameter) — both CC
     // implementations are verified against the same recursive-CTE
@@ -470,6 +492,23 @@ object Curation extends QueryModule {
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS doc_id, least(u, min(v)) AS cluster
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "cluster_keep_best" ->
+      s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
+          edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          lab AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+          keyed AS (
+            SELECT coalesce(l.cluster, d.doc_id) AS cluster, d.doc_id, d.n_chars
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.u),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster
+                        ORDER BY n_chars DESC, doc_id) AS rk
+            FROM keyed)
+          SELECT cluster, doc_id, n_chars FROM ranked WHERE rk = 1
+          ORDER BY cluster""",
     "dedup_clusters_star" ->
       s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
           edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),

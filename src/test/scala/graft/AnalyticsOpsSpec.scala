@@ -85,6 +85,25 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got == Map("u" -> ((1L, 10L))))
   }
 
+  test("interval overlapJoin finds exactly the brute-force overlap pairs") {
+    // spans crafted to cross bin boundaries, nest, touch, and miss
+    val left = Seq((1L, "u", 0L, 100L), (2L, "u", 250L, 260L), (3L, "v", 0L, 50L),
+      (4L, "u", 990L, 1010L)).toDF("lid", "lk", "ls", "le")
+    val right = Seq((11L, "u", 50L, 150L), (12L, "u", 100L, 200L), (13L, "u", 255L, 256L),
+      (14L, "v", 50L, 60L), (15L, "u", 1000L, 1001L)).toDF("rid", "rk", "rs", "re")
+    for (bin <- Seq(7L, 100L, 1000L)) {
+      val got = Intervals.overlapJoin(left, "lk", "ls", "le", right, "rk", "rs", "re", bin)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = left.crossJoin(right)
+        .filter(col("lk") === col("rk") && col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"bin=$bin")
+      // touching spans ([0,50) vs [50,60)) are NOT overlaps; boundary
+      // crossers ([990,1010) vs [1000,1001)) are
+      assert(!got.contains((3L, 14L)) && got.contains((4L, 15L)), s"bin=$bin")
+    }
+  }
+
   // --- fuzzy join --------------------------------------------------
 
   test("deletion neighborhood of 'abc' at d=2 is exactly the 0/1/2-deletion set") {
