@@ -200,4 +200,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p.take(800))
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
   }
+
+  test("events_trending and cluster_keep_best push top-k into the shuffle (WindowGroupLimit)") {
+    assert(planOf("events_trending").contains("WindowGroupLimit"))
+    assert(planOf("cluster_keep_best").contains("WindowGroupLimit"))
+  }
+
+  test("pit_lookup is one equi-join with the validity range as a join filter") {
+    val p = planOf("pit_lookup")
+    // exactly one fact-to-dimension join in the final plan; the range
+    // predicate must not force a nested-loop/cartesian shape
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
+  test("interval_overlaps joins on (key, bin) equi-keys, never cartesian") {
+    val p = planOf("interval_overlaps")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
 }
