@@ -365,6 +365,37 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL PCM pipeline end-to-end: synthesize a WAV whose 16-bit
+    // samples follow a closed-form formula (v_i from doc_id and i),
+    // byte-encode it (codegen'd hex), then decodePcmFeatures walks the
+    // ACTUAL data chunk and reduces the samples to exact integer
+    // features. The oracle recomputes energy/peak/crossings from the
+    // same formula — agreement proves the byte-level decode
+    // reconstructed exactly the intended signal.
+    "media_pcm" -> ((s, dir) => {
+      def le16(x: org.apache.spark.sql.Column) =
+        format_string("%02x%02x", pmod(x, lit(256)), pmod(x.divide(lit(256)).cast("int"), lit(256)))
+      def le32(x: org.apache.spark.sql.Column) =
+        concat(le16(pmod(x, lit(65536))), le16((x / 65536).cast("int")))
+      val n = (lit(200) + pmod(col("doc_id"), lit(100))).cast("int")
+      // u_i in [0, 65536); the stored LE bytes decode to the signed
+      // sample v_i = u_i < 32768 ? u_i : u_i - 65536
+      val payloadHex = array_join(transform(sequence(lit(0), n - 1), i =>
+        le16(pmod(col("doc_id") * 7 + i * 13, lit(65536)))), "")
+      val dataLen = n * 2
+      val headerHex = concat(
+        hex(lit("RIFF")), le32(dataLen + 36), hex(lit("WAVE")),
+        hex(lit("fmt ")), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+        hex(lit("data")), le32(dataLen))
+      val wav = unhex(concat(headerHex, payloadHex))
+      MultimodalFunctions.decodePcmFeatures(
+          Tables(s, dir, "documents").withColumn("wav", wav), "wav")
+        .select(col("doc_id"), col("n_samples"), col("sum_sq"),
+          col("peak"), col("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image pipeline end-to-end: synthesize a solid-gray PNG per
     // document (dimensions and gray level varied by doc_id), decode →
     // bilinear-resize to 8x8 → decode again → luminance-histogram the
@@ -783,6 +814,28 @@ object Pipeline extends QueryModule {
                 ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 22050 END) *
                  (doc_id % 2 + 1) * 2) AS BIGINT) AS wav_duration_ms
          FROM documents ORDER BY doc_id""",
+    "media_pcm" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(generate_series(0, 199 + doc_id % 100)) AS i
+           FROM documents),
+         s AS (
+           SELECT doc_id, i,
+             CASE WHEN (doc_id*7 + i*13) % 65536 < 32768
+                  THEN (doc_id*7 + i*13) % 65536
+                  ELSE (doc_id*7 + i*13) % 65536 - 65536 END AS v
+           FROM g),
+         z AS (
+           SELECT doc_id, v,
+             CASE WHEN lag(v) OVER w IS NOT NULL
+                   AND ((lag(v) OVER w >= 0) != (v >= 0))
+                  THEN 1 ELSE 0 END AS zc
+           FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+         SELECT doc_id,
+           CAST(200 + doc_id % 100 AS INTEGER) AS n_samples,
+           CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           CAST(sum(zc) AS BIGINT) AS zero_crossings
+         FROM z GROUP BY doc_id ORDER BY doc_id""",
     "media_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

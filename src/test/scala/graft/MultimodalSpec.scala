@@ -168,6 +168,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(mime == "audio/wav")
   }
 
+  test("decodePcmFeatures recovers exact energy/peak/crossings from a real WAV") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // known samples through the genuine JDK WAV encoder, then back
+    val samples = Array[Short](0, 100, -200, 300, 0, -1, 32767, -32768)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "media")
+    val got = MultimodalFunctions.decodePcmFeatures(df, "media")
+      .select("n_samples", "sum_sq", "peak", "zero_crossings").collect()(0)
+    val expSumSq = samples.map(v => v.toLong * v).sum
+    // crossings: sign(>=0) sequence + + - + + - + -  => flips at
+    // 100→-200, -200→300, 0→-1, -1→32767, 32767→-32768
+    assert(got.getInt(0) == samples.length)
+    assert(got.getLong(1) == expSumSq)
+    assert(got.getInt(2) == 32768)
+    assert(got.getLong(3) == 5L)
+  }
+
   test("decode stub passes null media through as null features") {
     val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") === 5), "media")
       .collect()
