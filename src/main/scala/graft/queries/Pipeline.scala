@@ -365,6 +365,51 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL multi-frame pipeline end-to-end: synthesize an animated GIF
+    // per document (2-4 uniform-gray frames, gray level a closed-form
+    // function of doc_id and frame index) through the genuine JDK GIF
+    // writer, then decodeGifFrames reads every frame back and features
+    // it. Uniform single-color frames survive GIF's palette exactly, so
+    // the oracle recomputes frame count, dimensions and per-frame mean
+    // red arithmetically — the video-shaped one-row-in/n-frames-out
+    // path made real on an actual codec.
+    "media_gif_frames" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents").select(col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("gif",
+          org.apache.spark.sql.types.BinaryType, nullable = false))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val synth = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nFrames = 2 + (id % 3).toInt
+          val (w, h) = (6, 4)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            for (f <- 0 until nFrames) {
+              val g = ((id * 31 + f * 53) % 256).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (g << 16) | (g << 8) | g
+              var y = 0
+              while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bos.toByteArray)
+        }
+      }(enc)
+      MultimodalFunctions.decodeGifFrames(synth, "gif")
+        .select(col("doc_id"), col("frame_idx"), col("frame_width"),
+          col("frame_height"), col("frame_mean_red"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // REAL PCM pipeline end-to-end: synthesize a WAV whose 16-bit
     // samples follow a closed-form formula (v_i from doc_id and i),
     // byte-encode it (codegen'd hex), then decodePcmFeatures walks the
@@ -814,6 +859,14 @@ object Pipeline extends QueryModule {
                 ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 22050 END) *
                  (doc_id % 2 + 1) * 2) AS BIGINT) AS wav_duration_ms
          FROM documents ORDER BY doc_id""",
+    "media_gif_frames" ->
+      """WITH f AS (
+           SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS frame_idx
+           FROM documents)
+         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(6 AS INTEGER) AS frame_width, CAST(4 AS INTEGER) AS frame_height,
+           CAST((doc_id * 31 + frame_idx * 53) % 256 AS INTEGER) AS frame_mean_red
+         FROM f ORDER BY doc_id, frame_idx""",
     "media_pcm" ->
       """WITH g AS (
            SELECT doc_id, unnest(generate_series(0, 199 + doc_id % 100)) AS i

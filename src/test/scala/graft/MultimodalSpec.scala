@@ -194,6 +194,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.getLong(3) == 5L)
   }
 
+  test("decodeGifFrames reads every frame of a real animated GIF, skips non-GIFs") {
+    def gif(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (g <- grays) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, gif(Seq(0, 128, 255), 5, 3)),
+      (2L, gif(Seq(42), 2, 2)),
+      (3L, "not a gif at all".getBytes("US-ASCII")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media")
+    val got = MultimodalFunctions.decodeGifFrames(df, "media")
+      .select("id", "frame_idx", "frame_width", "frame_height", "frame_mean_red")
+      .orderBy("id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 5, 3, 0), (1L, 1, 5, 3, 128), (1L, 2, 5, 3, 255),
+      (2L, 0, 2, 2, 42)), got.mkString(","))
+  }
+
   test("decode stub passes null media through as null features") {
     val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") === 5), "media")
       .collect()
