@@ -18,20 +18,45 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via
-    * the legacy conf and surface a microsecond TimestampType column —
-    * the same truncation DuckDB applies when casting TIMESTAMP_NS to
-    * TIMESTAMP. `ts div 1000` keeps the math in integer space (a double
-    * division would lose precision on epoch-nanos magnitudes).
+  /** Schema-adaptive `events` loader. The driver has generated
+    * `events.ts` both as parquet TIMESTAMP(NANOS) (which Spark's
+    * reader rejects outright — PARQUET_TYPE_ILLEGAL — unless the
+    * legacy nanos-as-long conf surfaces it as raw `LongType` nanos)
+    * and as plain microsecond TIMESTAMP. Branch on the type the
+    * reader actually produces rather than pinning either physical
+    * layout:
+    *   - `LongType`  → legacy-conf nanos: truncate to micros
+    *     (`ts div 1000`, integer math — a double division would lose
+    *     precision at epoch-nanos magnitudes) and surface
+    *     TimestampType, matching DuckDB's TIMESTAMP_NS → TIMESTAMP
+    *     cast.
+    *   - `TimestampType` → pass through untouched.
+    *   - `TimestampNTZType` (micros with isAdjustedToUTC=false) →
+    *     cast to TimestampType. All graft sessions run with
+    *     `spark.sql.session.timeZone=UTC` (GraftSession.scala:28), so
+    *     the cast is value-preserving and every downstream consumer
+    *     keeps seeing the single timestamp type it was written for.
     *
-    * The legacy conf should be set at session build (Verify/Bench do);
-    * the guarded set below only covers foreign sessions (tests) and
-    * never mutates a session that already has it. */
+    * The legacy conf is set defensively before the read so a NANOS
+    * file never hard-fails; it is a no-op for micros files. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(k).forall(_ != "true")) spark.conf.set(k, "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** The type-adaptive `ts` normalization, shared by the batch loader
+    * above and streaming readers (which must build their own
+    * `readStream` but want identical semantics). Works on any plan —
+    * batch or streaming — because it only inspects the analyzed
+    * schema. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

@@ -175,7 +175,14 @@ object MultimodalFunctions {
       val id = tag(off); val sz = u32(off + 4)
       if (id == "data")
         return (off + 8, math.min(sz, (bytes.length - off - 8).toLong).toInt)
-      off += 8 + sz.toInt + (sz.toInt & 1)
+      // advance in Long space: a crafted u32 size (e.g. 0xFFFFFFF8)
+      // truncated via .toInt wraps negative and stalls off in place —
+      // an executor task spinning forever on one adversarial row. In
+      // Long math off strictly increases, so an oversized chunk just
+      // walks past the end and the loop bound terminates.
+      val next = off.toLong + 8L + sz + (sz & 1L)
+      if (next > bytes.length.toLong) return null
+      off = next.toInt
     }
     null
   }
@@ -246,7 +253,13 @@ object MultimodalFunctions {
           // streaming writers; clamp to what is actually present
           dataLen = math.min(sz, (bytes.length - off - 8).toLong)
         }
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // word-aligned advance in Long space — same wrap guard as
+        // wavDataSpan: a u32 size >= 2^31 truncated to Int goes
+        // negative and pins off forever. Long math keeps off strictly
+        // increasing; an oversized chunk exits via the loop bound.
+        val next = off.toLong + 8L + sz + (sz & 1L)
+        if (next > bytes.length.toLong) off = bytes.length
+        else off = next.toInt
       }
       if (rate <= 0 || byteRate <= 0 || dataLen < 0) none
       // Seq[Any] ascription: without it Scala widens the Int fields to

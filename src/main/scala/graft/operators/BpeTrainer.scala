@@ -34,6 +34,22 @@ object BpeTrainer {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Left-to-right greedy merge of (a,b) occurrences over a symbol
+    * array, as a fold: append, or replace the accumulated tail when it
+    * is `a` and the incoming symbol is `b`. Built from Column lambdas —
+    * the learned symbols travel as literals, never spliced into SQL
+    * text, so ANY symbol content (quotes, backslashes, unicode) is
+    * safe. The public API accepts arbitrary (word, freq) frames, so
+    * this matters beyond the [a-z]+ words `wordFreq` emits. */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
   /** Learn up to `numMerges` merges from a (word, freq) vocabulary.
     * Stops early if no adjacent pair is left. */
   def learnMerges(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
@@ -62,15 +78,7 @@ object BpeTrainer {
         if (top.isEmpty) return merges.toSeq
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, cnt)
-        // left-to-right greedy merge of (a,b) occurrences, as a fold:
-        // append, or replace the accumulated tail when it is `a` and the
-        // incoming symbol is `b`. Symbols are [a-z]+ so literal quoting
-        // below is safe.
-        val next = vocab.withColumn("syms", expr(
-          s"aggregate(syms, cast(array() as array<string>), (acc, s) -> " +
-            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND s = '$b' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
-            s"ELSE concat(acc, array(s)) END)")).persist(lvl)
+        val next = vocab.withColumn("syms", mergePair(col("syms"), a, b)).persist(lvl)
         retiring = List(vocab)
         vocab = next
       }
@@ -88,10 +96,6 @@ object BpeTrainer {
     merges.foldLeft(
       wordFreq.select(col("word"), col("freq"),
         expr("filter(split(word, ''), x -> x != '')").as("syms"))) { (df, m) =>
-      df.withColumn("syms", expr(
-        s"aggregate(syms, cast(array() as array<string>), (acc, s) -> " +
-          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${m.a}' AND s = '${m.b}' " +
-          s"THEN concat(slice(acc, 1, size(acc) - 1), array('${m.a}${m.b}')) " +
-          s"ELSE concat(acc, array(s)) END)"))
+      df.withColumn("syms", mergePair(col("syms"), m.a, m.b))
     }
 }

@@ -62,15 +62,24 @@ object FuzzyJoin {
   /** Inner join on levenshtein(lCol, rCol) <= maxDist via the deletion-
     * neighborhood equi-join. Output: all left + right columns +
     * `edit_dist`. Column names must not collide across sides.
+    *
+    * Multiplicity contract: each (left row, right row) pair appears
+    * exactly once, INCLUDING when the input has duplicate rows — the
+    * per-side row ids below dedupe only the several-shared-variants
+    * fan-out of one pair, never two genuinely identical input rows (a
+    * whole-row distinct here would silently collapse those).
     */
   def join(left: DataFrame, lCol: Column, right: DataFrame, rCol: Column,
            maxDist: Int): DataFrame = {
-    val l = left.withColumn("_bk", explode(neighborhood(lCol, maxDist)))
-    val r = right.withColumn("_bk", explode(neighborhood(rCol, maxDist)))
+    val l = left.withColumn("_lrid", monotonically_increasing_id())
+      .withColumn("_bk", explode(neighborhood(lCol, maxDist)))
+    val r = right.withColumn("_rrid", monotonically_increasing_id())
+      .withColumn("_bk", explode(neighborhood(rCol, maxDist)))
     l.join(r, "_bk")
       .drop("_bk")
-      .distinct() // a pair can share several variants; keep it once
+      .dropDuplicates("_lrid", "_rrid") // a pair can share several variants; keep it once
       .filter(levenshtein(lCol, rCol) <= maxDist)
       .withColumn("edit_dist", levenshtein(lCol, rCol))
+      .drop("_lrid", "_rrid")
   }
 }

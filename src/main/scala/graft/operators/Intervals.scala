@@ -69,11 +69,16 @@ object Intervals {
                   right: DataFrame, rKey: String, rS: String, rE: String,
                   binUs: Long): DataFrame = {
     require(binUs > 0)
+    // Drop empty/inverted spans (e <= s) BEFORE the explode: a half-open
+    // [s, e) with e <= s matches nothing by the overlap predicate anyway,
+    // but a wildly inverted row (e << s) would make `sequence(s div bin,
+    // (e-1) div bin)` emit a huge descending range — an OOM from one bad
+    // row. The filter enforces the documented contract at the boundary.
     // `div`, not `/`: micros divided as doubles can round across a bin
     // boundary at epoch magnitudes
-    val l = left.withColumn("_lbin",
+    val l = left.filter(col(lE) > col(lS)).withColumn("_lbin",
       explode(sequence(expr(s"$lS div ${binUs}L"), expr(s"($lE - 1) div ${binUs}L"))))
-    val r = right.withColumn("_rbin",
+    val r = right.filter(col(rE) > col(rS)).withColumn("_rbin",
       explode(sequence(expr(s"$rS div ${binUs}L"), expr(s"($rE - 1) div ${binUs}L"))))
     l.join(r, col(lKey) === col(rKey) && col("_lbin") === col("_rbin"))
       .filter(col(lS) < col(rE) && col(rS) < col(lE))

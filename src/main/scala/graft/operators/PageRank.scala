@@ -43,8 +43,27 @@ object PageRank {
     * leakage). The node count feeding the base rank is computed IN the
     * plan (a one-row aggregate cross-joined in) — no driver-side count
     * action, so the whole computation is one lazy plan.
+    *
+    * CACHE CONTRACT: the returned plan reads two DISK_ONLY-persisted
+    * invariants (degree-annotated edges, node set) that stay registered
+    * for the session so the lazy result can be executed any number of
+    * times. Callers that invoke this repeatedly (loops, services)
+    * should use [[withRanks]], which releases them deterministically.
     */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int): DataFrame = buildRanks(edges, iters)._1
+
+  /** Materialize-and-release bracket around [[ranks]]: runs `action`
+    * on the rank table (collect it, write it, aggregate it — whatever
+    * consumes the result), then unpersists the loop invariants before
+    * returning. After this returns, no RDD persisted by this call is
+    * still registered — the leak-free variant for repeated calls. */
+  def withRanks[T](edges: DataFrame, iters: Int)(action: DataFrame => T): T = {
+    val (rank, pinned) = buildRanks(edges, iters)
+    try action(rank)
+    finally pinned.foreach(_.unpersist(blocking = true))
+  }
+
+  private def buildRanks(edges: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).distinct()
     // The loop invariants — the degree-annotated edge list (one row per
@@ -95,7 +114,7 @@ object PageRank {
         .select(col("dst").as("node"),
           expr(s"(15 * (${Scale}L div nn)) div 100 + (85 * c) div 100").as("rank"))
     }
-    rank.withColumnRenamed("rank", "rank_scaled")
+    (rank.withColumnRenamed("rank", "rank_scaled"), Seq(ed, nodes))
   }
 
   /** The identical computation as chained SQL CTEs (aggregates are not

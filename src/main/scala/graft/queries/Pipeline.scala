@@ -64,6 +64,22 @@ object Pipeline extends QueryModule {
   private val stopHitsSql =
     s"len(list_filter(toks, x -> list_contains([${Stopwords.map(w => s"'$w'").mkString(",")}], x)))"
 
+  /** DuckDB mirror of one sign-LSH bucket id: the planes are
+    * deterministic (seeded Gaussians, VectorFunctions.signLshPlanes),
+    * so their exact double constants are spliced into the SQL as
+    * literals and the oracle rebuilds the SAME buckets bit for bit —
+    * Double.toString round-trips exactly, both engines accumulate the
+    * dot left-to-right in doubles over the same dim=64 span, and the
+    * sign threshold matches SignLshBucketExpr (`dot >= 0`). This is
+    * what moves ann_cosine_lsh from a rows-only check to the full
+    * rows/schema/hash gate. */
+  private def lshBucketSql(vecExpr: String, table: Int): String =
+    graft.functions.VectorFunctions.signLshPlanes(8, 64, 42L + table)
+      .zipWithIndex.map { case (plane, i) =>
+        val arr = plane.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($vecExpr, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+
   val queries: Map[String, Q] = Map(
 
     // ---- deduplication ------------------------------------------------------
@@ -179,7 +195,10 @@ object Pipeline extends QueryModule {
     // retrieval path (see SimilaritySearch.topKCosineLsh — this corpus's
     // nearest neighbors sit at cos ~0.3, where the exact scan is the
     // right plan; AnnSpec pins recall >= 0.9 in the intended cos >= 0.95
-    // regime). Approximate by design => no SQL oracle (rows-only check).
+    // regime). Approximate vs the EXACT top-k, but fully deterministic
+    // given the seeded planes — so the oracle rebuilds the identical
+    // buckets from the same plane constants (lshBucketSql) and the
+    // result is hash-checked end to end like ann_ivf.
     "ann_cosine_lsh" -> ((s, dir) =>
       SimilaritySearch.topKCosineLsh(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
@@ -928,6 +947,20 @@ object Pipeline extends QueryModule {
             (count(b.s)::DOUBLE / count(*)) >= 0.1 AS contaminated
           FROM tr LEFT JOIN bench b ON tr.s = b.s
           GROUP BY 1 ORDER BY 1""",
+    "ann_cosine_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         b AS (SELECT vec_id, v,
+                 ${lshBucketSql("v", 0)} AS bk0,
+                 ${lshBucketSql("v", 1)} AS bk1
+               FROM e),
+         p AS (SELECT v AS pv, bk0 AS pb0, bk1 AS pb1 FROM b WHERE vec_id = 0)
+         SELECT b.vec_id,
+           round(list_dot_product(b.v, p.pv) /
+                 (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos
+         FROM b CROSS JOIN p
+         WHERE b.vec_id <> 0
+           AND (bit_count(xor(b.bk0, p.pb0)) <= 2 OR bit_count(xor(b.bk1, p.pb1)) <= 2)
+         ORDER BY cos DESC, vec_id LIMIT 10""",
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cents AS (SELECT vec_id AS cent_id, v AS cv FROM e

@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-scaling fixture generator for empirical scale validation
+  * (SCALING.md): replicate an existing sf directory `replicas`× with
+  * key offsetting, preserving the statistical shape each operator's
+  * cost depends on — NOT a naive union, which would plant cross-replica
+  * duplicate text/vectors and quadratically explode every near-dup
+  * pair query for data reasons rather than plan reasons.
+  *
+  * Per-table strategy:
+  *   - facts (orders, lineitem, events): replicate with key offsets
+  *     (orderkey/custkey/suppkey/partkey/event_id/user_id), keeping
+  *     the same time range — "10× the traffic over the same period",
+  *     so per-user session counts and per-window fan-in scale the way
+  *     a real corpus grows.
+  *   - dims (customer, supplier, part): replicate with offset keys so
+  *     fact foreign keys stay valid per replica; region/nation stay
+  *     fixed (dims that genuinely don't scale).
+  *   - documents: token-shuffle each replica with a replica-seeded
+  *     deterministic permutation — same token mass and length
+  *     distribution, but different 5-gram shingles, so near-dup pair
+  *     counts stay linear like a real corpus.
+  *   - embeddings: regenerate deterministically from (vec_id, dim)
+  *     hashes — fresh directions per replica, no planted cos≈1 pairs.
+  *
+  * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <outDir> <replicas>
+  */
+object ScaleFixture {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleFixture <srcSfDir> <outDir> <replicas>")
+    val (src, out, reps) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    try generate(spark, src, out, reps)
+    finally spark.stop()
+  }
+
+  /** Key stride between replicas — far above any key in the source. */
+  private val Stride = 100000000L
+
+  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    def tbl(n: String): DataFrame = Tables(spark, src, n)
+    def rep(df: DataFrame, f: (DataFrame, Long) => DataFrame): DataFrame =
+      (0 until reps).map(r => f(df, r.toLong * Stride)).reduce(_ unionByName _)
+
+    // fixed dims: copied through once
+    Seq("region", "nation").foreach { n =>
+      tbl(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+
+    rep(tbl("customer"), (d, o) => d.withColumn("c_custkey", col("c_custkey") + o))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    rep(tbl("supplier"), (d, o) => d.withColumn("s_suppkey", col("s_suppkey") + o))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    rep(tbl("part"), (d, o) => d.withColumn("p_partkey", col("p_partkey") + o))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    rep(tbl("orders"), (d, o) => d
+      .withColumn("o_orderkey", col("o_orderkey") + o)
+      .withColumn("o_custkey", col("o_custkey") + o))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(tbl("lineitem"), (d, o) => d
+      .withColumn("l_orderkey", col("l_orderkey") + o)
+      .withColumn("l_partkey", col("l_partkey") + o)
+      .withColumn("l_suppkey", col("l_suppkey") + o))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    rep(tbl("events"), (d, o) => d
+      .withColumn("event_id", col("event_id") + o)
+      .withColumn("user_id", col("user_id") + o))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // documents: replica-seeded token shuffle (deterministic: sort
+    // tokens by xxhash64(token, position, replica)), same token mass,
+    // different shingles
+    rep(tbl("documents"), (d, o) => d
+      .withColumn("doc_id", col("doc_id") + o)
+      .withColumn("text",
+        when(lit(o) === 0, col("text")).otherwise(
+          expr(s"array_join(transform(array_sort(transform(split(text, ' '), " +
+            s"(t, i) -> struct(xxhash64(t, i, ${o}L) AS k, t AS t))), s -> s.t), ' ')"))))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: fresh deterministic directions per (vec_id, dim)
+    val dim = 64
+    rep(tbl("embeddings"), (d, o) => d
+      .withColumn("vec_id", col("vec_id") + o)
+      .withColumn("embedding",
+        when(lit(o) === 0, col("embedding")).otherwise(
+          expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+            "cast((xxhash64(vec_id, i) % 1000000) / 500000.0 - 1.0 as float))"))))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+}

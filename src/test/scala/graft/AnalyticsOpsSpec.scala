@@ -56,6 +56,17 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(got("b") > got("a") && got("a") == got("c"))
   }
 
+  test("withRanks releases every RDD it persisted (no cache leak)") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = PageRank.withRanks(e.toDF("src", "dst"), 3)(
+      _.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(got == prRef(e, 3)) // same answer as the lazy variant
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"withRanks left RDDs persisted: ${after -- before}")
+  }
+
   // --- interval union ----------------------------------------------
 
   private def cov(spans: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
@@ -104,6 +115,20 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("interval overlapJoin survives inverted spans (e << s) without exploding") {
+    // an inverted span used to drive sequence(s div bin, (e-1) div bin)
+    // through a huge descending range — one bad row OOMing the job. The
+    // half-open contract says [s,e) with e <= s is empty: the row must
+    // be dropped, everything else joined as before.
+    val left = Seq((1L, "u", 0L, 100L), (2L, "u", 5_000_000_000L, 10L))
+      .toDF("lid", "lk", "ls", "le")
+    val right = Seq((11L, "u", 50L, 150L), (12L, "u", 60L, 60L)) // empty right span too
+      .toDF("rid", "rk", "rs", "re")
+    val got = Intervals.overlapJoin(left, "lk", "ls", "le", right, "rk", "rs", "re", 7L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L)), got.toString)
+  }
+
   // --- fuzzy join --------------------------------------------------
 
   test("deletion neighborhood of 'abc' at d=2 is exactly the 0/1/2-deletion set") {
@@ -133,5 +158,22 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val got = FuzzyJoin.join(l, col("lname"), r, col("rname"), 2)
       .select("rid", "edit_dist").collect().map(x => (x.getLong(0), x.getInt(1))).toMap
     assert(got == Map(2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("fuzzy join preserves duplicate-row multiplicity like the brute force") {
+    // identical rows are distinct entities (two customers can share a
+    // name); the join must emit one pair per ROW pair, matching the
+    // cross-join reference, not collapse them with a whole-row distinct
+    val l = Seq("kitten", "kitten", "mitten").toDF("lname")
+    val r = Seq("sitten", "sitten").toDF("rname")
+    val got = FuzzyJoin.join(l, col("lname"), r, col("rname"), 1)
+      .groupBy("lname", "rname").count()
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val want = l.crossJoin(r)
+      .filter(levenshtein(col("lname"), col("rname")) <= 1)
+      .groupBy("lname", "rname").count()
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(("kitten", "sitten")) == 4L) // 2 left rows x 2 right rows
   }
 }

@@ -49,6 +49,20 @@ class BpeSpec extends SparkSpecBase {
     assert(got.head == (("e", "s", 9L)))
   }
 
+  test("symbols with quotes and backslashes merge correctly (no SQL splicing)") {
+    // the public API takes any (word, freq) frame — words outside
+    // [a-z]+ must learn/apply exactly like the sequential reference,
+    // not mis-parse (the fold is built from Column lambdas, so the
+    // learned symbols never enter SQL text)
+    val words = Map("don't" -> 4L, "it's" -> 3L, """a\'b""" -> 2L)
+    val n = 5
+    val got = BpeTrainer.learnMerges(wfDf(words), n).map(m => (m.a, m.b, m.count))
+    assert(got == ref(words, n), got.toString)
+    val spelled = BpeTrainer.applyMerges(wfDf(words), BpeTrainer.learnMerges(wfDf(words), n))
+      .select(col("word"), concat_ws("", col("syms")).as("joined")).collect()
+    spelled.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("merging repeated symbols is left-to-right greedy (aaa -> [aa, a])") {
     val words = Map("aaa" -> 1L)
     val merges = BpeTrainer.learnMerges(wfDf(words), 1)

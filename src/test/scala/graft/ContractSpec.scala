@@ -23,14 +23,16 @@ class ContractSpec extends SparkSpecBase {
   }
 
   test("oracle coverage: only the approximate-by-design ops are rows-only") {
-    // dedup_simhash left this set in round 6: md5-derived shingle hashes
-    // made the fingerprints engine-portable, so DuckDB rebuilds them and
-    // the pair list is hash-checked like everything else.
+    // dedup_simhash left this set in round 6 (md5-derived shingle hashes
+    // made the fingerprints engine-portable); ann_cosine_lsh left it in
+    // round 8 (the seeded plane constants are spliced into the oracle
+    // SQL, so DuckDB rebuilds the identical buckets).
     // bpe_merges: the per-round argmax is inherently sequential — no
     // closed-form SQL oracle exists; BpeSpec pins it against a
     // sequential reference implementation instead.
+    // profile_sketch: HLL estimates, pinned by sketch-error contracts.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_cosine_lsh", "profile_sketch", "bpe_merges"),
+    assert(rowsOnly == Set("profile_sketch", "bpe_merges"),
       rowsOnly.toString)
   }
 
@@ -40,5 +42,57 @@ class ContractSpec extends SparkSpecBase {
 
   test("flagship entry returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // ---- testdata drift smoke check -----------------------------------
+  // The driver regenerates /root/testdata between rounds and has
+  // changed physical column types before (events.ts flipped
+  // TIMESTAMP(NANOS) -> plain micros in round 7, silently erroring all
+  // 18 events consumers). Pin the post-loader logical schema of every
+  // table so any future flip fails HERE, loudly, with the table name —
+  // not as 18 opaque query failures. Timestamp flavors (TZ vs NTZ) are
+  // normalized: under the UTC sessions graft runs, they are
+  // value-identical and query-compatible, so only a genuine type change
+  // (e.g. timestamp -> bigint) should trip this.
+  private def normalize(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case _: org.apache.spark.sql.types.TimestampType    => "timestamp"
+    case _: org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+    case org.apache.spark.sql.types.ArrayType(e, _)     => s"array<${normalize(e)}>"
+    case other                                          => other.simpleString
+  }
+
+  private val expectedSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region"   -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation"   -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string", "c_nationkey" -> "int",
+                      "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string", "s_nationkey" -> "int",
+                      "s_acctbal" -> "double"),
+    "part"     -> Seq("p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+                      "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"),
+    "orders"   -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
+                      "o_totalprice" -> "double", "o_orderdate" -> "timestamp",
+                      "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+                      "l_linenumber" -> "int", "l_quantity" -> "double",
+                      "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+                      "l_returnflag" -> "string", "l_linestatus" -> "string",
+                      "l_shipdate" -> "timestamp"),
+    "events"   -> Seq("event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+                      "event_type" -> "string", "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+                       "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int"))
+
+  test("testdata drift: every table loads with its expected logical schema") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = Tables.names.flatMap { t =>
+      val got = Tables(spark, dir, t).schema.fields.toSeq
+        .map(f => f.name -> normalize(f.dataType))
+      if (got == expectedSchemas(t)) None
+      else Some(s"$t: expected ${expectedSchemas(t)} got $got")
+    }
+    assert(bad.isEmpty, "testdata drift detected (fix Tables loader or update " +
+      s"expectations):\n${bad.mkString("\n")}")
   }
 }

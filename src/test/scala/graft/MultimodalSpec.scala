@@ -233,4 +233,35 @@ class MultimodalSpec extends SparkSpecBase {
       .collect()
     assert(out.length == 1 && out(0).isNullAt(2))
   }
+
+  test("adversarial WAV chunk size (0xFFFFFFF8) terminates and yields nulls") {
+    // A u32 chunk size of 0xFFFFFFF8, truncated to Int when advancing
+    // the chunk walk, is -8 — the offset never moves and the executor
+    // task used to spin forever. Both the meta and the PCM walker must
+    // instead finish and report the payload as unusable.
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val bad = java.nio.ByteBuffer.allocate(64)
+    bad.put("RIFF".getBytes("US-ASCII")).put(le32(56L)).put("WAVE".getBytes("US-ASCII"))
+    bad.put("JUNK".getBytes("US-ASCII")).put(le32(0xFFFFFFF8L)) // the wrap trigger
+    bad.put(new Array[Byte](40))
+    // a second payload where the oversized chunk IS the data chunk:
+    // the clamp must cap it at the bytes actually present
+    val badData = java.nio.ByteBuffer.allocate(32)
+    badData.put("RIFF".getBytes("US-ASCII")).put(le32(24L)).put("WAVE".getBytes("US-ASCII"))
+    badData.put("data".getBytes("US-ASCII")).put(le32(0xFFFFFFF8L))
+    badData.put(new Array[Byte](12))
+    val df = Seq((1L, bad.array()), (2L, badData.array())).toDF("id", "media")
+
+    val meta = MultimodalFunctions.decodeWavMeta(df, "media")
+      .select("id", "wav_sample_rate").orderBy("id").collect()
+    assert(meta.forall(_.isNullAt(1)), "malformed WAV must yield null meta")
+
+    val pcm = MultimodalFunctions.decodePcmFeatures(df, "media")
+      .select("id", "n_samples").orderBy("id").collect()
+    assert(pcm(0).isNullAt(1), "no data chunk reachable -> null features")
+    // row 2: data chunk found, clamped to the 12 real payload bytes
+    assert(pcm(1).getInt(1) == 6, s"clamped sample count: ${pcm(1)}")
+  }
 }

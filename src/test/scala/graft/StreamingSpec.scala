@@ -142,15 +142,13 @@ class StreamingSpec extends SparkSpecBase {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ev_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), tmp.resolve("part-0.parquet"))
-    // raw file schema: ts is TIMESTAMP(NANOS) -> LongType under the
-    // legacy conf (Tables.events sets it); apply the same micros
-    // conversion the batch loader does.
+    // apply the same type-adaptive ts normalization the batch loader
+    // does (handles legacy nanos-as-long AND plain/NTZ micros files)
     Tables(spark, dir, "events") // ensures the nanosAsLong conf is set
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
+    val raw = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
-      .parquet(tmp.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .parquet(tmp.toString))
     val q = StreamOps.toMemorySink(
       StreamOps.windowedCounts(raw, "10 minutes", "20 minutes").select(
         org.apache.spark.sql.functions.date_format(
@@ -187,10 +185,9 @@ class StreamingSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$dir/events.parquet"), tmp.resolve("part-0.parquet"))
     Tables(spark, dir, "events") // ensures the nanosAsLong conf is set
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
+    val raw = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
-      .parquet(tmp.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .parquet(tmp.toString))
     val q = StreamOps.toMemorySink(
       StreamOps.slidingCounts(raw, "30 minutes", "10 minutes", "20 minutes").select(
         org.apache.spark.sql.functions.date_format(
