@@ -79,21 +79,30 @@ object Dedup {
     // cores/executors (a small parquet file is otherwise ONE input
     // partition doing all the interpreted HOF work) and acts as a
     // materialization barrier for the shingle arrays.
-    // the repartition doubles as the exchange both self-join sides (and
-    // the size lookup) reuse, so shingling runs once (ReuseExchange)
     val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
     // explode_OUTER on purpose: for a plain explode the optimizer infers
     // a `size(sh) > 0` filter and pushes it below every projection,
     // substituting aliases — the pushed predicate then re-evaluates the
     // whole inlined shingle chain per input row (interpreted, per-
     // shingle regex). The outer generator infers nothing; the cheap
     // isNotNull on the OUTPUT column keeps the same row set.
-    val exploded = d.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+    //
+    // Each exploded row CARRIES its document's shingle count: the
+    // Jaccard denominator then rides the posting lists into the pair
+    // rows (na/nb below) instead of joining a per-doc `sizes` table
+    // back in at the end. That join was two broadcasts at bench scale —
+    // racing the 32-thread pair stage for the driver's execution pool
+    // (observed OOM at 10x) — and at 100 TB per-doc sizes are billions
+    // of rows, which no sane plan broadcasts; carrying +4 bytes per
+    // posting entry deletes the join in both regimes.
+    val exploded = d.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
     // Pair generation by grouping the inverted index instead of a
     // self-join: one shuffle on the shingle builds each posting list,
-    // pairs explode from the sorted list (i < j by construction).
+    // pairs explode from the sorted list (i < j by construction —
+    // array_sort on (doc_id, nsh) structs orders by doc_id, which is
+    // unique per list).
     //
     // The hot-shingle cutoff applies ON the posting list: the groupBy
     // that builds the list already counts the doc frequency, so the cap
@@ -101,24 +110,25 @@ object Dedup {
     // full second aggregation over the exploded shingles — measured 3x
     // the whole query). What the cutoff must prevent is the QUADRATIC
     // pair explosion (df=10^6 boilerplate -> 10^12 pairs from one key);
-    // the list buffer itself is linear — df x 8 bytes, 8 MB at df=10^6
+    // the list buffer itself is linear — df x 12 bytes, 12 MB at df=10^6
     // — bounded and droppable. Only beyond df~10^7 would the buffer
     // itself hurt, at which point pre-filtering against a profiled hot
     // set is the escalation.
-    val pairs = exploded.groupBy(col("s"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    exploded.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
       .filter(size(col("ds")) >= 2 &&
         (if (maxDocFreq > 0) size(col("ds")) <= maxDocFreq else lit(true)))
       .select(explode_outer(expr(
         """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds)), y -> struct(x AS i, y AS j))))"""))
+             transform(slice(ds, i + 2, size(ds)), y ->
+               struct(x.doc_id AS i, y.doc_id AS j, x.nsh AS na, y.nsh AS nb))))"""))
         .as("p"))
       .filter(col("p").isNotNull)
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      // na/nb are functions of i/j, so the extra grouping keys do not
+      // change the pair cardinality — they just ride the shuffle
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("c"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nb"), "j")
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
