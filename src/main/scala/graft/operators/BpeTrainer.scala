@@ -55,8 +55,13 @@ object BpeTrainer {
   def learnMerges(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // single-symbol words can never contribute a pair, and a merge can
+    // only shrink a word's symbol count — drop them up front and after
+    // every round so late rounds scan a strictly smaller vocabulary
+    // (pair counts are provably unchanged)
     var vocab = wordFreq.select(col("word"), col("freq"),
-      expr("filter(split(word, ''), x -> x != '')").as("syms")).persist(lvl)
+      expr("filter(split(word, ''), x -> x != '')").as("syms"))
+      .filter(size(col("syms")) > 1).persist(lvl)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     // one Spark job per round: the argmax action below both reads the
     // previous round's cache and materializes the current one, so the
@@ -78,7 +83,8 @@ object BpeTrainer {
         if (top.isEmpty) return merges.toSeq
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, cnt)
-        val next = vocab.withColumn("syms", mergePair(col("syms"), a, b)).persist(lvl)
+        val next = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+          .filter(size(col("syms")) > 1).persist(lvl)
         retiring = List(vocab)
         vocab = next
       }
