@@ -36,8 +36,15 @@ object Curation extends QueryModule {
     // as-is — the semantics curation pipelines actually want (pairwise
     // anti-joins over-delete chains: in a~b~c, pair logic can drop both
     // b and c even when only one true duplicate group exists). Labels
-    // from connected components; representative via WindowGroupLimit
-    // top-1 per cluster.
+    // from connected components.
+    //
+    // Scale shape: the per-cluster window runs over ONLY the clustered
+    // docs (the semi-join side — sparse by construction: clusters are
+    // the rare duplicates in a deduped-by-design corpus), while
+    // singletons pass through as a window-free anti-join projection.
+    // Windowing the whole corpus instead sorted 100% of rows to pick
+    // representatives among the <1% that have competition — measured as
+    // the only spill at the 10x scale validation (SCALING.md).
     "cluster_keep_best" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
@@ -45,11 +52,13 @@ object Curation extends QueryModule {
       val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      docs.join(labels, col("doc_id") === col("node"), "left")
-        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val clustered = docs.join(labels, col("doc_id") === col("node"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("cluster"), col("doc_id"), col("n_chars"))
+      val singletons = docs.join(labels, col("doc_id") === col("node"), "left_anti")
+        .select(col("doc_id").as("cluster"), col("doc_id"), col("n_chars"))
+      clustered.unionByName(singletons)
         .orderBy(col("cluster"))
     }),
 
