@@ -37,6 +37,15 @@ object PageRank {
 
   val Scale: Long = 1000000000000L // 1e12 fixed-point scale
 
+  /** Local-endgame threshold (edge count), same rationale as
+    * ConnectedComponents.LocalFinishEdges but sized for PageRank's
+    * costs: the driver loop is iters × edges hash operations (~20M ops
+    * per iteration at this cap — well under a second) over ~4M
+    * collected pairs (~100s of MB with object overhead, comfortable in
+    * any driver). Below it, every distributed round — a join plus a
+    * keyed aggregation — is pure scheduling overhead. */
+  val LocalFinishEdges: Long = 1L << 22
+
   /** Ranks after `iters` rounds over `edges(src, dst)` (string node ids,
     * duplicate edges ignored). Returns (node, rank_scaled) where
     * rank_scaled is the fixed-point rank; ranks sum to ≤ SCALE (dangling
@@ -49,8 +58,19 @@ object PageRank {
     * for the session so the lazy result can be executed any number of
     * times. Callers that invoke this repeatedly (loops, services)
     * should use [[withRanks]], which releases them deterministically.
+    *
+    * LOCAL ENDGAME (same pattern, threshold and rationale as
+    * ConnectedComponents.LocalFinishEdges): when the deduped edge list
+    * fits trivially on the driver, every distributed round is pure
+    * scheduling overhead — one collect plus the identical fixed-point
+    * loop replaces iters×(join+agg). The arithmetic is the same
+    * integer expression, so local and distributed paths are bit-equal
+    * (spec-pinned); pass `localFinishEdges = 0` to force the
+    * distributed path.
     */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = buildRanks(edges, iters)._1
+  def ranks(edges: DataFrame, iters: Int,
+            localFinishEdges: Long = LocalFinishEdges): DataFrame =
+    buildRanks(edges, iters, localFinishEdges)._1
 
   /** Materialize-and-release bracket around [[ranks]]: runs `action`
     * on the rank table (collect it, write it, aggregate it — whatever
@@ -58,24 +78,67 @@ object PageRank {
     * returning. After this returns, no RDD persisted by this call is
     * still registered — the leak-free variant for repeated calls. */
   def withRanks[T](edges: DataFrame, iters: Int)(action: DataFrame => T): T = {
-    val (rank, pinned) = buildRanks(edges, iters)
+    val (rank, pinned) = buildRanks(edges, iters, LocalFinishEdges)
     try action(rank)
     finally pinned.foreach(_.unpersist(blocking = true))
   }
 
-  private def buildRanks(edges: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
+  /** Driver-side fixed-point loop over a collected edge list — the
+    * identical integer arithmetic as the distributed plan, expression
+    * for expression ([[ranksSql]] documents the shared formula).
+    * Integer addition is exactly associative, so the HashMap
+    * accumulation order cannot diverge from the distributed sum — the
+    * same property that makes the operator reproducible at all.
+    * Node ids stay whatever type the input column had. */
+  private def localRanks(spark: org.apache.spark.sql.SparkSession,
+                         nodeType: org.apache.spark.sql.types.DataType,
+                         edges: Array[(Any, Any)], iters: Int): DataFrame = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val nn = nodes.length.toLong
+    var rank = nodes.map(_ -> Scale / nn).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Any, Long]
+      edges.foreach { case (src, dst) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + rank(src) / deg(src)
+      }
+      rank = nodes.map(v =>
+        v -> ((15L * (Scale / nn)) / 100L + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("rank_scaled",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rank.toSeq.map { case (n, r) => org.apache.spark.sql.Row(n, r) }).asJava
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def buildRanks(edges: DataFrame, iters: Int,
+                         localFinishEdges: Long): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1)
-    val e = edges.select(col("src"), col("dst")).distinct()
-    // The loop invariants — the degree-annotated edge list (one row per
-    // edge carrying its source's out-degree) and the node set — are
-    // persisted DISK_ONLY and re-scanned per iteration. Disk-persisted
-    // blocks keep their lineage (an executor loss recomputes, unlike
-    // localCheckpoint) and are NOT subject to memory-pressure eviction:
-    // MEMORY_AND_DISK here jittered 2.6× in a busy session when the
-    // store evicted edge blocks back into recomputation, while a 100 TB
-    // edge list was never going to live in executor memory anyway —
-    // disk-resident scans per round are the honest steady state.
+    // The loop invariants — the deduped edge list, the degree-annotated
+    // edge list (one row per edge carrying its source's out-degree) and
+    // the node set — are persisted DISK_ONLY and re-scanned per
+    // iteration. Disk-persisted blocks keep their lineage (an executor
+    // loss recomputes, unlike localCheckpoint) and are NOT subject to
+    // memory-pressure eviction: MEMORY_AND_DISK here jittered 2.6× in a
+    // busy session when the store evicted edge blocks back into
+    // recomputation, while a 100 TB edge list was never going to live
+    // in executor memory anyway — disk-resident scans per round are the
+    // honest steady state.
     val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // the endgame decision rides the SAME materialization the
+    // distributed path needs anyway (the e cache serves both ed builds
+    // below), so probing costs nothing extra — the CC pattern
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    if (localFinishEdges > 0 && e.count() <= localFinishEdges) {
+      val collected = e.collect().map(r => (r.get(0), r.get(1)))
+      val nodeType = e.schema.head.dataType
+      e.unpersist(blocking = false)
+      return (localRanks(edges.sparkSession, nodeType, collected, iters), Nil)
+    }
     val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .persist(lvl)
     // node set derived from the persisted edge list, not from `e` — the
@@ -114,7 +177,7 @@ object PageRank {
         .select(col("dst").as("node"),
           expr(s"(15 * (${Scale}L div nn)) div 100 + (85 * c) div 100").as("rank"))
     }
-    (rank.withColumnRenamed("rank", "rank_scaled"), Seq(ed, nodes))
+    (rank.withColumnRenamed("rank", "rank_scaled"), Seq(e, ed, nodes))
   }
 
   /** The identical computation as chained SQL CTEs (aggregates are not

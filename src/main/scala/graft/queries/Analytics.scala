@@ -18,6 +18,22 @@ object Analytics extends QueryModule {
     * and truncating vs flooring integer division can't diverge). */
   private val HourBase = 1704067200000000L
 
+  /** The supplier↔customer trade graph (edges from lineitem⋈orders,
+    * both directions) the pagerank query runs over — exposed so the
+    * plan guards can drive PageRank's distributed path on the same
+    * input (the registered query takes the local endgame at fixture
+    * scale). */
+  def pagerankEdges(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("c"), col("o_custkey")).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // PageRank over the supplier↔customer trade graph (edges from
@@ -25,18 +41,9 @@ object Analytics extends QueryModule {
     // integer arithmetic — bit-exact, so a HASH oracle exists for an
     // iterative graph algorithm. Each round is one join + one keyed
     // aggregation; the rank table is one row per node.
-    "graph_pagerank" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
-        .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      PageRank.ranks(edges, iters = 5)
-        .orderBy(col("rank_scaled").desc, col("node"))
-    }),
+    "graph_pagerank" -> ((s, dir) =>
+      PageRank.ranks(pagerankEdges(s, dir), iters = 5)
+        .orderBy(col("rank_scaled").desc, col("node"))),
 
     // Degree distribution of the same trade graph: the first diagnostic
     // run on any production graph (hubs, dangling mass, skew — the

@@ -33,6 +33,12 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     PageRank.ranks(edges.toDF("src", "dst"), iters).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Force the fully distributed path (localFinishEdges = 0), like the
+    * CC equivalence specs do for their local endgame. */
+  private def prSparkDistributed(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    PageRank.ranks(edges.toDF("src", "dst"), iters, localFinishEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("pagerank matches the sequential fixed-point reference on a cycle") {
     // symmetric triangle: all nodes equal by symmetry, rank conserved
     val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "a", "c" -> "b", "a" -> "c")
@@ -54,6 +60,17 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val got = prSpark(e, 3)
     assert(got == prRef(e, 3))
     assert(got("b") > got("a") && got("a") == got("c"))
+  }
+
+  test("pagerank local endgame is bit-equal to the distributed path") {
+    // the local path takes over below the edge threshold; both must
+    // produce the identical fixed-point integers (and match the ref)
+    val e = Seq("s1" -> "hub", "s2" -> "hub", "s3" -> "hub", "hub" -> "s1",
+      "a" -> "b", "b" -> "c", "c" -> "a")
+    val local = prSpark(e, 5)            // default threshold -> local
+    val dist = prSparkDistributed(e, 5)  // forced distributed
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(local == prRef(e, 5))
   }
 
   test("withRanks releases every RDD it persisted (no cache leak)") {

@@ -189,7 +189,13 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("graph_pagerank iterations aggregate map-side (partial_sum before each exchange)") {
-    val p = planOf("graph_pagerank")
+    // at fixture scale the registered query takes the local endgame
+    // (LocalTableScan — correct, and spec-pinned bit-equal elsewhere);
+    // the DISTRIBUTED path is the one whose shape needs guarding, so
+    // force it the way the CC plan guards do
+    val edges = graft.queries.Analytics.pagerankEdges(spark, dir)
+    val p = graft.operators.PageRank.ranks(edges, iters = 5, localFinishEdges = 0L)
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), p.take(900))
     // the rank-side joins must never multiply the edge list: no cartesian
     assert(!p.contains("CartesianProduct"), p.take(900))
