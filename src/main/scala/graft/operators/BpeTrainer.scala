@@ -50,16 +50,77 @@ object BpeTrainer {
           concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
           .otherwise(concat(acc, array(s))))
 
+  /** Local-endgame threshold (vocabulary rows): BPE learning works on
+    * the WORD VOCABULARY, which is tiny relative to any corpus —
+    * natural-language vocabularies top out around 10^7 surface forms.
+    * Below this cap the per-round argmax is a driver loop over summed
+    * pair counts (exact longs, same lexicographic tiebreak — bit-equal
+    * to the distributed rounds, spec-pinned), and every distributed
+    * round saved is a whole Spark job of fixed scheduling cost. The
+    * corpus-scale wordFreq aggregation is unaffected — it always runs
+    * distributed; only the learning rounds move. */
+  val LocalFinishWords: Long = 1L << 22
+
+  /** Driver-side learning loop — the identical algorithm, pair count
+    * and (count desc, pair lexicographic) argmax as the distributed
+    * rounds. Long addition is exact, so accumulation order cannot
+    * diverge. */
+  private def localLearn(rows: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var vocab: Array[(Vector[String], Long)] = rows
+      .map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+      .filter(_._1.length > 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    for (r <- 1 to numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((a, b), c) = counts.minBy { case ((x, y), cnt) => (-cnt, x, y) }
+      out += Merge(r, a, b, c)
+      vocab = vocab.map { case (syms, f) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        } -> f
+      }.filter(_._1.length > 1)
+    }
+    out.toSeq
+  }
+
   /** Learn up to `numMerges` merges from a (word, freq) vocabulary.
-    * Stops early if no adjacent pair is left. */
-  def learnMerges(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
+    * Stops early if no adjacent pair is left. Pass
+    * `localFinishWords = 0` to force the distributed rounds (the
+    * equivalence spec does). */
+  def learnMerges(wordFreq: DataFrame, numMerges: Int,
+                  localFinishWords: Long = LocalFinishWords): Seq[Merge] = {
     require(numMerges >= 1)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the endgame probe rides a persist of wordFreq so the corpus-sized
+    // aggregation feeding it runs exactly once whichever path is taken
+    // (without it, a vocabulary just over the cap would pay the corpus
+    // pass twice)
+    val wf = wordFreq.persist(lvl)
+    if (localFinishWords > 0) {
+      val sample = wf
+        .select(col("word").cast("string"), col("freq").cast("long"))
+        .limit(localFinishWords.toInt + 1)
+        .collect()
+      if (sample.length <= localFinishWords) {
+        wf.unpersist(blocking = false)
+        return localLearn(sample.map(r => (r.getString(0), r.getLong(1))), numMerges)
+      }
+    }
     // single-symbol words can never contribute a pair, and a merge can
     // only shrink a word's symbol count — drop them up front and after
     // every round so late rounds scan a strictly smaller vocabulary
     // (pair counts are provably unchanged)
-    var vocab = wordFreq.select(col("word"), col("freq"),
+    var vocab = wf.select(col("word"), col("freq"),
       expr("filter(split(word, ''), x -> x != '')").as("syms"))
       .filter(size(col("syms")) > 1).persist(lvl)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -92,6 +153,7 @@ object BpeTrainer {
     } finally {
       retiring.foreach(_.unpersist())
       vocab.unpersist()
+      wf.unpersist(blocking = false)
     }
   }
 

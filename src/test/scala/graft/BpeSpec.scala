@@ -41,12 +41,23 @@ class BpeSpec extends SparkSpecBase {
     words.toSeq.toDF("word", "freq")
 
   test("distributed merges equal the sequential reference on the classic corpus") {
-    val got = BpeTrainer.learnMerges(wfDf(classic), 8)
+    // force the distributed rounds (localFinishWords = 0) — the default
+    // takes the local endgame at this vocabulary size
+    val got = BpeTrainer.learnMerges(wfDf(classic), 8, localFinishWords = 0L)
       .map(m => (m.a, m.b, m.count))
     assert(got == ref(classic, 8))
     // spot-check the first merge is the expected (e,s) with weight 9
     // (newest x6 + widest x3), per the published worked example
     assert(got.head == (("e", "s", 9L)))
+  }
+
+  test("local endgame merges are bit-equal to the distributed rounds") {
+    val local = BpeTrainer.learnMerges(wfDf(classic), 8)
+      .map(m => (m.a, m.b, m.count))
+    val dist = BpeTrainer.learnMerges(wfDf(classic), 8, localFinishWords = 0L)
+      .map(m => (m.a, m.b, m.count))
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(local == ref(classic, 8))
   }
 
   test("symbols with quotes and backslashes merge correctly (no SQL splicing)") {
