@@ -393,7 +393,12 @@ object Pipeline extends QueryModule {
     // red arithmetically — the video-shaped one-row-in/n-frames-out
     // path made real on an actual codec.
     "media_gif_frames" -> ((s, dir) => {
+      // repartition before the codec mapPartitions: the doc_id scan is
+      // one small input split, and GIF encode/decode is CPU-bound —
+      // without the spread, all codec work runs on a single core (the
+      // same reasoning as the shingle repartition in Dedup)
       val src = Tables(s, dir, "documents").select(col("doc_id"))
+        .repartition(col("doc_id"))
       val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
         org.apache.spark.sql.types.StructField("gif",
           org.apache.spark.sql.types.BinaryType, nullable = false))
@@ -453,8 +458,14 @@ object Pipeline extends QueryModule {
         le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
         hex(lit("data")), le32(dataLen))
       val wav = unhex(concat(headerHex, payloadHex))
+      // repartition: the per-row hex synthesis + sample walk is
+      // CPU-bound over one small input split (see media_gif_frames);
+      // project to doc_id FIRST so the spread shuffles 8 bytes per row,
+      // not the document text
       MultimodalFunctions.decodePcmFeatures(
-          Tables(s, dir, "documents").withColumn("wav", wav), "wav")
+          Tables(s, dir, "documents").select(col("doc_id"))
+            .repartition(col("doc_id"))
+            .withColumn("wav", wav), "wav")
         .select(col("doc_id"), col("n_samples"), col("sum_sq"),
           col("peak"), col("zero_crossings"))
         .orderBy(col("doc_id"))
@@ -468,7 +479,10 @@ object Pipeline extends QueryModule {
     // from doc_id arithmetic (bilinear resize of a uniform color is the
     // same color, so the histogram is fully predictable).
     "media_resize" -> ((s, dir) => {
+      // spread the PNG encode -> resize -> decode codec chain across
+      // cores (single small input split otherwise; see media_gif_frames)
       val src = Tables(s, dir, "documents").select(col("doc_id"))
+        .repartition(col("doc_id"))
       val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
         org.apache.spark.sql.types.StructField("img",
           org.apache.spark.sql.types.BinaryType, nullable = false))
