@@ -128,6 +128,30 @@ object IoQueries extends QueryModule {
       ParquetSource.load(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // The multimodal INGESTION face: `binaryFile` is how a media corpus
+    // (images/audio/video as raw files) enters Spark — one (path,
+    // length, content) row per file, split across executors by the
+    // normal file-partitioning knobs, with the decode operators
+    // (MultimodalFunctions) running over `content` downstream. The
+    // query writes 200 deterministic files (content a closed-form
+    // function of the file index), reads them back through the source
+    // and projects id/size/md5; the DuckDB oracle recomputes all three
+    // from the same closed form, so the whole path — file write, source
+    // scan, binary column — is hash-checked.
+    "io_binary_files" -> ((s, _) => {
+      val dir = tmpDir("binfiles")
+      (0 until 200).foreach { i =>
+        Files.write(java.nio.file.Paths.get(s"$dir/$i.bin"),
+          s"graft-binary-$i:${i * 31}".getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("file_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("file_id"))
+    }),
+
     // §2.8 scatter_plot: the distributed binning grid behind the render
     // (the render itself is a driver-side paint of these rows).
     "plot_bins" -> ((s, dir) =>
@@ -176,6 +200,11 @@ object IoQueries extends QueryModule {
     "io_json_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_parquet_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_orc_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "io_binary_files" ->
+      """SELECT CAST(i AS BIGINT) AS file_id,
+           CAST(length('graft-binary-' || i || ':' || (i * 31)) AS BIGINT) AS n_bytes,
+           md5('graft-binary-' || i || ':' || (i * 31)) AS content_md5
+         FROM generate_series(0, 199) t(i) ORDER BY file_id""",
     "io_excel_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
     "io_sql_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_compact_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
