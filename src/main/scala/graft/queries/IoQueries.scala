@@ -152,6 +152,27 @@ object IoQueries extends QueryModule {
         .orderBy(col("file_id"))
     }),
 
+    // Raw text shards — the other corpus wire format next to JSON
+    // Lines: one document per line, id and body tab-separated, written
+    // with the `text` sink and read back with the `text` source (the
+    // format a crawl dump or tokenizer-ready shard actually uses).
+    // split-on-first-tab recovers the columns; the oracle is the
+    // original table, so any fidelity loss in either direction is a
+    // hash mismatch. (The fixture corpus is single-line/tab-free by
+    // construction — the precondition any line-oriented shard format
+    // imposes.)
+    "io_text_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("text")
+      Tables(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(
+          split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.8 scatter_plot: the distributed binning grid behind the render
     // (the render itself is a driver-side paint of these rows).
     "plot_bins" -> ((s, dir) =>
@@ -200,6 +221,7 @@ object IoQueries extends QueryModule {
     "io_json_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_parquet_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_orc_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "io_text_roundtrip" -> "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "io_binary_files" ->
       """SELECT CAST(i AS BIGINT) AS file_id,
            CAST(length('graft-binary-' || i || ':' || (i * 31)) AS BIGINT) AS n_bytes,
