@@ -173,6 +173,25 @@ object IoQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Schema evolution at the SOURCE: two parquet generations of the
+    // same table — an old one missing a column, a new full one — read
+    // together with mergeSchema, the reconciled superset schema filling
+    // the missing column with nulls. union_evolve covers the same
+    // semantics as a frame op; this is the read-path face a long-lived
+    // corpus directory actually exercises (new shards gain columns, old
+    // shards stay as written). Ordered by (key, generation) so the
+    // doubled rows are deterministic.
+    "io_evolve_read" -> ((s, dir) => {
+      val src = nation(s, dir)
+      val (oldGen, newGen) = (tmpDir("evolve_old"), tmpDir("evolve_new"))
+      src.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(oldGen)
+      src.write.mode("overwrite").parquet(newGen)
+      s.read.option("mergeSchema", "true").parquet(oldGen, newGen)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"), coalesce(col("n_regionkey"), lit(-1)))
+    }),
+
     // §2.8 scatter_plot: the distributed binning grid behind the render
     // (the render itself is a driver-side paint of these rows).
     "plot_bins" -> ((s, dir) =>
@@ -222,6 +241,12 @@ object IoQueries extends QueryModule {
     "io_parquet_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_orc_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
     "io_text_roundtrip" -> "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "io_evolve_read" ->
+      """SELECT * FROM (
+           SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+           UNION ALL
+           SELECT n_nationkey, n_name, n_regionkey FROM nation)
+         ORDER BY n_nationkey, coalesce(n_regionkey, -1)""",
     "io_binary_files" ->
       """SELECT CAST(i AS BIGINT) AS file_id,
            CAST(length('graft-binary-' || i || ':' || (i * 31)) AS BIGINT) AS n_bytes,
