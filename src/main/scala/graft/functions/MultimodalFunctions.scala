@@ -361,6 +361,58 @@ object MultimodalFunctions {
     }(enc)
   }
 
+  /** REAL perceptual difference-hash (dHash) over the DECODED pixels of
+    * a 9×8 image: bit `y*8+x` is set when the integer luma of pixel
+    * (x+1,y) strictly exceeds that of (x,y) (unscaled Rec.601 weights
+    * 299/587/114 — order-identical to the scaled luma, exact in int
+    * math). Emitted as a 16-hex-char lowercase string: one byte per row
+    * y=0..7, bit x as the 2^x place. Inputs are expected pre-resized to
+    * 9×8 (compose with `resizeImage(df, col, 9, 8)` — the canonical
+    * dHash pipeline); other dimensions, null, or undecodable payloads
+    * hash to null rather than a misleading value.
+    *
+    * Same-hash grouping is the standard image-dedup primitive: the hash
+    * is 16 bytes per image however large the pixels, so the dedup
+    * becomes an ordinary hash-partition groupBy at any corpus scale —
+    * the decoded pixels never shuffle. */
+  def imageDHash(df: DataFrame, binCol: String, outCol: String = "dhash"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, StringType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out: Any =
+          if (bytes == null) null
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth != 9 || img.getHeight != 8) null
+            else {
+              def luma(x: Int, y: Int): Int = {
+                val rgb = img.getRGB(x, y)
+                299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              }
+              val sb = new java.lang.StringBuilder(16)
+              var y = 0
+              while (y < 8) {
+                var rowByte = 0
+                var x = 0
+                while (x < 8) {
+                  if (luma(x + 1, y) > luma(x, y)) rowByte |= (1 << x)
+                  x += 1
+                }
+                sb.append(f"$rowByte%02x")
+                y += 1
+              }
+              sb.toString
+            }
+          } catch { case _: java.io.IOException => null }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** STUB resize: deterministic downsample of the payload to `target`
     * bytes by strided selection — stands in for an image resize (the
     * real one swaps the lambda body for a decoder+scaler call). Pure

@@ -512,6 +512,51 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL perceptual-hash image dedup: synthesize a 9x8 gradient PNG
+    // per document whose column-luma pattern depends only on
+    // doc_id % 24, push it through the real resize path (identity blit
+    // at equal dims — still the full encode→decode→re-encode codec
+    // chain), dHash the decoded pixels, and group equal hashes into
+    // duplicate clusters. The scale shape is the one that matters at
+    // 100 TB: pixels never shuffle — only the 16-byte hash does, and
+    // the dedup is a plain hash-partition groupBy. The oracle
+    // recomputes each group's hash arithmetically (adjacent-column luma
+    // comparisons from doc_id math; the codec chain is lossless).
+    "media_phash_dedup" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents").select(col("doc_id"))
+        .repartition(col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("img",
+          org.apache.spark.sql.types.BinaryType, nullable = false))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val synth = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = (id % 24).toInt
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < 9) {
+            val l = ((g + 3) * (x + 1) * 19 + x * x * 11) % 256
+            val rgb = (l << 16) | (l << 8) | l
+            var y = 0
+            while (y < 8) { img.setRGB(x, y, rgb); y += 1 }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bos.toByteArray)
+        }
+      }(enc)
+      val resized = MultimodalFunctions.resizeImage(synth, "img", 9, 8)
+        .drop("img").withColumnRenamed("resized", "img")
+      MultimodalFunctions.imageDHash(resized, "img")
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).cast("long").as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("dhash"))
+    }),
+
     // Frame-sampling plumbing (video/audio batch shape): 4 evenly
     // spaced 16-byte windows per binary payload via frameSampleStub,
     // posexploded to one row per frame — the real one-row-in, n-frames-
@@ -883,6 +928,19 @@ object Pipeline extends QueryModule {
            CAST(((doc_id * 37) % 256) * 16 // 256 + 1 AS INTEGER) AS top_bin1,
            CAST(1.0 AS DOUBLE) AS top_mass
          FROM documents ORDER BY doc_id""",
+    "media_phash_dedup" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 24 AS grp FROM documents),
+         b AS (SELECT grp,
+                 (SELECT sum(CASE WHEN ((grp+3)*((x+1)+1)*19 + (x+1)*(x+1)*11) % 256
+                                     > ((grp+3)*(x+1)*19 + x*x*11) % 256
+                                  THEN 1 << x ELSE 0 END)
+                  FROM generate_series(0, 7) t(x)) AS rowbyte
+               FROM d),
+         h AS (SELECT grp, lower(repeat(lpad(to_hex(rowbyte), 2, '0'), 8)) AS dhash FROM b),
+         g AS (SELECT h.dhash, documents.doc_id
+               FROM documents JOIN h ON documents.doc_id % 24 = h.grp)
+         SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
+         FROM g GROUP BY dhash HAVING count(*) > 1 ORDER BY dhash""",
     "media_audio" ->
       """SELECT doc_id,
            CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025 ELSE 22050 END AS INTEGER) AS wav_sample_rate,

@@ -23,6 +23,15 @@ object Training extends QueryModule {
   private val PackBudget  = 2048L
   private val PackShards  = 4
 
+  /** Fixed merge table for `bpe_encode` (rank order matters: `the`
+    * builds on `th`, `and` on `an`; `er` before `re` decides which of
+    * the two claims a shared `e`). Counts are irrelevant to encoding. */
+  private val EncodeMerges: Seq[BpeTrainer.Merge] = Seq(
+    BpeTrainer.Merge(1, "t", "h", 0), BpeTrainer.Merge(2, "th", "e", 0),
+    BpeTrainer.Merge(3, "a", "n", 0), BpeTrainer.Merge(4, "an", "d", 0),
+    BpeTrainer.Merge(5, "i", "n", 0), BpeTrainer.Merge(6, "e", "r", 0),
+    BpeTrainer.Merge(7, "o", "u", 0), BpeTrainer.Merge(8, "r", "e", 0))
+
   val queries: Map[String, Q] = Map(
 
     // Context-window chunking with overlap: every document is cut into
@@ -202,6 +211,37 @@ object Training extends QueryModule {
     // lexicographic tie-break) but the per-round argmax is inherently
     // sequential — no closed-form SQL exists, so this is a rows-only
     // row; BpeSpec pins the algorithm against a sequential reference.
+    // BPE ENCODING with a fixed merge table — the apply side of the
+    // tokenizer (bpe_merges is the learn side). The corpus-scale trick
+    // is the one production tokenizers use: encode each DISTINCT word
+    // once (vocabulary-sized work), then join the token counts back to
+    // the (doc, word) occurrences — the merge fold never touches the
+    // corpus. Merges apply in rank order through the same greedy
+    // left-to-right Column fold the learner uses, so the pair
+    // (bpe_merges, bpe_encode) is train+apply over one code path. The
+    // oracle replays the merges as ordered non-overlapping string
+    // replacements on single-char placeholder symbols — exactly the
+    // greedy pair-merge semantics, SQL-portable.
+    "bpe_encode" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val perDoc = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = perDoc.select(col("word")).distinct()
+        .withColumn("freq", lit(1L))
+      val encoded = BpeTrainer.applyMerges(vocab, EncodeMerges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_toks"),
+          array_join(col("syms"), " ").as("enc"))
+      perDoc.join(encoded, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_words"),
+          sum(col("cnt") * col("n_toks")).cast("long").as("n_tokens"),
+          md5(concat_ws("|", array_sort(collect_list(
+            concat_ws(":", col("word"), col("enc")))))).as("enc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
       val wf = BpeTrainer.wordFreq(Tables(s, dir, "documents"), col("text"))
@@ -212,6 +252,29 @@ object Training extends QueryModule {
     }))
 
   val oracle: Map[String, String] = Map(
+    "bpe_encode" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+                    FROM documents),
+         f AS (SELECT doc_id, word, count(*) AS cnt
+               FROM w WHERE word <> '' GROUP BY doc_id, word),
+         e AS (SELECT doc_id, word, cnt,
+                 replace(replace(replace(replace(replace(replace(replace(replace(word,
+                   'th', '1'), '1e', '2'), 'an', '3'), '3d', '4'),
+                   'in', '5'), 'er', '6'), 'ou', '7'), 're', '8') AS encs
+               FROM f),
+         t AS (SELECT doc_id, word, cnt, length(encs) AS n_toks,
+                 array_to_string([CASE c WHEN '1' THEN 'th' WHEN '2' THEN 'the'
+                                         WHEN '3' THEN 'an' WHEN '4' THEN 'and'
+                                         WHEN '5' THEN 'in' WHEN '6' THEN 'er'
+                                         WHEN '7' THEN 'ou' WHEN '8' THEN 're'
+                                         ELSE c END
+                                  FOR c IN string_split(encs, '')], ' ') AS enc
+               FROM e)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_sort(list(word || ':' || enc)), '|')) AS enc_md5
+         FROM t GROUP BY doc_id ORDER BY doc_id""",
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${Pipeline.toksSql} toks FROM documents),
           ch AS (SELECT doc_id,

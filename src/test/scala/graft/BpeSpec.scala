@@ -90,6 +90,29 @@ class BpeSpec extends SparkSpecBase {
     assert(bad.isEmpty, bad.collect().mkString(","))
   }
 
+  test("applyMerges with a fixed table matches ordered greedy replacement") {
+    // the bpe_encode oracle replays merges as ordered non-overlapping
+    // single-char-placeholder replacements; pin the Column fold to that
+    // semantic on the order-sensitive words (`another` must spend its
+    // `e` on `the`, not `er`; `thththe` must greedy-merge L2R)
+    val merges = Seq(
+      BpeTrainer.Merge(1, "t", "h", 0), BpeTrainer.Merge(2, "th", "e", 0),
+      BpeTrainer.Merge(3, "a", "n", 0), BpeTrainer.Merge(4, "an", "d", 0),
+      BpeTrainer.Merge(5, "i", "n", 0), BpeTrainer.Merge(6, "e", "r", 0),
+      BpeTrainer.Merge(7, "o", "u", 0), BpeTrainer.Merge(8, "r", "e", 0))
+    val words = Map("there" -> 1L, "another" -> 1L, "thththe" -> 1L,
+      "mountain" -> 1L, "and" -> 1L, "a" -> 1L)
+    val got = BpeTrainer.applyMerges(wfDf(words), merges)
+      .select(col("word"), array_join(col("syms"), " "))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("there") == "the re")
+    assert(got("another") == "an o the r")
+    assert(got("thththe") == "th th the")
+    assert(got("mountain") == "m ou n t a in")
+    assert(got("and") == "and")
+    assert(got("a") == "a")
+  }
+
   test("learning stops early when no pair remains") {
     // single-char words have no adjacent pairs at all
     val merges = BpeTrainer.learnMerges(wfDf(Map("a" -> 3L, "b" -> 2L)), 5)

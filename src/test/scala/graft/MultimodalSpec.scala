@@ -37,6 +37,61 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!pruned.schema.fieldNames.contains("media"))
   }
 
+  test("imageDHash: gradient direction sets bits; dup images collide; bad input is null") {
+    def png(w: Int, h: Int, luma: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val l = luma(x); img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rising  = png(9, 8, x => x * 20)       // every adjacent pair increases
+    val falling = png(9, 8, x => 200 - x * 20) // never increases
+    val df = Seq(
+      (1L, rising), (2L, falling), (3L, rising),              // 3 dups 1
+      (4L, png(4, 4, _ => 7)),                                // wrong dims
+      (5L, "not an image".getBytes("UTF-8")),                 // undecodable
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "img")
+    val got = MultimodalFunctions.imageDHash(df, "img")
+      .select("id", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "ffffffffffffffff")
+    assert(got(2L) == "0000000000000000")
+    assert(got(3L) == got(1L))
+    assert(got(4L) == null && got(5L) == null && got(6L) == null)
+  }
+
+  test("imageDHash survives the png encode->resize->decode codec chain") {
+    // the media_phash_dedup pipeline: synthesize, real resize (identity
+    // at 9x8), hash — two docs in the same residue class must collide,
+    // different classes with different luma patterns must not
+    def synth(g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 9; y <- 0 until 8) {
+        val l = ((g + 3) * (x + 1) * 19 + x * x * 11) % 256
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((0L, synth(0)), (24L, synth(0)), (1L, synth(1)))
+      .toDF("id", "img")
+    val resized = MultimodalFunctions.resizeImage(df, "img", 9, 8)
+      .drop("img").withColumnRenamed("resized", "img")
+    val got = MultimodalFunctions.imageDHash(resized, "img")
+      .select("id", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == got(24L))
+    assert(got(0L) != got(1L))
+    assert(got(0L).matches("[0-9a-f]{16}"))
+  }
+
   test("decodeImageFeaturesStub emits a normalized feature vector per row") {
     val out = MultimodalFunctions.decodeImageFeaturesStub(media.filter(col("id") < 5), "media", dim = 8)
     assert(out.schema.fieldNames.contains("features"))
