@@ -256,6 +256,73 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // BM25 relevance scoring against a fixed query — the IR primitive a
+    // retrieval-curation pass runs over a corpus (rank documents for a
+    // topic, keep the head). Classic Okapi shape: one corpus-sized
+    // token pass feeds tf (query terms only — the filter prunes before
+    // the shuffle) and exact integer doc lengths; N/avgdl ride a 1-row
+    // broadcast, per-term df a 3-row broadcast. idf is ln-based so it
+    // is ROUNDED before use (ln differs across engines in the last
+    // ulp); everything after is IEEE-deterministic arithmetic, and the
+    // three per-term weights fold in fixed order via CASE sums. Scale:
+    // cost is one scan + one (doc, term) shuffle of query-term hits —
+    // no all-pairs anything, independent of query count growth.
+    "bm25_search" -> ((s, dir) => {
+      val qTerms = Seq("dup", "join", "vector")
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val dlen = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("dl"))
+      // integer-valued doubles sum exactly in any order -> avgdl is
+      // deterministic without rounding
+      val stats = dlen.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      val tf = toks.filter(col("t").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
+      val dft = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dfreq"))
+      val weighted = tf
+        .join(broadcast(dft), "t")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", round(log((col("n") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0), 6))
+        .withColumn("w", col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      weighted.groupBy(col("doc_id"))
+        .agg((coalesce(sum(when(col("t") === "dup", col("w"))), lit(0.0)) +
+              coalesce(sum(when(col("t") === "join", col("w"))), lit(0.0)) +
+              coalesce(sum(when(col("t") === "vector", col("w"))), lit(0.0))).as("raw"))
+        .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Web-curation domain histogram: extract every URL from the text,
+    // reduce to its host, count mentions per domain — the shape behind
+    // domain allowlists/blocklists and per-site quotas. The synthetic
+    // corpus carries no URLs, so two are PLANTED per document from
+    // doc_id arithmetic (the same trick pii_scrub uses); extraction
+    // still runs the real regex pipeline over the full text. One
+    // projection + one tiny keyed shuffle; RE2-safe patterns shared
+    // verbatim with the oracle.
+    "url_domains" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site-"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://ref-"), (col("doc_id") % 13).cast("string"),
+          lit(".org/q?x=1")).as("t"))
+      planted
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(t, 'https?://[^\\\\s]+', 0)")).as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_urls"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
     // Incremental dedup: a synthetic "daily increment" (1-token-suffixed
     // copies of doc_id < 30, re-keyed +20000) deduped AGAINST the corpus
     // — never corpus x corpus. Candidates come from joining the
@@ -392,6 +459,36 @@ object Curation extends QueryModule {
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
   val oracle: Map[String, String] = Map(
+    "bm25_search" ->
+      """WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) t
+                       FROM documents),
+         tk AS (SELECT * FROM toks WHERE t <> ''),
+         dlen AS (SELECT doc_id, CAST(count(*) AS DOUBLE) dl FROM tk GROUP BY doc_id),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(dl) avgdl FROM dlen),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) tf FROM tk
+                WHERE t IN ('dup', 'join', 'vector') GROUP BY doc_id, t),
+         dft AS (SELECT t, CAST(count(*) AS DOUBLE) dfreq FROM tf GROUP BY t),
+         w AS (SELECT tf.doc_id, tf.t,
+                 round(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) *
+                   tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+               FROM tf JOIN dft USING (t) JOIN dlen USING (doc_id) CROSS JOIN stats)
+         SELECT doc_id,
+           round(coalesce(sum(CASE WHEN t = 'dup' THEN w END), 0) +
+                 coalesce(sum(CASE WHEN t = 'join' THEN w END), 0) +
+                 coalesce(sum(CASE WHEN t = 'vector' THEN w END), 0), 6) AS bm25
+         FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id""",
+    "url_domains" ->
+      """WITH a AS (SELECT doc_id,
+                      text || ' see https://site-' || CAST(doc_id % 7 AS VARCHAR) ||
+                        '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+                        ' and http://ref-' || CAST(doc_id % 13 AS VARCHAR) || '.org/q?x=1' AS t
+                    FROM documents),
+         u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) url FROM a),
+         d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM d GROUP BY domain ORDER BY domain""",
     "split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
