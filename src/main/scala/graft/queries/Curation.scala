@@ -273,26 +273,34 @@ object Curation extends QueryModule {
       val docs = Tables(s, dir, "documents")
       val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .filter(col("t") =!= "")
-      val dlen = toks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("double").as("dl"))
-      // integer-valued doubles sum exactly in any order -> avgdl is
-      // deterministic without rounding
-      val stats = dlen.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-      val tf = toks.filter(col("t").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
-      val dft = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dfreq"))
-      val weighted = tf
-        .join(broadcast(dft), "t")
-        .join(dlen, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", round(log((col("n") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0), 6))
-        .withColumn("w", col("idf") * col("tf") * (k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      weighted.groupBy(col("doc_id"))
-        .agg((coalesce(sum(when(col("t") === "dup", col("w"))), lit(0.0)) +
-              coalesce(sum(when(col("t") === "join", col("w"))), lit(0.0)) +
-              coalesce(sum(when(col("t") === "vector", col("w"))), lit(0.0))).as("raw"))
-        .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+      // per-doc length + per-query-term tf pivoted into columns in ONE
+      // aggregation (the query is a fixed small set) — no (doc, term)
+      // shuffle ever exists. The corpus-stats branch below re-reads the
+      // same pruned aggregate shape (global stats cannot precede the
+      // scan); a long-lived deployment would persist `perDoc` instead
+      val perDoc = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("double").as("dl"),
+        qTerms.map(t => sum(when(col("t") === t, 1L).otherwise(0L))
+          .cast("double").as(s"tf_$t")): _*)
+      // corpus stats off the per-doc aggregate: N, avgdl (integer-valued
+      // doubles sum exactly in any order -> deterministic without
+      // rounding), and each term's df — one 1-row broadcast
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl") +:
+          qTerms.map(t => sum(when(col(s"tf_$t") > 0.0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$t")): _*)
+      def idf(t: String) =
+        round(log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0), 6)
+      def w(t: String) =
+        when(col(s"tf_$t") > 0.0,
+          idf(t) * col(s"tf_$t") * (k1 + 1.0) /
+            (col(s"tf_$t") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      perDoc.crossJoin(broadcast(stats))
+        .filter(qTerms.map(t => col(s"tf_$t") > 0.0).reduce(_ || _))
+        .select(col("doc_id"),
+          round(qTerms.map(w).reduce(_ + _), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
