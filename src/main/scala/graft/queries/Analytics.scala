@@ -36,6 +36,48 @@ object Analytics extends QueryModule {
 
   val queries: Map[String, Q] = Map(
 
+    // Cohort retention: users cohorted by the epoch-week of their first
+    // event, then counted per (cohort, week-offset) — the product-
+    // analytics staple. Week ids are integer micros div a constant, so
+    // both engines bucket identically with no calendar semantics in
+    // play. Shape: one distinct (user, week) projection, two keyed
+    // aggregations, cohort sizes broadcast back — the event table is
+    // scanned once and only (user, week) pairs ever shuffle.
+    "cohort_retention" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = first.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).cast("long").as("cohort_n"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("wk_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_n"), 6).as("retention"))
+        .orderBy(col("cohort_wk"), col("wk_offset"))
+    }),
+
+    // Markov transition matrix over per-user event sequences: lag the
+    // event type along each user's (ts, event_id) order, count (prev,
+    // next) pairs, normalize rows into transition probabilities. One
+    // user-keyed window pass + one tiny keyed aggregation; the
+    // normalizing window runs over the 5x5 matrix, not the events.
+    "event_transitions" -> ((s, dir) => {
+      val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val row = Window.partitionBy(col("prev_type"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).cast("long").as("n_trans"))
+        .withColumn("prob",
+          round(col("n_trans").cast("double") / sum(col("n_trans")).over(row), 6))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // PageRank over the supplier↔customer trade graph (edges from
     // lineitem⋈orders, both directions), 5 rounds of fixed-point
     // integer arithmetic — bit-exact, so a HASH oracle exists for an
@@ -270,6 +312,27 @@ object Analytics extends QueryModule {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
 
   val oracle: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+                     FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+         sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n FROM f GROUP BY cohort_wk),
+         act AS (SELECT f.cohort_wk, uw.wk - f.cohort_wk AS wk_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+                 FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT act.cohort_wk, wk_offset, n_active,
+           round(n_active::DOUBLE / cohort_n, 6) AS retention
+         FROM act JOIN sz USING (cohort_wk) ORDER BY cohort_wk, wk_offset""",
+    "event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                    FROM events),
+         c AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n_trans
+               FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n_trans,
+           round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type), 6) AS prob
+         FROM c ORDER BY prev_type, next_type""",
     "graph_pagerank" ->
       (PageRank.ranksSql(edgesSql, iters = 5) + "\nORDER BY rank_scaled DESC, node"),
     "graph_degrees" ->

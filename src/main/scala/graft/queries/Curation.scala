@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{ConnectedComponents, Dedup, Sampling}
+import graft.operators.{ConnectedComponents, Dedup, Sampling, Triangles}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -256,6 +256,19 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Triangle counting over the near-dup pair graph — the density
+    // diagnostic that tells chains (a~b~c, no a~c: transitive-closure
+    // artifacts) apart from genuine duplicate cliques. The expensive
+    // pair derivation runs ONCE (Triangles snapshots the edge list
+    // before its three-way self-join — exchange reuse does not fire
+    // across aliased branches).
+    "graph_triangles" -> ((s, dir) =>
+      Triangles.perNodeCounts(
+        Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+          maxDocFreq = Dedup.HotShingleCutoff), "i", "j")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // BM25 relevance scoring against a fixed query — the IR primitive a
     // retrieval-curation pass runs over a corpus (rank documents for a
     // topic, keep the head). Classic Okapi shape: one corpus-sized
@@ -467,6 +480,15 @@ object Curation extends QueryModule {
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
   val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH pr AS (${Pipeline.nearPairsSql}),
+          tri AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+                  FROM pr e1
+                  JOIN pr e2 ON e1.j = e2.i
+                  JOIN pr e3 ON e3.i = e1.i AND e3.j = e2.j),
+          m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM m GROUP BY doc_id ORDER BY doc_id""",
     "bm25_search" ->
       """WITH toks AS (SELECT doc_id,
                          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) t

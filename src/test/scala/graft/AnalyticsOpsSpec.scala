@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{FuzzyJoin, Intervals, PageRank}
+import graft.operators.{FuzzyJoin, Intervals, PageRank, Triangles}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the round-6 analytic operators: fixed-point PageRank,
@@ -192,5 +192,46 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
     assert(got == want, s"got $got want $want")
     assert(got(("kitten", "sitten")) == 4L) // 2 left rows x 2 right rows
+  }
+
+  // --- Triangles ---------------------------------------------------
+
+  private def triRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if es((a, b)) && es((b, c)) && es((a, c))
+      v <- Seq(a, b, c)
+    } counts(v) += 1L
+    counts.toMap
+  }
+
+  test("triangle counts: clique, chain, and brute-force on a random graph") {
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Triangles.perNodeCounts(edges.toDF("i", "j"), "i", "j")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles; every node is in exactly 3
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(run(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // chain a-b-c-d: no triangles at all
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    // random graph vs brute force (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val rand = (for (_ <- 1 to 60) yield {
+      val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+      (math.min(a, b), math.max(a, b))
+    }).filter(e => e._1 != e._2).distinct
+    assert(run(rand) == triRef(rand))
+  }
+
+  test("triangle input hygiene: non-canonical rows are dropped, not double-counted") {
+    // the same triangle fed with one inverted edge (3,2): the filter
+    // drops the bad row; the remaining canonical edges no longer close
+    val got = Triangles.perNodeCounts(
+      Seq((1L, 2L), (3L, 2L), (1L, 3L)).toDF("i", "j"), "i", "j")
+      .collect()
+    assert(got.isEmpty)
   }
 }
