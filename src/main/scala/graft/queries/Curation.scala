@@ -176,6 +176,37 @@ object Curation extends QueryModule {
           date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("b_ts"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Ordered 3-step funnel: how many users progressed
+    // signup -> click -> purchase IN ORDER, each step within 24h of
+    // the previous completion (first-touch semantics). Three chained
+    // min-over-window columns on ONE user-partitioned pass — no joins,
+    // no self-unions; micros timestamps are collision-free so strict >
+    // is unambiguous. The per-user step flags then collapse to a
+    // 3-row step/count funnel via a fixed-order unpivot.
+    "funnel_steps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val flags = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1")
+          && col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"),
+          col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+          && col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"),
+          col("ts"))).over(w))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+      flags.agg(
+          count(when(col("t1").isNotNull, 1)).cast("long").as("n1"),
+          count(when(col("t2").isNotNull, 1)).cast("long").as("n2"),
+          count(when(col("t3").isNotNull, 1)).cast("long").as("n3"))
+        .select(explode(array(
+          struct(lit(1).cast("int").as("step"), lit("signup").as("event_type"), col("n1").as("n_users")),
+          struct(lit(2).cast("int").as("step"), lit("click").as("event_type"), col("n2").as("n_users")),
+          struct(lit(3).cast("int").as("step"), lit("purchase").as("event_type"), col("n3").as("n_users")))).as("r"))
+        .select(col("r.step"), col("r.event_type"), col("r.n_users"))
+        .orderBy(col("step"))
+    }),
+
     // Stratified rebalancing: downsample the over-represented language
     // (en -> 25%) while keeping 75% of everything else — corpus
     // rebalancing as one deterministic scan-level filter (per-stratum
@@ -480,6 +511,28 @@ object Curation extends QueryModule {
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
   val oracle: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH a AS (SELECT user_id, ts, event_type,
+                      min(CASE WHEN event_type = 'signup' THEN ts END)
+                        OVER (PARTITION BY user_id) AS t1
+                    FROM events),
+         b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                                   AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                           OVER (PARTITION BY user_id) AS t2 FROM a),
+         c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                   AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+                           OVER (PARTITION BY user_id) AS t3 FROM b),
+         u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM c),
+         agg AS (SELECT
+                   CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+                   CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT) AS n2,
+                   CAST(count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS BIGINT) AS n3
+                 FROM u)
+         SELECT * FROM (
+           SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n1 AS n_users FROM agg
+           UNION ALL SELECT 2, 'click', n2 FROM agg
+           UNION ALL SELECT 3, 'purchase', n3 FROM agg)
+         ORDER BY step""",
     "graph_triangles" ->
       s"""WITH pr AS (${Pipeline.nearPairsSql}),
           tri AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
