@@ -477,6 +477,153 @@ object Curation extends QueryModule {
           round(sum(col("pq")) / sum(col("pn")), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Boilerplate detection: word 5-grams shared across many documents
+    // — the C4-style repeated-phrase pass that strips nav bars and
+    // footers before training. Two deterministic boilerplate sentences
+    // are planted on modular doc-id classes (same technique as
+    // url_domains) so the query always has signal; the doc-frequency
+    // threshold also surfaces any natural repeats. Scale shape: one
+    // linear explode (<= n_words grams per doc) then one partial-agg
+    // shuffle keyed on the gram — never doc x doc; the top-20 is a
+    // TakeOrdered over the aggregated (small) gram table.
+    "boilerplate_ngrams" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" subscribe to our newsletter for updates")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" all rights reserved terms of service apply")))
+          .otherwise(col("text")).as("t"))
+      val toks = planted.select(col("doc_id"), split(col("t"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+      val grams = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+          .as("gram"))
+      grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_occurrences"))
+        .filter(col("n_docs") >= 5)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+        .limit(20)
+    }),
+
+    // Character-trigram language ID: per-language top-20 trigram
+    // profiles learned from the labeled corpus itself, every doc scored
+    // by profile hits, argmax prediction, confusion matrix out. The
+    // corpus text is synthetic (shared vocabulary), so the matrix is
+    // near-degenerate — what the oracle pins is the MECHANISM: profile
+    // learning, broadcast scoring, deterministic argmax tie-breaks
+    // (count desc then trigram / language asc). Scale shape: trigram
+    // explode is linear in corpus chars; the learned profile is <= 20
+    // rows per language and broadcast into the scoring join; per-doc
+    // argmax is a bounded window (<= n_languages rows per doc).
+    "lang_id" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tri = docs.select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+            .as("g"))
+        .filter(length(col("g")) === 3)
+      val prof = tri.groupBy(col("lang").as("plang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val wp = Window.partitionBy(col("plang")).orderBy(col("c").desc, col("g"))
+      val top = prof.withColumn("rk", row_number().over(wp)).filter(col("rk") <= 20)
+        .select(col("plang"), col("g"))
+      val hits = tri.join(broadcast(top), Seq("g"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("hits"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("plang"))
+      hits.withColumn("rk", row_number().over(wd)).filter(col("rk") === 1)
+        .groupBy(col("lang"), col("plang").as("predicted"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Distribution drift: KL(source-unigram-dist || corpus-unigram-dist)
+    // per source — the data-quality check that flags a crawl shard whose
+    // vocabulary distribution has moved away from the corpus (encoding
+    // glitches, spam floods, template storms). No smoothing needed:
+    // every source term exists in the corpus by construction, so q > 0
+    // wherever p > 0. Scale shape: one token explode, two partial-agg
+    // shuffles (per-source-term and per-term), a shuffle join on the
+    // term, and broadcasts for the tiny per-source / global totals.
+    "term_drift" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val total = corpus.agg(sum(col("cw")).cast("double").as("t"))
+      val bySrc = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("cs")).cast("double").as("ts"))
+      bySrc.join(broadcast(srcTot), "source")
+        .join(corpus, "w")
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          (round(sum((col("cs") / col("ts")) *
+            log((col("cs") / col("ts")) / (col("cw") / col("t")))), 6) + lit(0.0)).as("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // Collocation mining: top adjacent word pairs by pointwise mutual
+    // information — ln(c_ab * N / (c_a * c_b)) over corpus bigram /
+    // unigram counts. PMI surfaces multi-word expressions worth
+    // treating as single tokens before BPE training. Count floor keeps
+    // the estimate stable; ties break on the pair text. Scale shape:
+    // two linear explodes (bigrams, unigrams), partial-agg shuffles,
+    // then two broadcast joins of the small unigram table onto the
+    // aggregated bigram table (vocabulary-sized, not corpus-sized).
+    "pmi_bigrams" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bi = toks.select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as a, element_at(w, i + 1) as b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val uni = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val n = bi.agg(sum(col("cab")).cast("double").as("nb"))
+      bi.join(broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("ct", "ca")), "a")
+        .join(broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("ct", "cb")), "b")
+        .crossJoin(broadcast(n))
+        .filter(col("cab") >= 10)
+        .select(col("a"), col("b"), col("cab").cast("long").as("n_pair"),
+          (round(log(col("cab") * col("nb") / (col("ca") * col("cb"))), 6) + lit(0.0)).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Novelty scoring: per source, the mean fraction of each doc's
+    // 8-gram word shingles that occur NOWHERE else in the corpus —
+    // the inverse of boilerplate, scoring how much genuinely new text a
+    // crawl shard contributes. Scale shape: one linear shingle explode,
+    // a doc-frequency aggregate keyed on the shingle, a join back on
+    // the shingle (both sides shuffle-partitioned by the same key), and
+    // a per-doc then per-source rollup. No doc x doc comparison.
+    "novelty_score" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+            .as("g"))
+      val df = sh.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+      val perDoc = sh.join(df, "g")
+        .groupBy(col("doc_id"), col("source"))
+        .agg((sum(when(col("df") === 1, 1).otherwise(0)) / count(lit(1))).as("novelty"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          (round(avg(col("novelty")), 6) + lit(0.0)).as("mean_novelty"))
+        .orderBy(col("source"))
+    }),
+
     // Sketch-based profiling: approximate NDV (HyperLogLog++) and
     // approximate quantiles — THE profiling path at 100 TB, where exact
     // count_distinct shuffles every distinct value and exact percentile
@@ -799,5 +946,75 @@ object Curation extends QueryModule {
            round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
            round(covar_pop(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar_pop,
            round(stddev_samp(l_quantity), 6) AS qty_stddev
-         FROM lineitem GROUP BY 1 ORDER BY 1""")
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "boilerplate_ngrams" ->
+      """WITH a AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' subscribe to our newsletter for updates'
+                  WHEN doc_id % 7 = 1 THEN text || ' all rights reserved terms of service apply'
+                  ELSE text END AS t
+           FROM documents),
+         s AS (SELECT doc_id, string_split(t, ' ') AS w FROM a),
+         f AS (SELECT * FROM s WHERE len(w) >= 5),
+         ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM f),
+         g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM ix)
+         SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+         ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20""",
+    "lang_id" ->
+      """WITH ix AS (SELECT doc_id, lang, text,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+           FROM documents),
+         tri AS (SELECT doc_id, lang, substr(text, i, 3) AS g FROM ix
+                 WHERE length(substr(text, i, 3)) = 3),
+         prof AS (SELECT lang AS plang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+         top AS (SELECT plang, g FROM (
+                   SELECT plang, g,
+                     row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) AS rk
+                   FROM prof) WHERE rk <= 20),
+         hits AS (SELECT t.doc_id, t.lang, p.plang, count(*) AS hits
+                  FROM tri t JOIN top p ON t.g = p.g GROUP BY 1, 2, 3),
+         pred AS (SELECT doc_id, lang, plang FROM (
+                    SELECT *,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rk
+                    FROM hits) WHERE rk = 1)
+         SELECT lang, plang AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+    "term_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         tk AS (SELECT * FROM tok WHERE w <> ''),
+         corpus AS (SELECT w, count(*) AS cw FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM corpus),
+         bysrc AS (SELECT source, w, count(*) AS cs FROM tk GROUP BY 1, 2),
+         srctot AS (SELECT source, CAST(sum(cs) AS DOUBLE) AS ts FROM bysrc GROUP BY 1)
+         SELECT b.source, CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum((b.cs / s.ts) * ln((b.cs / s.ts) / (c.cw / t.t))), 6) + 0.0 AS kl
+         FROM bysrc b JOIN srctot s ON b.source = s.source
+           JOIN corpus c ON b.w = c.w, tot t
+         GROUP BY 1 ORDER BY 1""",
+    "pmi_bigrams" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         f AS (SELECT * FROM s WHERE len(w) >= 2),
+         ix AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM f),
+         bi AS (SELECT w[i] AS a, w[i + 1] AS b, count(*) AS cab FROM ix GROUP BY 1, 2),
+         n AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bi),
+         tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         uni AS (SELECT t, count(*) AS ct FROM tok WHERE t <> '' GROUP BY 1)
+         SELECT bi.a, bi.b, CAST(bi.cab AS BIGINT) AS n_pair,
+           round(ln(bi.cab * n.nb / (ua.ct * ub.ct)), 6) + 0.0 AS pmi
+         FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, n
+         WHERE bi.cab >= 10
+         ORDER BY pmi DESC, bi.a, bi.b LIMIT 20""",
+    "novelty_score" ->
+      """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         f AS (SELECT * FROM s WHERE len(w) >= 8),
+         ix AS (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 7)) AS i FROM f),
+         sh AS (SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS g FROM ix),
+         df AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+         perdoc AS (SELECT sh.doc_id, sh.source,
+             CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+           FROM sh JOIN df ON sh.g = df.g GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(novelty), 6) + 0.0 AS mean_novelty
+         FROM perdoc GROUP BY 1 ORDER BY 1""")
 }
