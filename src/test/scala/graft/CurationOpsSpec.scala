@@ -215,4 +215,41 @@ class CurationOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("boilerplate_ngrams surfaces the planted phrases with exact doc counts") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val nMod3 = docs.filter(col("doc_id") % 3 === 0).count()
+    val nMod7 = docs.filter(col("doc_id") % 7 === 1 && col("doc_id") % 3 =!= 0).count()
+    val got = SparkEntry.queries("boilerplate_ngrams")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the grams fully inside each planted sentence carry its doc class
+    assert(got("subscribe to our newsletter for") == nMod3)
+    assert(got("to our newsletter for updates") == nMod3)
+    assert(got("rights reserved terms of service") == nMod7)
+    assert(got.size <= 20)
+  }
+
+  test("lang_id confusion matrix covers every document exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val m = SparkEntry.queries("lang_id")(spark, dir).collect()
+    // every doc hits >= 1 profile trigram (shared vocabulary), so the
+    // matrix cells partition the corpus; predictions stay in-vocabulary
+    assert(m.map(_.getLong(2)).sum == docs.count())
+    assert(m.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
+  }
+
+  test("term_drift KL is non-negative and novelty stays a proper fraction") {
+    val dir = "/root/testdata/sf0.001"
+    val kl = SparkEntry.queries("term_drift")(spark, dir).collect()
+    assert(kl.nonEmpty && kl.forall(_.getDouble(2) >= 0.0)) // Gibbs: KL(p||q) >= 0
+    val nov = SparkEntry.queries("novelty_score")(spark, dir).collect()
+    assert(nov.nonEmpty && nov.forall { r =>
+      val v = r.getDouble(2); v >= 0.0 && v <= 1.0
+    })
+    val pmi = SparkEntry.queries("pmi_bigrams")(spark, dir).collect()
+    assert(pmi.length <= 20 && pmi.forall(_.getLong(2) >= 10L))
+  }
 }
