@@ -69,8 +69,9 @@ object PageRank {
     * distributed path.
     */
   def ranks(edges: DataFrame, iters: Int,
-            localFinishEdges: Long = LocalFinishEdges): DataFrame =
-    buildRanks(edges, iters, localFinishEdges)._1
+            localFinishEdges: Long = LocalFinishEdges,
+            assumeDistinct: Boolean = false): DataFrame =
+    buildRanks(edges, iters, localFinishEdges, assumeDistinct)._1
 
   /** Materialize-and-release bracket around [[ranks]]: runs `action`
     * on the rank table (collect it, write it, aggregate it — whatever
@@ -78,7 +79,7 @@ object PageRank {
     * returning. After this returns, no RDD persisted by this call is
     * still registered — the leak-free variant for repeated calls. */
   def withRanks[T](edges: DataFrame, iters: Int)(action: DataFrame => T): T = {
-    val (rank, pinned) = buildRanks(edges, iters, LocalFinishEdges)
+    val (rank, pinned) = buildRanks(edges, iters, LocalFinishEdges, assumeDistinct = false)
     try action(rank)
     finally pinned.foreach(_.unpersist(blocking = true))
   }
@@ -93,17 +94,40 @@ object PageRank {
   private def localRanks(spark: org.apache.spark.sql.SparkSession,
                          nodeType: org.apache.spark.sql.types.DataType,
                          edges: Array[(Any, Any)], iters: Int): DataFrame = {
-    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-    val nn = nodes.length.toLong
-    var rank = nodes.map(_ -> Scale / nn).toMap
+    // Node ids interned to dense ints once; the loop then runs on
+    // primitive Long arrays. The arithmetic is expression-for-expression
+    // the distributed plan's (`rank div deg` per edge, damp per node) —
+    // integer ops on a different container cannot change a bit, and the
+    // local-vs-distributed equivalence spec pins that. The array form
+    // exists because a boxed HashMap loop over millions of edges was
+    // the measurable half of the endgame's cost at the 4M-edge cap.
+    val index = new java.util.HashMap[Any, Integer]()
+    val nodeBuf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else { val i = nodeBuf.length; index.put(v, Integer.valueOf(i)); nodeBuf += v; i }
+    }
+    val m = edges.length
+    val esrc = new Array[Int](m)
+    val edst = new Array[Int](m)
+    var i = 0
+    while (i < m) { esrc(i) = intern(edges(i)._1); edst(i) = intern(edges(i)._2); i += 1 }
+    val nn = nodeBuf.length.toLong
+    val deg = new Array[Long](nodeBuf.length)
+    i = 0; while (i < m) { deg(esrc(i)) += 1L; i += 1 }
+    var rank = Array.fill(nodeBuf.length)(Scale / nn)
     for (_ <- 1 to iters) {
-      val contrib = scala.collection.mutable.HashMap.empty[Any, Long]
-      edges.foreach { case (src, dst) =>
-        contrib(dst) = contrib.getOrElse(dst, 0L) + rank(src) / deg(src)
+      val contrib = new Array[Long](nodeBuf.length)
+      i = 0
+      while (i < m) { contrib(edst(i)) += rank(esrc(i)) / deg(esrc(i)); i += 1 }
+      val next = new Array[Long](nodeBuf.length)
+      var v = 0
+      while (v < next.length) {
+        next(v) = (15L * (Scale / nn)) / 100L + (85L * contrib(v)) / 100L
+        v += 1
       }
-      rank = nodes.map(v =>
-        v -> ((15L * (Scale / nn)) / 100L + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+      rank = next
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
@@ -111,12 +135,13 @@ object PageRank {
         org.apache.spark.sql.types.LongType, nullable = false)))
     val rows: java.util.List[org.apache.spark.sql.Row] =
       scala.jdk.CollectionConverters.SeqHasAsJava(
-        rank.toSeq.map { case (n, r) => org.apache.spark.sql.Row(n, r) }).asJava
+        nodeBuf.indices.map(v => org.apache.spark.sql.Row(nodeBuf(v), rank(v)))).asJava
     spark.createDataFrame(rows, schema)
   }
 
   private def buildRanks(edges: DataFrame, iters: Int,
-                         localFinishEdges: Long): (DataFrame, Seq[DataFrame]) = {
+                         localFinishEdges: Long,
+                         assumeDistinct: Boolean): (DataFrame, Seq[DataFrame]) = {
     require(iters >= 1)
     // The loop invariants — the deduped edge list, the degree-annotated
     // edge list (one row per edge carrying its source's out-degree) and
@@ -132,7 +157,13 @@ object PageRank {
     // the endgame decision rides the SAME materialization the
     // distributed path needs anyway (the e cache serves both ed builds
     // below), so probing costs nothing extra — the CC pattern
-    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    // `assumeDistinct` skips the dedup shuffle for callers whose edge
+    // construction is distinct by construction (e.g. a distinct pair
+    // set unioned in two disjoint directions) — the degree counts and
+    // contribution sums would silently double-count duplicates, so the
+    // default stays the safe full distinct.
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct()).persist(lvl)
     if (localFinishEdges > 0 && e.count() <= localFinishEdges) {
       val collected = e.collect().map(r => (r.get(0), r.get(1)))
       val nodeType = e.schema.head.dataType

@@ -84,7 +84,10 @@ object Analytics extends QueryModule {
     // iterative graph algorithm. Each round is one join + one keyed
     // aggregation; the rank table is one row per node.
     "graph_pagerank" -> ((s, dir) =>
-      PageRank.ranks(pagerankEdges(s, dir), iters = 5)
+      // assumeDistinct: pagerankEdges is a distinct pair set unioned in
+      // two disjoint directions ("s*"->"c*" vs "c*"->"s*") — already
+      // duplicate-free, so the operator's dedup shuffle is skipped
+      PageRank.ranks(pagerankEdges(s, dir), iters = 5, assumeDistinct = true)
         .orderBy(col("rank_scaled").desc, col("node"))),
 
     // Degree distribution of the same trade graph: the first diagnostic
