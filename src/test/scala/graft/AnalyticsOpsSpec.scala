@@ -73,6 +73,20 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(local == prRef(e, 5))
   }
 
+  test("assumeDistinct equals the deduping path on an already-distinct edge set") {
+    val e = Seq("s1" -> "hub", "s2" -> "hub", "s3" -> "hub", "hub" -> "s1",
+      "a" -> "b", "b" -> "c", "c" -> "a")
+    val safe = prSpark(e, 4)
+    val skip = PageRank.ranks(e.toDF("src", "dst"), 4, assumeDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skip == safe)
+    // forced distributed with the skip, too
+    val skipDist = PageRank.ranks(e.toDF("src", "dst"), 4,
+      localFinishEdges = 0L, assumeDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skipDist == safe)
+  }
+
   test("withRanks releases every RDD it persisted (no cache leak)") {
     val e = Seq("a" -> "b", "b" -> "c", "c" -> "a")
     val before = spark.sparkContext.getPersistentRDDs.keySet
