@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Static plan-hygiene audit: the ".explain and iterate until it's the
+  * plan you'd want" discipline as a queryable operator. Given any
+  * DataFrame, walks its physical plan (through AQE wrappers and
+  * subqueries) and reports the properties that decide whether the plan
+  * survives a 100 TB scale-up:
+  *
+  *   - `cartesian_products`  — CartesianProduct / BroadcastNestedLoop
+  *     joins: O(n x m) row products, the classic scale-killer. FAIL>0.
+  *   - `shuffle_exchanges`   — every one is a full network/disk cycle;
+  *     the number to minimize via broadcast, bucketing and partitioning
+  *     reuse.
+  *   - `broadcast_joins` / `shuffled_joins` — a small dim that shuffles
+  *     instead of broadcasting turns a map-side join into a 2-sided
+  *     exchange.
+  *   - `unpruned_scans`      — file scans reading every column of a
+  *     wider table: column pruning never reached the reader.
+  *   - `unfiltered_wide_scans` — scans with neither pushed filters nor
+  *     partition filters (full-table reads; fine for full aggregations,
+  *     fatal when a predicate existed and stayed above the scan).
+  *   - `codegen_nodes` / `non_codegen_nodes` — operators inside vs
+  *     outside WholeStageCodegen spans (interpreted rows pay virtual
+  *     calls per row).
+  *
+  * The audit is STATIC: it inspects `queryExecution.executedPlan`
+  * without running the query (under AQE that is the initial physical
+  * plan; runtime re-optimization can only improve on what it reports —
+  * e.g. a reported shuffled join may still become a broadcast join from
+  * runtime stats). The result is a tiny driver-built DataFrame — a
+  * diagnostic surface, not a data path. Severities: `fail` means the
+  * plan should not ship to a large cluster; `warn` merits a look;
+  * `info` is context.
+  */
+object PlanAudit {
+
+  /** (check, severity, n, detail) per audit dimension. */
+  def audit(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val root = df.queryExecution.executedPlan
+    val nodes = collectAll(root)
+
+    val cartesian = nodes.count {
+      case _: CartesianProductExec => true
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    val broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
+    val bcastJoins = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    val shufJoins = nodes.count(n =>
+      n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[ShuffledHashJoinExec])
+
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val unpruned = scans.filter { s =>
+      val total = s.relation.dataSchema.fields.length
+      total > 2 && s.requiredSchema.fields.length >= total
+    }
+    val unfiltered = scans.filter { s =>
+      s.dataFilters.isEmpty && s.partitionFilters.isEmpty &&
+        s.relation.dataSchema.fields.length > 2
+    }
+
+    val codegenNodes = nodes.collect { case w: WholeStageCodegenExec => w }
+      .map(w => collectAll(w.child).length).sum
+    val planNodes = nodes.count(n =>
+      !n.isInstanceOf[WholeStageCodegenExec] &&
+        !n.isInstanceOf[AdaptiveSparkPlanExec])
+
+    def row(check: String, sev: String, n: Long, detail: String) =
+      Row(check, sev, n, detail)
+    val rows = Seq(
+      row("cartesian_products", if (cartesian > 0) "fail" else "ok", cartesian,
+        "row-product joins (CartesianProduct/BroadcastNestedLoop)"),
+      row("shuffle_exchanges", "info", shuffles,
+        "full repartition cycles in the plan"),
+      row("broadcast_joins", "info", bcastJoins,
+        s"map-side joins ($broadcasts broadcast exchanges)"),
+      row("shuffled_joins", if (shufJoins > 0) "warn" else "ok", shufJoins,
+        "sort-merge/shuffled-hash joins: check the small side was not broadcast-able"),
+      row("unpruned_scans", if (unpruned.nonEmpty) "warn" else "ok", unpruned.length,
+        unpruned.map(s => s.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("?")).mkString(",")),
+      row("unfiltered_wide_scans", "info", unfiltered.length,
+        "scans with no pushed or partition filters (fine for full aggregation)"),
+      row("non_codegen_nodes", "info",
+        math.max(0, planNodes - codegenNodes).toLong,
+        s"$codegenNodes of $planNodes physical operators inside WholeStageCodegen"))
+
+    val schema = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("severity", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** True when the plan is free of `fail`-severity findings. */
+  def clean(df: DataFrame): Boolean =
+    !audit(df).collect().exists(_.getString(1) == "fail")
+
+  /** Every physical node, descending through AQE wrappers (which are
+    * leaf nodes hiding their input plan) and subquery expressions. */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val direct = p.collectWithSubqueries { case n => n }
+    direct.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: collectAll(a.executedPlan)
+      case n => Seq(n)
+    }
+  }
+}

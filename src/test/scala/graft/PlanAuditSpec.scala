@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.PlanAudit
+import org.apache.spark.sql.functions._
+
+/** PlanAudit reads the physical plan, so every fixture here goes
+  * through real parquet scans (in-memory DataFrames have no
+  * FileSourceScan to audit). */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def find(df: org.apache.spark.sql.DataFrame, check: String) =
+    PlanAudit.audit(df).collect()
+      .find(_.getString(0) == check).get
+
+  test("broadcast-joined star query audits clean") {
+    val q = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(sum(col("l_quantity")).as("q"))
+    val cart = find(q, "cartesian_products")
+    assert(cart.getString(1) == "ok" && cart.getLong(2) == 0L)
+    assert(find(q, "broadcast_joins").getLong(2) >= 1L)
+    assert(PlanAudit.clean(q))
+  }
+
+  test("a deliberate cross join fails the audit") {
+    val a = Tables(spark, dir, "region")
+    val b = Tables(spark, dir, "nation")
+    val q = a.crossJoin(b)
+    val cart = find(q, "cartesian_products")
+    assert(cart.getString(1) == "fail" && cart.getLong(2) >= 1L)
+    assert(!PlanAudit.clean(q))
+  }
+
+  test("column pruning is visible: narrow projection vs select-star scan") {
+    val narrow = Tables(spark, dir, "documents").select(col("doc_id"))
+    assert(find(narrow, "unpruned_scans").getLong(2) == 0L)
+    val wide = Tables(spark, dir, "documents")
+    val w = find(wide, "unpruned_scans")
+    assert(w.getLong(2) >= 1L && w.getString(3).contains("documents"))
+  }
+
+  test("pushed filters clear the unfiltered-scan count") {
+    val filtered = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 100000.0).select(col("o_orderkey"))
+    assert(find(filtered, "unfiltered_wide_scans").getLong(2) == 0L)
+  }
+
+  test("shuffle and join counters reflect the plan shape") {
+    // big-big equi-join: at least one shuffled join or (under AQE
+    // stats) a broadcast join; either way no cartesian and >= 1
+    // exchange feeding the aggregation
+    val q = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val joins = find(q, "shuffled_joins").getLong(2) +
+      find(q, "broadcast_joins").getLong(2)
+    assert(joins >= 1L)
+    assert(find(q, "shuffle_exchanges").getLong(2) >= 1L)
+    assert(find(q, "cartesian_products").getLong(2) == 0L)
+  }
+}
