@@ -47,9 +47,15 @@ object PlanAudit {
     val root = df.queryExecution.executedPlan
     val nodes = collectAll(root)
 
+    // A BroadcastNestedLoopJoin against a provably-single-row side (a
+    // global aggregate — no grouping columns) is the deliberate
+    // "cross-join a scalar in" pattern (totals, counts), not a row
+    // product: output cardinality equals the streamed side. Everything
+    // else that nested-loops is a genuine scale-killer.
     val cartesian = nodes.count {
       case _: CartesianProductExec => true
-      case _: BroadcastNestedLoopJoinExec => true
+      case j: BroadcastNestedLoopJoinExec =>
+        !j.children.exists(isScalarSubplan)
       case _ => false
     }
     val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
@@ -106,6 +112,21 @@ object PlanAudit {
   /** True when the plan is free of `fail`-severity findings. */
   def clean(df: DataFrame): Boolean =
     !audit(df).collect().exists(_.getString(1) == "fail")
+
+  /** True when the subplan provably yields at most one row: a global
+    * aggregate (no grouping expressions) somewhere at its root, under
+    * any exchanges/projections AQE may interpose. */
+  private def isScalarSubplan(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case a: AdaptiveSparkPlanExec => isScalarSubplan(a.executedPlan)
+    case other if other.children.size == 1 => isScalarSubplan(other.children.head)
+    case _ => false
+  }
 
   /** Every physical node, descending through AQE wrappers (which are
     * leaf nodes hiding their input plan) and subquery expressions. */

@@ -49,6 +49,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(find(filtered, "unfiltered_wide_scans").getLong(2) == 0L)
   }
 
+  test("scalar cross-joins (global-aggregate broadcast side) are not flagged as cartesian") {
+    // the deliberate "cross-join a total in" pattern: output cardinality
+    // equals the streamed side, so it must audit clean
+    val docs = Tables(spark, dir, "documents")
+    val total = docs.agg(count(lit(1)).as("n"))
+    val q = docs.crossJoin(broadcast(total))
+      .select(col("doc_id"), (col("doc_id") / col("n")).as("f"))
+    val cart = find(q, "cartesian_products")
+    assert(cart.getString(1) == "ok" && cart.getLong(2) == 0L, cart.toString)
+  }
+
+  test("the join-shaped query surface sweeps clean of cartesian products") {
+    // every TPC-H query, every join_* family member, and the
+    // graph/interval/asof/warehouse operators: none may plan a genuine
+    // row-product join at sf0.001. (PlanSpec pins chosen shapes in
+    // detail; this is the breadth gate.)
+    val names = SparkEntry.queries.keys.filter { n =>
+      n.startsWith("sql_q") || n.startsWith("join_") ||
+        n.startsWith("graph_") || n.startsWith("interval_") ||
+        n.startsWith("asof_") || n == "range_join" || n == "pit_lookup" ||
+        n == "scd2_merge" || n == "cdc_apply" || n == "table_diff" ||
+        n == "fuzzy_match" || n == "term_drift" || n == "source_overlap" ||
+        n == "lang_id" || n == "pmi_bigrams" || n == "novelty_score"
+    }.toSeq.sorted
+    assert(names.size >= 40, s"sweep unexpectedly small: $names")
+    val dirty = names.filterNot { n =>
+      PlanAudit.clean(SparkEntry.queries(n)(spark, dir))
+    }
+    assert(dirty.isEmpty, s"cartesian-product plans: $dirty")
+  }
+
   test("shuffle and join counters reflect the plan shape") {
     // big-big equi-join: at least one shuffled join or (under AQE
     // stats) a broadcast join; either way no cartesian and >= 1
