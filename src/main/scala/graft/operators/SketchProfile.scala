@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental NDV profiling via mergeable HLL sketches — THE 100 TB
+  * profiling pattern: profile each shard/day/partition ONCE into
+  * tiny binary sketch rows, persist them, and answer "distinct count
+  * per key over any shard combination" later by merging sketches —
+  * never rescanning the corpus.
+  *
+  * Merging is lossless in dense HLL mode (registers are element-wise
+  * maxima, so shard order cannot matter and unions are commutative/
+  * associative), but DataSketches keeps small sketches in an exact
+  * sparse mode and PROMOTES them to dense during union — so
+  * `merge(partials(...))` can differ from `direct(...)` by estimator
+  * noise on small keys. The spec therefore pins the operational
+  * contract: merged estimates stay within the same HLL error bound of
+  * the exact NDV (~1.6%/sqrt at lgK=12) as one-pass estimates, for any
+  * sharding, and are deterministic for a fixed sharding.
+  *
+  * Complements `profile_sketch` (one-shot approximate profiling in
+  * Curation): this is the operational form — partials land next to the
+  * data they describe, roll up across arbitrary slices, and new shards
+  * append without touching old ones.
+  */
+object SketchProfile {
+
+  /** Default lgK: 2^12 registers = 4 KiB dense sketch, ~1.6% NDV error. */
+  val DefaultLgK: Int = 12
+
+  private def sketchName(c: String) = s"hll_$c"
+
+  /** One row per (shard, key...) carrying a binary HLL sketch per
+    * profiled column. The output is tiny (keys x shards rows, ~4 KiB
+    * per sketch) and writes to parquet as plain binary columns. */
+  def partials(df: DataFrame, shardCol: Column, keyCols: Seq[String],
+               cols: Seq[String], lgK: Int = DefaultLgK): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.map(c => hll_sketch_agg(col(c), lit(lgK)).as(sketchName(c)))
+    df.groupBy((shardCol.as("shard") +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Roll partial sketches up to per-key NDV estimates. Accepts any
+    * subset of shards (filter first for slice queries); merging is a
+    * keyed aggregation over sketch rows, never over raw data. */
+  def merge(partialRows: DataFrame, keyCols: Seq[String],
+            cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      hll_sketch_estimate(hll_union_agg(col(sketchName(c)), lit(false)))
+        .as(s"ndv_$c"))
+    partialRows.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-pass estimates straight from the data — the shard-free form,
+    * and the equality reference for the partial/merge path. */
+  def direct(df: DataFrame, keyCols: Seq[String], cols: Seq[String],
+             lgK: Int = DefaultLgK): DataFrame = {
+    val aggs = cols.map(c =>
+      hll_sketch_estimate(hll_sketch_agg(col(c), lit(lgK))).as(s"ndv_$c"))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
