@@ -166,4 +166,48 @@ object BpeTrainer {
         expr("filter(split(word, ''), x -> x != '')").as("syms"))) { (df, m) =>
       df.withColumn("syms", mergePair(col("syms"), m.a, m.b))
     }
+
+  /** The identical learning loop as unrolled DuckDB SQL — the closed
+    * form that makes `bpe_merges` hash-comparable. The per-round
+    * argmax is inherently sequential, but a FIXED round count unrolls
+    * into chained CTEs (the `PageRank.ranksSql` pattern), and the
+    * greedy left-to-right pair merge is exactly a left fold — DuckDB's
+    * `list_reduce` — accumulating the merged sequence as a
+    * space-joined string (symbols are [a-z]+ by construction of
+    * `wordFreq`, so the last accumulated token is `[a-z]+$` and a
+    * single space is a safe separator). Tie-breaks replay the
+    * learner's (count desc, pair lexicographic) exactly; an early
+    * vocabulary exhaustion yields an empty `b{r}` whose UNION ALL arm
+    * contributes no row, matching `learnMerges` stopping short. */
+  def learnSql(docsTable: String, textCol: String, numMerges: Int): String = {
+    val head =
+      s"""WITH tok AS (SELECT unnest(string_split_regex(lower($textCol), '[^a-z]+')) AS word
+                       FROM $docsTable),
+         w AS (SELECT word, count(*) AS freq FROM tok WHERE length(word) > 0 GROUP BY 1),
+         v0 AS (SELECT word, freq,
+                  list_transform(generate_series(1, length(word)), i -> word[i]) AS toks
+                FROM w WHERE length(word) > 1)"""
+    val rounds = (1 to numMerges).map { r =>
+      val apply =
+        if (r == numMerges) "" // the final vocabulary is never read
+        else
+          s""",
+         v$r AS (SELECT word, freq,
+                  string_split(list_reduce(toks, (acc, s) -> CASE
+                    WHEN regexp_extract(acc, '[a-z]+$$') = b$r.a AND s = b$r.b
+                    THEN left(acc, length(acc) - length(b$r.a)) || b$r.a || b$r.b
+                    ELSE acc || ' ' || s END), ' ') AS toks
+                FROM v${r - 1}, b$r)"""
+      s""",
+         ix$r AS (SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM v${r - 1}),
+         p$r AS (SELECT toks[i] AS a, toks[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS c
+                 FROM ix$r GROUP BY 1, 2),
+         b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)$apply"""
+    }
+    val sel = (1 to numMerges)
+      .map(r => s"SELECT $r AS rank, a AS sym_a, b AS sym_b, c AS pair_count FROM b$r")
+      .mkString("\n         UNION ALL ")
+    head + rounds.mkString + "\n         " + sel + "\n         ORDER BY rank"
+  }
 }

@@ -208,9 +208,12 @@ object Training extends QueryModule {
 
     // BPE tokenizer training: 12 merge rounds over the documents corpus.
     // The merge sequence is exact and deterministic (long counts,
-    // lexicographic tie-break) but the per-round argmax is inherently
-    // sequential — no closed-form SQL exists, so this is a rows-only
-    // row; BpeSpec pins the algorithm against a sequential reference.
+    // lexicographic tie-break); the per-round argmax is inherently
+    // sequential, but a FIXED round count unrolls into chained DuckDB
+    // CTEs with the greedy merge as a list_reduce fold
+    // (BpeTrainer.learnSql) — so since round 8 this sits under the full
+    // hash gate; BpeSpec additionally pins the algorithm against a
+    // sequential reference.
     // BPE ENCODING with a fixed merge table — the apply side of the
     // tokenizer (bpe_merges is the learn side). The corpus-scale trick
     // is the one production tokenizers use: encode each DISTINCT word
@@ -252,6 +255,7 @@ object Training extends QueryModule {
     }))
 
   val oracle: Map[String, String] = Map(
+    "bpe_merges" -> BpeTrainer.learnSql("documents", "text", numMerges = 12),
     "bpe_encode" ->
       """WITH w AS (SELECT doc_id,
                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word

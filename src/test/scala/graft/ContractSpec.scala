@@ -27,13 +27,13 @@ class ContractSpec extends SparkSpecBase {
     // made the fingerprints engine-portable); ann_cosine_lsh left it in
     // round 8 (the seeded plane constants are spliced into the oracle
     // SQL, so DuckDB rebuilds the identical buckets).
-    // bpe_merges: the per-round argmax is inherently sequential — no
-    // closed-form SQL oracle exists; BpeSpec pins it against a
-    // sequential reference implementation instead.
-    // profile_sketch: HLL estimates, pinned by sketch-error contracts.
+    // bpe_merges left this set in round 8: the fixed round count
+    // unrolls into chained CTEs with the greedy merge as a list_reduce
+    // fold (BpeTrainer.learnSql).
+    // profile_sketch: HLL estimates, pinned by sketch-error contracts —
+    // DuckDB's sketches genuinely differ, so it stays rows-only.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("profile_sketch", "bpe_merges"),
-      rowsOnly.toString)
+    assert(rowsOnly == Set("profile_sketch"), rowsOnly.toString)
   }
 
   test("query names are stable identifiers") {
