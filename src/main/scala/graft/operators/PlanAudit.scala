@@ -47,15 +47,19 @@ object PlanAudit {
     val root = df.queryExecution.executedPlan
     val nodes = collectAll(root)
 
-    // A BroadcastNestedLoopJoin against a provably-single-row side (a
-    // global aggregate — no grouping columns) is the deliberate
-    // "cross-join a scalar in" pattern (totals, counts), not a row
-    // product: output cardinality equals the streamed side. Everything
-    // else that nested-loops is a genuine scale-killer.
-    val cartesian = nodes.count {
-      case _: CartesianProductExec => true
-      case j: BroadcastNestedLoopJoinExec =>
-        !j.children.exists(isScalarSubplan)
+    // Row-product severity ladder:
+    //  - CartesianProductExec: both sides stream, O(n x m) — fail.
+    //  - BroadcastNestedLoopJoin against a provably-single-row side (a
+    //    global aggregate) is the "cross-join a scalar in" pattern:
+    //    output cardinality equals the streamed side — ok, not counted.
+    //  - Other BroadcastNestedLoopJoins: the build side fit (or was
+    //    hinted) into a broadcast, so this is the deliberate
+    //    corpus x small-bounded-set pattern (brute-force k-NN probes,
+    //    k-means centroid assignment). Bounded ONLY if that side stays
+    //    small by construction — warn, verify the bound.
+    val cartesian = nodes.count(_.isInstanceOf[CartesianProductExec])
+    val bnlj = nodes.count {
+      case j: BroadcastNestedLoopJoinExec => !j.children.exists(isScalarSubplan)
       case _ => false
     }
     val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
@@ -84,7 +88,9 @@ object PlanAudit {
       Row(check, sev, n, detail)
     val rows = Seq(
       row("cartesian_products", if (cartesian > 0) "fail" else "ok", cartesian,
-        "row-product joins (CartesianProduct/BroadcastNestedLoop)"),
+        "two-sided streamed row products (CartesianProduct)"),
+      row("broadcast_nested_loops", if (bnlj > 0) "warn" else "ok", bnlj,
+        "corpus x broadcast-set products: bounded only if the broadcast side is small by construction"),
       row("shuffle_exchanges", "info", shuffles,
         "full repartition cycles in the plan"),
       row("broadcast_joins", "info", bcastJoins,

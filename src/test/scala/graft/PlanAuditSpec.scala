@@ -27,12 +27,30 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("a deliberate cross join fails the audit") {
-    val a = Tables(spark, dir, "region")
-    val b = Tables(spark, dir, "nation")
-    val q = a.crossJoin(b)
-    val cart = find(q, "cartesian_products")
-    assert(cart.getString(1) == "fail" && cart.getLong(2) >= 1L)
-    assert(!PlanAudit.clean(q))
+    // force the genuinely two-sided-streamed form: with auto-broadcast
+    // off, a no-condition inner join plans CartesianProductExec
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val q = Tables(spark, dir, "region").crossJoin(Tables(spark, dir, "nation"))
+      val cart = find(q, "cartesian_products")
+      assert(cart.getString(1) == "fail" && cart.getLong(2) >= 1L)
+      assert(!PlanAudit.clean(q))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("a bounded corpus x broadcast-probe product warns, not fails") {
+    // the brute-force k-NN shape: every row against a small broadcast
+    // probe set — linear with a small constant, legitimate by design
+    val emb = Tables(spark, dir, "embeddings")
+    val probes = broadcast(emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("p"), col("embedding").as("pv")))
+    val q = emb.crossJoin(probes).filter(col("vec_id") =!= col("p"))
+    val b = find(q, "broadcast_nested_loops")
+    assert(b.getString(1) == "warn" && b.getLong(2) >= 1L)
+    assert(find(q, "cartesian_products").getLong(2) == 0L)
+    assert(PlanAudit.clean(q)) // warn does not fail the gate
   }
 
   test("column pruning is visible: narrow projection vs select-star scan") {
