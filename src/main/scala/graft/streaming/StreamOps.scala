@@ -263,6 +263,36 @@ object StreamOps {
       .start()
   }
 
+  /** Live incremental profiling: each micro-batch lands its per-key
+    * HLL sketch partials (graft.operators.SketchProfile) as one
+    * append-only parquet shard keyed by batchId. A snapshot of "NDV
+    * per key over everything seen so far" — or over any batch slice —
+    * is then `SketchProfile.merge` over the tiny sketch rows, never a
+    * rescan of the stream's history. Idempotent by construction:
+    * re-processed batches overwrite their own batchId directory, so a
+    * restart replays into the same shard instead of double-counting.
+    * The write is per-batch partitioned parquet, not the streaming
+    * file sink, because the unit of replay here IS the batch. */
+  def sketchPartialSink(events: DataFrame, outDir: String,
+                        checkpointDir: String, keyCols: Seq[String],
+                        cols: Seq[String]) =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchProfile
+          .partials(batch, lit(batchId), keyCols, cols)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** NDV estimates per key over every batch `sketchPartialSink` has
+    * landed so far. */
+  def readSketchProfile(spark: SparkSession, outDir: String,
+                        keyCols: Seq[String], cols: Seq[String]): DataFrame =
+    graft.operators.SketchProfile.merge(
+      spark.read.parquet(outDir), keyCols, cols)
+
   /** Latest materialized state written by `upsertSink`. */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
     val vs = Option(new java.io.File(stateDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)

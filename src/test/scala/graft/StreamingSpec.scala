@@ -305,6 +305,34 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("sketchPartialSink profiles a stream incrementally within HLL error") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    val ms = MemoryStream[Event]
+    val raw = ms.toDF().withColumnRenamed("userId", "user_id")
+    val q = StreamOps.sketchPartialSink(raw, s"$tmp/partials", s"$tmp/ckpt",
+      keyCols = Seq("eventType"), cols = Seq("user_id"))
+    try {
+      // two micro-batches with overlapping users — the merge must count
+      // DISTINCT users across batches, not sum per-batch counts
+      ms.addData((1 to 40).map(i =>
+        Event(i, ts("2024-01-01 00:01:00"), i % 20, "view", 1.0)): _*)
+      q.processAllAvailable()
+      ms.addData((41 to 80).map(i =>
+        Event(i, ts("2024-01-01 00:02:00"), i % 30, "view", 1.0)): _*)
+      q.processAllAvailable()
+      val got = StreamOps.readSketchProfile(spark, s"$tmp/partials",
+        Seq("eventType"), Seq("user_id")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // distinct user_ids across both batches: i%20 (0..19) + i%30 (0..29) = 30
+      assert(got.keySet == Set("view"))
+      assert(math.abs(got("view") - 30L) <= 2, s"ndv ${got("view")} vs 30")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("enrichStream attaches static dimension rows without shuffling the stream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
