@@ -26,6 +26,21 @@ class PlanSpec extends SparkSpecBase {
     assert(planOf("knn_cosine").contains("TakeOrderedAndProject"))
   }
 
+  test("lang_id materializes the trigram explode once (ReusedExchange)") {
+    // both branches (profile learning, doc scoring) hang off one
+    // per-(doc, lang, trigram) pre-aggregate; losing the shared
+    // exchange re-runs a corpus-sized substring explode per branch
+    // (measured 2.8x at the 10x fixture). AQE performs the reuse at
+    // runtime through its stage cache, so the guard must EXECUTE the
+    // query and read the final adaptive plan — the static plan shows
+    // two identical exchanges either way.
+    val df = SparkEntry.queries("lang_id")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    assert(p.contains("ReusedExchange"), p.take(1500))
+  }
+
   test("positional access stays in Catalyst (no RDD scan)") {
     val p = planOf("parity_cell_get")
     assert(!p.contains("Scan ExistingRDD"), p.take(500))
