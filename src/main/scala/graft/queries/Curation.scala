@@ -617,6 +617,16 @@ object Curation extends QueryModule {
     // a per-doc then per-source rollup. No doc x doc comparison.
     "novelty_score" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // The shingle set feeds BOTH the doc-frequency aggregate and the
+      // join back. Routing both branches through one per-(g, doc,
+      // source) occurrence-count pre-aggregate makes them share its
+      // partial-agg exchange (the lang_id ReuseExchange pattern — the
+      // exchange carries the full grouping key set regardless of what
+      // each branch prunes afterwards): the raw explode runs ONCE and
+      // everything downstream works on compacted triples. df per
+      // shingle = count(*) over the pre-aggregate (one row per
+      // (g, doc) by construction); occurrence weights come back from
+      // the carried count.
       val sh = docs
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
@@ -624,10 +634,13 @@ object Curation extends QueryModule {
           explode(expr(
             "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
             .as("g"))
-      val df = sh.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
-      val perDoc = sh.join(df, "g")
+      val docSh = sh.groupBy(col("g"), col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val df = docSh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val perDoc = docSh.join(df, "g")
         .groupBy(col("doc_id"), col("source"))
-        .agg((sum(when(col("df") === 1, 1).otherwise(0)) / count(lit(1))).as("novelty"))
+        .agg((sum(when(col("df") === 1, col("c")).otherwise(0L)) / sum(col("c")))
+          .as("novelty"))
       perDoc.groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           (round(avg(col("novelty")), 6) + lit(0.0)).as("mean_novelty"))
