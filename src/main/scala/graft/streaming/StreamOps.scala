@@ -286,6 +286,31 @@ object StreamOps {
       }
       .start()
 
+  /** Live ingest dedup: every micro-batch of incoming documents is
+    * MinHash-LSH matched AGAINST THE STATIC CORPUS (cost scales with
+    * the increment, never corpus x corpus — the batch
+    * `Dedup.nearDupsAgainstCorpus` contract) and the near-dup pairs
+    * land as a batchId-keyed parquet shard. foreachBatch rather than a
+    * streaming join because the candidate stage needs batch-only
+    * operators (repartition, distinct) and per-batch batch semantics
+    * ARE the meaning here: each increment is deduped as a unit,
+    * idempotently (a replayed batch overwrites its own shard). The
+    * downstream filter "drop new docs matching the corpus" is an
+    * anti-join of the increment against its shard. */
+  def nearDupSink(newDocs: DataFrame, corpus: DataFrame, outDir: String,
+                  checkpointDir: String, idCol: String, textCol: String,
+                  threshold: Double = 0.5) =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .nearDupsAgainstCorpus(batch, corpus, idCol, textCol,
+            threshold = threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** NDV estimates per key over every batch `sketchPartialSink` has
     * landed so far. */
   def readSketchProfile(spark: SparkSession, outDir: String,

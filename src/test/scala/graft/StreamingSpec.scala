@@ -333,6 +333,32 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("nearDupSink matches streamed documents against the static corpus") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and then runs all the way home tonight"),
+      (101L, "spark shuffles partitions and broadcasts the small build side of every join")
+    ).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupSink(ms.toDF().toDF("doc_id", "text"), corpus,
+      s"$tmp/pairs", s"$tmp/ckpt", "doc_id", "text")
+    try {
+      ms.addData(
+        // near-dup of corpus doc 100 (one word changed)
+        (1L, "the quick brown fox jumps over the lazy dog and then runs all the way home today"),
+        // unrelated
+        (2L, "completely different tokens about databases and storage engines"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$tmp/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L)), pairs.toString)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("enrichStream attaches static dimension rows without shuffling the stream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
