@@ -59,7 +59,11 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
     val full =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // a filtered local-iteration run must not clobber the committed
+    // full-surface snapshot (it did once — a 2-query map replaced the
+    // 194-query one mid-round)
+    val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))
     catch { case e: Throwable => e.printStackTrace() }
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")

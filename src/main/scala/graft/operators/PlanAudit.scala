@@ -68,10 +68,13 @@ object PlanAudit {
     val shufJoins = nodes.count(n =>
       n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[ShuffledHashJoinExec])
 
+    // width > 3: a fully-read 2-3 column table usually IS the
+    // projection (embeddings, edge lists); reading every column only
+    // smells on genuinely wide tables
     val scans = nodes.collect { case s: FileSourceScanExec => s }
     val unpruned = scans.filter { s =>
       val total = s.relation.dataSchema.fields.length
-      total > 2 && s.requiredSchema.fields.length >= total
+      total > 3 && s.requiredSchema.fields.length >= total
     }
     val unfiltered = scans.filter { s =>
       s.dataFilters.isEmpty && s.partitionFilters.isEmpty &&
