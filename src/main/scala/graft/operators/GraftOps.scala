@@ -140,7 +140,7 @@ object GraftOps {
       * (dataframe.rs:354-368). */
     def countNonNull(): DataFrame =
       df.agg(count(col(df.columns.head)).as(s"count_${df.columns.head}"),
-        df.columns.tail.map(c => count(col(c)).as(s"count_$c")): _*)
+        df.columns.tail.toIndexedSeq.map(c => count(col(c)).as(s"count_$c")): _*)
 
     /** reference: shape (dataframe.rs:347-351). */
     def shape2: (Long, Int) = (df.count(), df.columns.length)
@@ -164,7 +164,7 @@ object GraftOps {
       def pct(v: Column, p: Double): Column =
         if (exact) percentile(v, lit(p))
         else approx_percentile(v, lit(p), lit(10000)).cast(DoubleType)
-      val perCol = numCols.map { c =>
+      val perCol = numCols.toIndexedSeq.map { c =>
         val v = col(c).cast(DoubleType)
         struct(lit(c).as("column"), count(v).as("count"),
           avg(v).as("mean"), stddev_samp(v).as("stddev"),
@@ -245,7 +245,7 @@ object GraftOps {
     def withRowIndex(idxName: String, order: Seq[Column]): DataFrame = {
       val sorted = if (order.isEmpty) df else df.orderBy(order: _*)
       val schema = StructType(sorted.schema.fields :+ StructField(idxName, LongType, nullable = false))
-      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
       df.sparkSession.createDataFrame(rdd, schema)
     }
 
@@ -255,7 +255,7 @@ object GraftOps {
       val numCols = df.schema.fields.filter(x => isNumeric(x.dataType)).map(_.name)
       require(numCols.nonEmpty, s"$prefix: no numeric columns")
       df.agg(f(col(numCols.head)).as(s"${prefix}_${numCols.head}"),
-        numCols.tail.map(c => f(col(c)).as(s"${prefix}_$c")): _*)
+        numCols.tail.toIndexedSeq.map(c => f(col(c)).as(s"${prefix}_$c")): _*)
     }
 
     private def requireCols(names: String*): Unit = {
