@@ -201,6 +201,60 @@ object SimilaritySearch {
 
   /** Each row of `df` with its `n` highest-cosine centroids (rounded
     * cosines, id tiebreaks — deterministic). */
+  /** The production memory-bounded ANN shape: IVF candidate generation
+    * scored against INT8-QUANTIZED vectors (what a 100 TB deployment
+    * keeps in RAM — 4x smaller than float32), then an exact float
+    * re-rank of only the top `coarseK` candidates per probe (the only
+    * rows that ever touch full-precision storage). Same deterministic
+    * codebook and tie-breaks as [[topKCosineIvf]]; quantization is the
+    * symmetric per-vector absmax/127 scheme the `embed_quantize` oracle
+    * pins cross-engine, and every cosine is rounded before ranking so
+    * the candidate ordering is engine-portable.
+    *
+    * Returns (probe_id, vec_id, cos, rk) with EXACT cosines, k rows per
+    * probe — coarse scores order candidates but never leave the plan. */
+  def topKCosineIvfRerank(probes: DataFrame, probeIdCol: String,
+                          corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nlist: Int = 16, nprobe: Int = 4,
+                          coarseK: Int = 12): DataFrame = {
+    require(nprobe <= nlist, "topKCosineIvfRerank: nprobe must be <= nlist")
+    require(coarseK >= k, "topKCosineIvfRerank: coarseK must be >= k")
+    val cents = hashCentroids(corpus, idCol, vecCol, nlist)
+    // int8 reconstruction qv*qscale as a double array: the coarse store
+    val recon = corpus.select(col(idCol).as("_mid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_fv"))
+      .withColumn("_qscale",
+        expr("""case when round(array_max(transform(_fv, x -> abs(x))) / 127.0, 9) = 0
+                then 1.0 else round(array_max(transform(_fv, x -> abs(x))) / 127.0, 9) end"""))
+      .withColumn("_mv",
+        expr("transform(_fv, x -> cast(round(x / _qscale, 0) as double) * _qscale)"))
+    val assigned = bestLists(recon.select(col("_mid"), col("_mv")),
+        cents, "_mid", "_mv", 1)
+      .select(col("_mid").as("_cid"), col("_mv").as("_cqv"), col("_list"))
+    val probeLists = bestLists(probes.select(col(probeIdCol).as("_pid0"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_pv0")),
+        cents, "_pid0", "_pv0", nprobe)
+      .select(col("_mid").as("_pid"), col("_mv").as("_pv"), col("_list"))
+    val coarse = assigned.join(broadcast(probeLists), "_list")
+      .filter(col("_pid") =!= col("_cid"))
+      .select(col("_pid"), col("_cid"),
+        round(cosine(col("_cqv"), col("_pv")), 6).as("_ccos"))
+      .withColumn("_crk", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col("_ccos").desc, col("_cid"))))
+      .filter(col("_crk") <= coarseK)
+    // exact re-rank: only coarseK x probes rows read full precision
+    coarse
+      .join(corpus.select(col(idCol).as("_cid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_cfv")), "_cid")
+      .join(broadcast(probes.select(col(probeIdCol).as("_pid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_pfv"))), "_pid")
+      .select(col("_pid").as("probe_id"), col("_cid").as("vec_id"),
+        round(cosine(col("_cfv"), col("_pfv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   private def bestLists(df: DataFrame, cents: DataFrame,
                         id: String, vec: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))

@@ -217,6 +217,20 @@ object Pipeline extends QueryModule {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // The memory-bounded production ANN shape: IVF candidates scored
+    // against int8-QUANTIZED vectors (the 4x-smaller coarse store a
+    // 100 TB deployment keeps hot), exact float re-rank of only the
+    // top-12 candidates per probe. Coarse scores order candidates;
+    // the output cosines are exact.
+    "ann_ivf_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      SimilaritySearch.topKCosineIvfRerank(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4, coarseK = 12)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Embedding-cosine near-dup pairs via bucketed sign-LSH + exact
     // rerank. The corpus has no natural near-identical vectors (max
     // pairwise cos ~0.51), so the query plants them deterministically: a
@@ -1061,6 +1075,56 @@ object Pipeline extends QueryModule {
            WHERE a.vec_id <> p.probe_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
                                             ORDER BY cos DESC, vec_id) rk FROM cand)
+         SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
+         ORDER BY probe_id, rk""",
+    "ann_ivf_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         q AS (SELECT vec_id, v,
+                 CASE WHEN round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) = 0
+                      THEN 1.0
+                      ELSE round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) END AS qscale
+               FROM e),
+         rec AS (SELECT vec_id, list_transform(v, x -> round(x / qscale, 0) * qscale) AS rv
+                 FROM q),
+         acq AS (
+           SELECT r.vec_id, r.rv, c.cent_id,
+             round(list_dot_product(r.rv, c.cv) /
+                   (sqrt(list_dot_product(r.rv, r.rv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM rec r CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, rv, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM acq)
+           WHERE rk = 1),
+         acp AS (
+           SELECT e.vec_id, e.v, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c WHERE e.vec_id < 5),
+         plists AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM acp)
+           WHERE rk <= 4),
+         coarse AS (
+           SELECT p.probe_id, a.vec_id, p.pv,
+             round(list_dot_product(a.rv, p.pv) /
+                   (sqrt(list_dot_product(a.rv, a.rv)) * sqrt(list_dot_product(p.pv, p.pv))), 6) ccos
+           FROM plists p JOIN assigned a ON p.cent_id = a.cent_id
+           WHERE a.vec_id <> p.probe_id),
+         ck AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY probe_id
+                                               ORDER BY ccos DESC, vec_id) crk FROM coarse)
+                WHERE crk <= 12),
+         rr AS (
+           SELECT ck.probe_id, ck.vec_id,
+             round(list_dot_product(e.v, ck.pv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ck.pv, ck.pv))), 6) cos
+           FROM ck JOIN e ON ck.vec_id = e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos DESC, vec_id) rk FROM rr)
          SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
          ORDER BY probe_id, rk""",
     "knn_cosine" ->
