@@ -647,6 +647,38 @@ object Curation extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Leakage-safe train/val/test split: hash on the near-dup CLUSTER
+    // id, not the doc id — a doc-hash split puts near-identical
+    // documents on both sides of the train/test boundary, silently
+    // inflating eval scores. The output carries the crossing-pair
+    // count so the guarantee is COMPUTED, not assumed (0 by
+    // construction: every cluster member shares the cluster hash).
+    // Scale shape: the pair/CC machinery is the audited dedup_clusters
+    // path; the split itself is one hash projection and the leakage
+    // check two key-joins of the (sparse) pair list.
+    "split_cluster_safe" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff)
+      val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
+      val keyed = docs.join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val h = substring(md5(col("cluster").cast("string")), 1, 4)
+      val split = keyed.withColumn("split",
+        when(h < "cccc", "train").when(h < "e666", "val").otherwise("test"))
+      val cross = pairs
+        .join(split.select(col("doc_id").as("i"), col("split").as("si")), "i")
+        .join(split.select(col("doc_id").as("j"), col("split").as("sj")), "j")
+        .filter(col("si") =!= col("sj"))
+        .agg(count(lit(1)).cast("long").as("leaked_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .crossJoin(broadcast(cross))
+        .orderBy(col("split"))
+    }),
+
     // Corpus-lineage diagnostic: pairwise 8-gram Jaccard BETWEEN
     // SOURCES — which crawl shards are re-serving each other's content.
     // Scale shape: distinct (source, shingle) pairs, then a
@@ -1045,6 +1077,32 @@ object Curation extends QueryModule {
          FROM bysrc b JOIN srctot s ON b.source = s.source
            JOIN corpus c ON b.w = c.w, tot t
          GROUP BY 1 ORDER BY 1""",
+    "split_cluster_safe" ->
+      s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
+          edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          lab AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+          keyed AS (
+            SELECT d.doc_id, d.n_chars,
+              coalesce(l.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.u),
+          sp AS (
+            SELECT doc_id, n_chars,
+              CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                   WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM keyed),
+          cross_pairs AS (
+            SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+            FROM pr JOIN sp a ON pr.i = a.doc_id JOIN sp b ON pr.j = b.doc_id
+            WHERE a.split <> b.split)
+          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars, leaked_pairs
+          FROM sp CROSS JOIN cross_pairs
+          GROUP BY split, leaked_pairs ORDER BY split""",
     "pmi_bigrams" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          f AS (SELECT * FROM s WHERE len(w) >= 2),
