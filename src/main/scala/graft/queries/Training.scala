@@ -245,6 +245,29 @@ object Training extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility by language: mean tokens per word under the
+    // fixed merge table — THE standard tokenizer-evaluation metric
+    // (a tokenizer trained on English costs other languages more
+    // tokens per word; fertility quantifies that tax before training).
+    // Same vocabulary-sized encode as bpe_encode: each distinct word
+    // is folded once, counts join back to the per-language totals.
+    "bpe_fertility" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val perLang = words.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      val vocab = perLang.select(col("word")).distinct().withColumn("freq", lit(1L))
+      val encoded = BpeTrainer.applyMerges(vocab, EncodeMerges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_toks"))
+      perLang.join(encoded, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).cast("long").as("n_words"),
+          sum(col("cnt") * col("n_toks")).cast("long").as("n_tokens"),
+          (round(sum(col("cnt") * col("n_toks")).cast("double") /
+            sum(col("cnt")).cast("double"), 6) + lit(0.0)).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
       val wf = BpeTrainer.wordFreq(Tables(s, dir, "documents"), col("text"))
@@ -279,6 +302,22 @@ object Training extends QueryModule {
            CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens,
            md5(array_to_string(list_sort(list(word || ':' || enc)), '|')) AS enc_md5
          FROM t GROUP BY doc_id ORDER BY doc_id""",
+    "bpe_fertility" ->
+      """WITH w AS (SELECT lang,
+                      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+                    FROM documents),
+         f AS (SELECT lang, word, count(*) AS cnt
+               FROM w WHERE word <> '' GROUP BY lang, word),
+         e AS (SELECT lang, word, cnt,
+                 length(replace(replace(replace(replace(replace(replace(replace(replace(word,
+                   'th', '1'), '1e', '2'), 'an', '3'), '3d', '4'),
+                   'in', '5'), 'er', '6'), 'ou', '7'), 're', '8')) AS n_toks
+               FROM f)
+         SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens,
+           round(CAST(sum(cnt * n_toks) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) + 0.0
+             AS fertility
+         FROM e GROUP BY lang ORDER BY lang""",
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${Pipeline.toksSql} toks FROM documents),
           ch AS (SELECT doc_id,
