@@ -245,6 +245,41 @@ object Training extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Batch-packing efficiency: padding waste (padded cells beyond each
+    // sequence's length, batch padded to its max) of LENGTH-SORTED
+    // batching vs hash-ordered batching, per shard — the report that
+    // justifies sorted bucketing in a training dataloader. Scale shape:
+    // batches form WITHIN hash shards (the seq_pack layout), so the
+    // sort is shard-local — no global ordering, no single-partition
+    // window; at 100 TB shards map to training workers.
+    "pack_efficiency" -> ((s, dir) => {
+      val B = 32 // sequences per batch
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n"))
+      def waste(ord: Seq[org.apache.spark.sql.Column], label: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("shard")).orderBy(ord: _*)
+        t.withColumn("rn", row_number().over(w))
+          .withColumn("batch", ((col("rn") - 1) / B).cast("long"))
+          .groupBy(col("shard"), col("batch"))
+          .agg((max(col("n")) * count(lit(1)) - sum(col("n"))).as("w"))
+          .groupBy(col("shard"))
+          .agg(sum(col("w")).cast("long").as(label))
+      }
+      val sorted = waste(Seq(col("n"), col("doc_id")), "waste_sorted")
+      val random = waste(Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        "waste_random")
+      t.groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n")).cast("long").as("n_tokens"))
+        .join(sorted, "shard").join(random, "shard")
+        .select(col("shard").cast("long").as("shard"), col("n_docs"), col("n_tokens"),
+          col("waste_sorted"), col("waste_random"),
+          (round(lit(1.0) - col("waste_sorted").cast("double") /
+            col("waste_random").cast("double"), 6) + lit(0.0)).as("padding_saved"))
+        .orderBy(col("shard"))
+    }),
+
     // Tokenizer fertility by language: mean tokens per word under the
     // fixed merge table — THE standard tokenizer-evaluation metric
     // (a tokenizer trained on English costs other languages more
@@ -302,6 +337,30 @@ object Training extends QueryModule {
            CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens,
            md5(array_to_string(list_sort(list(word || ':' || enc)), '|')) AS enc_md5
          FROM t GROUP BY doc_id ORDER BY doc_id""",
+    "pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % $PackShards AS BIGINT) shard,
+                       CAST(len(${Pipeline.toksSql}) AS BIGINT) n
+                     FROM documents),
+          srt AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n, doc_id) rn
+                  FROM t),
+          sb AS (SELECT shard, CAST((rn - 1) // 32 AS BIGINT) batch,
+                   max(n) * count(*) - sum(n) AS w
+                 FROM srt GROUP BY 1, 2),
+          ws AS (SELECT shard, CAST(sum(w) AS BIGINT) waste_sorted FROM sb GROUP BY 1),
+          rnd AS (SELECT *, row_number() OVER (PARTITION BY shard
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+                  FROM t),
+          rb AS (SELECT shard, CAST((rn - 1) // 32 AS BIGINT) batch,
+                   max(n) * count(*) - sum(n) AS w
+                 FROM rnd GROUP BY 1, 2),
+          wr AS (SELECT shard, CAST(sum(w) AS BIGINT) waste_random FROM rb GROUP BY 1),
+          base AS (SELECT shard, CAST(count(*) AS BIGINT) n_docs,
+                     CAST(sum(n) AS BIGINT) n_tokens FROM t GROUP BY 1)
+          SELECT b.shard, b.n_docs, b.n_tokens, ws.waste_sorted, wr.waste_random,
+            round(1.0 - CAST(ws.waste_sorted AS DOUBLE) / CAST(wr.waste_random AS DOUBLE), 6)
+              + 0.0 AS padding_saved
+          FROM base b JOIN ws ON b.shard = ws.shard JOIN wr ON b.shard = wr.shard
+          ORDER BY b.shard""",
     "bpe_fertility" ->
       """WITH w AS (SELECT lang,
                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
