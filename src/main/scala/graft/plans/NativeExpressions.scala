@@ -86,7 +86,14 @@ object NativeExpressions {
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "md5_hashes64" -> (exprs => Md5Hashes64Expr(exprs.head)),
-    "minhash_signature" -> buildMinhash _)
+    "minhash_signature" -> buildMinhash _,
+    "vec_dot" -> (exprs => VecDotExpr(exprs(0), exprs(1))),
+    "vec_cosine" -> (exprs => VecCosineExpr(exprs(0), exprs(1))),
+    "word_shingles" -> (exprs => WordShinglesExpr(exprs(0), exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_shingles: n must be an integer literal, got $other")
+    })))
 
   /** Register the native expressions as SQL functions on an existing
     * session (`SELECT simhash64(...) FROM ...`). The

@@ -28,4 +28,22 @@ class GraftSqlSpec extends SparkSpecBase {
       spark.sql("SELECT minhash_signature(array(1L), cast(rand()*4 AS INT))").collect()
     }
   }
+
+  test("vec_dot, vec_cosine and word_shingles are callable from SQL") {
+    NativeExpressions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+                vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+                word_shingles(array('a', 'b', 'c'), 2) AS sh""").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+  }
+
+  test("word_shingles rejects a non-literal n") {
+    NativeExpressions.registerSql(spark)
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles(array('a'), cast(rand()*3 AS INT))").collect()
+    }
+  }
 }
