@@ -232,7 +232,38 @@ object Scale extends QueryModule {
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           ZOrder.interleave2(col("l_partkey"), col("l_suppkey"), 16).as("zcode"))
-        .orderBy(col("zcode"), col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("zcode"), col("l_orderkey"), col("l_linenumber"))),
+
+    // Shard-count change cost: the fraction of documents that MOVE when
+    // 8 shards become 10, under mod-N assignment (~everything moves —
+    // the full-reshuffle trap) vs rendezvous/highest-random-weight
+    // hashing (only ~1/5 moves: exactly the docs the two new shards
+    // win). The argument for consistent placement when a 100 TB layout
+    // gains workers. Deterministic and engine-portable: the weight is
+    // md5(doc_id:shard), argmax via max_by with no possible tie.
+    // Scale shape: explode to n_shards rows per doc, one partial-agg
+    // argmax, one final single-row rollup.
+    "shard_rebalance" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      def rdv(n: Int, out: String) = docs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("s"))
+        .withColumn("wt",
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("s").cast("string"))))
+        .groupBy(col("doc_id"))
+        .agg(expr("max_by(s, wt)").as(out))
+      docs
+        .withColumn("m8", pmod(col("doc_id"), lit(8)))
+        .withColumn("m10", pmod(col("doc_id"), lit(10)))
+        .join(rdv(8, "r8"), "doc_id").join(rdv(10, "r10"), "doc_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("m8") =!= col("m10"), 1L).otherwise(0L)).as("moved_mod"),
+          sum(when(col("r8") =!= col("r10"), 1L).otherwise(0L)).as("moved_rendezvous"))
+        .select(col("n_docs"), col("moved_mod"), col("moved_rendezvous"),
+          (round(col("moved_mod").cast("double") / col("n_docs").cast("double"), 6)
+            + lit(0.0)).as("frac_mod"),
+          (round(col("moved_rendezvous").cast("double") / col("n_docs").cast("double"), 6)
+            + lit(0.0)).as("frac_rendezvous"))
+    })
   )
 
   /** The scd2_merge dimension as reusable CTEs ending in `scd2` —
@@ -265,6 +296,26 @@ object Scale extends QueryModule {
             OR u.c_custkey NOT IN (SELECT c_custkey FROM dim))"""
 
   val oracle: Map[String, String] = Map(
+    "shard_rebalance" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         e8 AS (SELECT doc_id, unnest(generate_series(0, 7)) AS s FROM d),
+         r8 AS (SELECT doc_id,
+                  arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS r8
+                FROM e8 GROUP BY 1),
+         e10 AS (SELECT doc_id, unnest(generate_series(0, 9)) AS s FROM d),
+         r10 AS (SELECT doc_id,
+                   arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS r10
+                 FROM e10 GROUP BY 1),
+         j AS (SELECT d.doc_id, d.doc_id % 8 AS m8, d.doc_id % 10 AS m10, r8.r8, r10.r10
+               FROM d JOIN r8 ON d.doc_id = r8.doc_id JOIN r10 ON d.doc_id = r10.doc_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN m8 <> m10 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+           CAST(sum(CASE WHEN r8 <> r10 THEN 1 ELSE 0 END) AS BIGINT) AS moved_rendezvous,
+           round(CAST(sum(CASE WHEN m8 <> m10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS frac_mod,
+           round(CAST(sum(CASE WHEN r8 <> r10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS frac_rendezvous
+         FROM j""",
     "bloom_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
