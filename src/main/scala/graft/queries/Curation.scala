@@ -647,6 +647,32 @@ object Curation extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Directional dedup-attrition report: for every near-dup cluster,
+    // which SOURCE loses documents and which source's representative
+    // survives — "who is re-serving whom", the directional complement
+    // to source_overlap's symmetric Jaccard. Same keep-best contract
+    // as cluster_keep_best (longest text, doc_id tiebreak); the output
+    // is (losing source, winning source, docs lost). Scale shape: the
+    // audited pair/CC machinery plus one sparse per-cluster window.
+    "dedup_attrition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff)
+      val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
+      val keyed = docs.join(labels, col("doc_id") === col("node"))
+        .select(col("cluster"), col("doc_id"), col("source"), col("n_chars"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = keyed.withColumn("rk", row_number().over(w))
+      val winners = ranked.filter(col("rk") === 1)
+        .select(col("cluster"), col("source").as("kept_source"))
+      ranked.filter(col("rk") > 1)
+        .join(winners, "cluster")
+        .groupBy(col("source").as("lost_source"), col("kept_source"))
+        .agg(count(lit(1)).cast("long").as("n_docs_lost"))
+        .orderBy(col("lost_source"), col("kept_source"))
+    }),
+
     // Leakage-safe train/val/test split: hash on the near-dup CLUSTER
     // id, not the doc id — a doc-hash split puts near-identical
     // documents on both sides of the train/test boundary, silently
@@ -1077,6 +1103,27 @@ object Curation extends QueryModule {
          FROM bysrc b JOIN srctot s ON b.source = s.source
            JOIN corpus c ON b.w = c.w, tot t
          GROUP BY 1 ORDER BY 1""",
+    "dedup_attrition" ->
+      s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
+          edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          lab AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+          keyed AS (
+            SELECT l.cluster, d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN lab l ON d.doc_id = l.u),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster
+                        ORDER BY n_chars DESC, doc_id) AS rk
+            FROM keyed),
+          winners AS (SELECT cluster, source AS kept_source FROM ranked WHERE rk = 1)
+          SELECT r.source AS lost_source, w.kept_source,
+            CAST(count(*) AS BIGINT) AS n_docs_lost
+          FROM ranked r JOIN winners w ON r.cluster = w.cluster
+          WHERE r.rk > 1
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "split_cluster_safe" ->
       s"""WITH RECURSIVE pr AS (${Pipeline.nearPairsSql}),
           edges AS (SELECT i u, j v FROM pr UNION SELECT j, i FROM pr),
