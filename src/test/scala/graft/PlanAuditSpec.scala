@@ -89,7 +89,10 @@ class PlanAuditSpec extends SparkSpecBase {
         n.startsWith("asof_") || n == "range_join" || n == "pit_lookup" ||
         n == "scd2_merge" || n == "cdc_apply" || n == "table_diff" ||
         n == "fuzzy_match" || n == "term_drift" || n == "source_overlap" ||
-        n == "lang_id" || n == "pmi_bigrams" || n == "novelty_score"
+        n == "lang_id" || n == "pmi_bigrams" || n == "novelty_score" ||
+        n == "ann_ivf_rerank" || n == "split_cluster_safe" ||
+        n == "dedup_attrition" || n == "shard_rebalance" ||
+        n == "bpe_fertility" || n == "pack_efficiency"
     }.toSeq.sorted
     assert(names.size >= 40, s"sweep unexpectedly small: $names")
     val dirty = names.filterNot { n =>
