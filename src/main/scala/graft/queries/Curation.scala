@@ -739,28 +739,68 @@ object Curation extends QueryModule {
     // approximate quantiles — THE profiling path at 100 TB, where exact
     // count_distinct shuffles every distinct value and exact percentile
     // buffers whole columns in one aggregation buffer. Sketches are
-    // fixed-size and merge associatively, so this is one partial-agg
-    // shuffle, same shape as sum(). Approximate by design => no
-    // cross-engine oracle (DuckDB's HLL/quantile sketches differ);
-    // rows-only check here, the spec pins relative error vs exact.
-    "profile_sketch" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
+    // fixed-size and merge associatively: one partial-agg shuffle,
+    // same shape as sum().
+    //
+    // Hash-gate shape (round 9): DuckDB cannot reproduce Spark's
+    // HLL++/KLL sketches bit-for-bit, so the query emits the EXACT
+    // NDVs (oracle-checkable payload) plus deterministic booleans
+    // asserting each sketch estimate sits inside its published error
+    // bound — abs(approx-exact) <= 5% * exact for rsd=0.01 HLL
+    // (>4 sigma), and rank(approx quantile) within 2*N/accuracy of
+    // the target rank. The oracle recomputes the exact side and emits
+    // literal TRUE for the bounds: a sketch regression flips a boolean
+    // and hash-mismatches. The pure-sketch production path (no exact
+    // passenger) remains operators/SketchProfile.
+    "profile_sketch" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val prof = li
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("ndv_orders_approx"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("ndv_parts_approx"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("ndv_orders"),
+          countDistinct(col("l_partkey")).as("ndv_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
           // accuracy 2000: rank error <= N/2000 (0.05% at sf0.1) at a
           // quarter of the sketch-merge cost of the 10000 default
           percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
             lit(2000)).as("pq"))
-        // flatten the quantile array to scalar columns: the output stays
-        // one flat row per group (array cells broke the driver's
-        // pandas-side row hashing in round 4)
+        .select(col("l_returnflag"), col("n"), col("ndv_orders"), col("ndv_parts"),
+          col("ao"), col("ap"),
+          element_at(col("pq"), 1).as("p50v"),
+          element_at(col("pq"), 2).as("p95v"))
+      // Rank-audit the returned quantile values: count rows strictly
+      // below / at-or-below each value per group. The threshold table is
+      // a handful of rows — broadcast it; this is one extra scan and the
+      // same keyed aggregation, no new shuffle shape at any scale.
+      val ranks = li
+        .join(broadcast(prof.select(col("l_returnflag").as("rf"),
+          col("p50v").as("t50"), col("p95v").as("t95"))),
+          col("l_returnflag") === col("rf"))
+        .groupBy(col("rf"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("t50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("t50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("t95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("l_extendedprice") <= col("t95"), 1L).otherwise(0L)).as("le95"))
+      // tolerance: 2x the guaranteed N/2000 rank error, +2 for the
+      // rank-definition boundary on tiny test groups
+      val tol = ceil(col("n") / lit(1000.0)) + lit(2.0)
+      def rankOk(lt: String, le: String, q: Double) =
+        (col(lt) <= ceil(col("n") * q) + tol) && (col(le) >= floor(col("n") * q) - tol)
+      prof.join(broadcast(ranks), col("l_returnflag") === col("rf"))
         .select(col("l_returnflag"),
-          col("ndv_orders_approx"), col("ndv_parts_approx"),
-          element_at(col("pq"), 1).as("p50_price"),
-          element_at(col("pq"), 2).as("p95_price"))
-        .orderBy(col("l_returnflag"))))
+          col("ndv_orders").cast("long").as("ndv_orders"),
+          col("ndv_parts").cast("long").as("ndv_parts"),
+          (abs(col("ao") - col("ndv_orders")) <= col("ndv_orders") * lit(0.05))
+            .as("ndv_orders_ok"),
+          (abs(col("ap") - col("ndv_parts")) <= col("ndv_parts") * lit(0.05))
+            .as("ndv_parts_ok"),
+          rankOk("lt50", "le50", 0.5).as("p50_ok"),
+          rankOk("lt95", "le95", 0.95).as("p95_ok"))
+        .orderBy(col("l_returnflag"))
+    }))
 
   /** DuckDB token-array fragment over an arbitrary text expression
     * (Pipeline.toksSql fixed to the `text` column; this parameterizes
@@ -769,6 +809,18 @@ object Curation extends QueryModule {
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
   val oracle: Map[String, String] = Map(
+    // The sketch estimates themselves are engine-specific; the oracle
+    // recomputes the exact NDVs and asserts the bound checks hold
+    // (literal TRUE) — Spark's side computes them for real, so a sketch
+    // drifting outside its error bound flips a boolean and fails the
+    // hash gate.
+    "profile_sketch" ->
+      """SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_parts,
+           TRUE AS ndv_orders_ok, TRUE AS ndv_parts_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "funnel_steps" ->
       """WITH a AS (SELECT user_id, ts, event_type,
                       min(CASE WHEN event_type = 'signup' THEN ts END)

@@ -22,18 +22,15 @@ class ContractSpec extends SparkSpecBase {
     assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
   }
 
-  test("oracle coverage: only the approximate-by-design ops are rows-only") {
-    // dedup_simhash left this set in round 6 (md5-derived shingle hashes
-    // made the fingerprints engine-portable); ann_cosine_lsh left it in
-    // round 8 (the seeded plane constants are spliced into the oracle
-    // SQL, so DuckDB rebuilds the identical buckets).
-    // bpe_merges left this set in round 8: the fixed round count
-    // unrolls into chained CTEs with the greedy merge as a list_reduce
-    // fold (BpeTrainer.learnSql).
-    // profile_sketch: HLL estimates, pinned by sketch-error contracts —
-    // DuckDB's sketches genuinely differ, so it stays rows-only.
+  test("oracle coverage: every registered query is hash-gated") {
+    // dedup_simhash left the rows-only set in round 6 (md5-derived
+    // shingle hashes made the fingerprints engine-portable);
+    // ann_cosine_lsh and bpe_merges in round 8 (plane constants spliced
+    // into the oracle; fixed-round list_reduce CTE fold); profile_sketch
+    // in round 9 — it now emits exact NDVs plus deterministic
+    // sketch-within-bound booleans the oracle reproduces closed-form.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("profile_sketch"), rowsOnly.toString)
+    assert(rowsOnly.isEmpty, rowsOnly.toString)
   }
 
   test("query names are stable identifiers") {

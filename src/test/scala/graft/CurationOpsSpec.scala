@@ -192,27 +192,22 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(want.length > 100 && want.length < 5000) // the budget genuinely truncates
   }
 
-  test("profile_sketch approximations stay within sketch error bounds of exact") {
+  test("profile_sketch emits exact NDVs and in-bound sketch booleans") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables(spark, dir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("ndv_o"),
-        countDistinct(col("l_partkey")).as("ndv_p"),
-        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("qs"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getSeq[Double](3))).toMap
-    val approx = SparkEntry.queries("profile_sketch")(spark, dir).collect()
-    assert(approx.length == exact.size)
-    approx.foreach { r =>
-      val (ndvO, ndvP, qs) = exact(r.getString(0))
-      // HLL++ at rsd 0.01: 5% is > 4 sigma
-      assert(math.abs(r.getLong(1) - ndvO).toDouble / ndvO <= 0.05, s"ndv_orders ${r.getLong(1)} vs $ndvO")
-      assert(math.abs(r.getLong(2) - ndvP).toDouble / ndvP <= 0.05, s"ndv_parts ${r.getLong(2)} vs $ndvP")
-      val aqs = Seq(r.getDouble(3), r.getDouble(4))
-      // accuracy 2000 on ~thousands of rows: near-exact quantiles
-      aqs.zip(qs).foreach { case (a, e) =>
-        assert(math.abs(a - e) / math.abs(e) <= 0.02, s"quantile $a vs $e")
-      }
+        countDistinct(col("l_partkey")).as("ndv_p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SparkEntry.queries("profile_sketch")(spark, dir).collect()
+    assert(got.length == exact.size)
+    got.foreach { r =>
+      val (ndvO, ndvP) = exact(r.getString(0))
+      // the exact payload the DuckDB oracle recomputes
+      assert(r.getLong(1) == ndvO && r.getLong(2) == ndvP)
+      // the bound booleans — if a sketch regresses past its published
+      // error bound this flips false and the hash gate catches it
+      (3 to 6).foreach(i => assert(r.getBoolean(i), s"bound column $i false: $r"))
     }
   }
 
