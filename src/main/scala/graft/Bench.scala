@@ -26,10 +26,15 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => e.printStackTrace() }
 
-    // best-of-N timing (default 2): the first run of a query also pays
-    // its codegen compilation and footer-cache misses; the min is the
-    // stable figure for plan-cost comparisons across rounds.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // median-of-N timing (default 3): the first run of a query also pays
+    // its codegen compilation and footer-cache misses; the median is
+    // robust to both that first-run cost and a one-off slow outlier
+    // (GC pause, page-cache eviction), which best-of-2 was not — two
+    // queries looked 3-4x "regressed" across rounds purely from
+    // run-context noise. Per-query min/max spread goes to
+    // BENCH_FULL.json so cross-round comparisons can tell signal from
+    // variance.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // local-iteration filter (comma-separated names); the driver never sets it
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -46,19 +51,28 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val sorted = times.sorted
+      val median =
+        if (sorted.exists(_ < 0)) -1.0
+        else if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      (name, median, sorted.head, sorted.last)
     }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.filter(_._2 < 0).map(_._1)
+    val medians = results.map { case (n, m, _, _) => (n, m) }
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val failed = medians.filter(_._2 < 0).map(_._1)
     // The driver keeps only the tail of stdout; a 122-query map at full
     // double precision overflowed it in rounds 3-4 and the line never
     // parsed. Print ONE compact line (slowest 40, 3 decimals) and write
     // the complete per-query map to BENCH_FULL.json alongside.
-    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
+    val slowest = medians.sortBy(-_._2).take(40).sortBy(_._1)
+    val spread = results
+      .map { case (n, _, lo, hi) => "\"" + n + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"sf":"$sfDir"}"""
     // a filtered local-iteration run must not clobber the committed
     // full-surface snapshot (it did once — a 2-query map replaced the
     // 194-query one mid-round)

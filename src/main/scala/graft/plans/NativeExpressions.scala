@@ -52,6 +52,9 @@ object NativeExpressions {
     ExpressionUtils.column(VecCosineExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def charEntropy(text: Column): Column =
+    ExpressionUtils.column(CharEntropyExpr(ExpressionUtils.expression(text)))
+
   def signLshBucket(v: Column, planes: Array[Array[Double]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(
       ExpressionUtils.expression(v), planes.flatten, planes.length,
@@ -606,5 +609,66 @@ case class SignLshBucketExpr(child: Expression, planes: Array[Double], bits: Int
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBucketExpr =
+    copy(child = newChild)
+}
+
+/** Per-document character-unigram entropy in ONE compiled pass:
+  * struct(entropy, n_distinct) from a code-point histogram built
+  * row-side, replacing the explode(split(text, '')) shape that
+  * shuffled one row PER CHARACTER (~corpus bytes x row overhead)
+  * through a (doc, char) aggregation. ASCII fast path is a flat
+  * 128-slot array; non-ASCII code points spill to a small hash map.
+  * Same formula as the former aggregate — entropy = -sum (k/n) ln(k/n)
+  * — term-for-term identical values, so the query-level 6-dp round
+  * yields the same result the DuckDB oracle computes. */
+case class CharEntropyExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("entropy", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1L
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        var cell = other.get(cp)
+        if (cell == null) { cell = new Array[Long](1); other.put(cp, cell) }
+        cell(0) += 1L
+      }
+    }
+    val nd = n.toDouble
+    var acc = 0.0
+    var distinct = 0L
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0L) { distinct += 1L; val p = k / nd; acc -= p * math.log(p) }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()(0)
+        distinct += 1L
+        val p = k / nd
+        acc -= p * math.log(p)
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(acc, distinct)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
     copy(child = newChild)
 }

@@ -108,25 +108,22 @@ object Training extends QueryModule {
     // Character-unigram entropy: low-entropy documents are boilerplate /
     // repeated-char spam, high-entropy ones are often binary junk — a
     // cheap, language-agnostic quality gate alongside the token-level
-    // Gopher filters (text_repetition). Shuffles on (doc, char) — the
-    // alphabet bounds the fan-in, so the reduce side stays tiny at any
-    // corpus size.
-    "char_entropy" -> ((s, dir) => {
-      val cnt = Tables(s, dir, "documents")
+    // Gopher filters (text_repetition). One compiled pass per row
+    // (CharEntropyExpr builds the code-point histogram row-side) —
+    // NO shuffle at all, vs the former explode(split(text, '')) shape
+    // that pushed one row per character through a (doc, char)
+    // aggregation (4x the runtime at sf0.1, and corpus-bytes x row
+    // overhead of shuffle IO at any scale).
+    "char_entropy" -> ((s, dir) =>
+      Tables(s, dir, "documents")
         .select(col("doc_id"), normalize(col("text")).as("norm"))
         .filter(length(col("norm")) > 0)
-        .select(col("doc_id"), explode(split(col("norm"), "")).as("c"))
-        .filter(col("c") =!= "")
-        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
-      val tot = cnt.groupBy(col("doc_id")).agg(sum(col("k")).cast("double").as("n"))
-      cnt.join(tot, "doc_id")
-        .groupBy(col("doc_id"), col("n"))
-        .agg(round(-sum((col("k") / col("n")) * log(col("k") / col("n"))), 6)
-            .as("char_entropy"),
-          count(lit(1)).as("n_distinct_chars"))
-        .select(col("doc_id"), col("char_entropy"), col("n_distinct_chars"))
-        .orderBy(col("doc_id"))
-    }),
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.NativeExpressions.charEntropy(col("norm")).as("h"))
+        .select(col("doc_id"),
+          round(col("h.entropy"), 6).as("char_entropy"),
+          col("h.n_distinct").as("n_distinct_chars"))
+        .orderBy(col("doc_id"))),
 
     // Hashing-trick featurization: tokens hashed into 16 buckets
     // (first md5 hex nibble — engine-portable, unlike hash()/xxhash64),

@@ -160,4 +160,35 @@ class NativeExprSpec extends SparkSpecBase {
       .collect()
     assert(short(0).getLong(0) == 0L)
   }
+
+  test("native char entropy equals the explode/groupBy formulation") {
+    val texts = Seq(
+      "aaaa",                       // single symbol -> entropy 0
+      "abab",                       // two symbols, uniform -> ln 2
+      "the quick brown fox",        // mixed ascii incl. spaces
+      "héllo wörld éé",   // non-ascii spill path
+      "x").toDF("t").filter(length(col("t")) > 0)
+    // reference: the former shuffle-based shape, term-for-term the
+    // same formula the DuckDB oracle runs
+    val cnt = texts
+      .select(col("t"), explode(split(col("t"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("t"), col("c")).agg(count(lit(1)).as("k"))
+    val tot = cnt.groupBy(col("t")).agg(sum(col("k")).cast("double").as("n"))
+    val want = cnt.join(tot, "t")
+      .groupBy(col("t"), col("n"))
+      .agg(round(-sum((col("k") / col("n")) * log(col("k") / col("n"))), 6).as("h"),
+        count(lit(1)).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    val got = texts
+      .select(col("t"), NativeExpressions.charEntropy(col("t")).as("s"))
+      .select(col("t"), round(col("s.entropy"), 6).as("h"), col("s.n_distinct").as("d"))
+      .collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (h, d) = want(r.getString(0))
+      assert(r.getDouble(1) == h, s"entropy for '${r.getString(0)}'")
+      assert(r.getLong(2) == d, s"distinct for '${r.getString(0)}'")
+    }
+  }
 }
