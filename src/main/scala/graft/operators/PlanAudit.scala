@@ -82,7 +82,7 @@ object PlanAudit {
     }
 
     val codegenNodes = nodes.collect { case w: WholeStageCodegenExec => w }
-      .map(w => collectAll(w.child).length).sum
+      .map(w => spanNodes(w.child)).sum
     val planNodes = nodes.count(n =>
       !n.isInstanceOf[WholeStageCodegenExec] &&
         !n.isInstanceOf[AdaptiveSparkPlanExec])
@@ -133,8 +133,25 @@ object PlanAudit {
     case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
       a.groupingExpressions.isEmpty
     case a: AdaptiveSparkPlanExec => isScalarSubplan(a.executedPlan)
+    // AQE leaf wrappers hiding their subplan: a materialized query
+    // stage or a reused exchange over a scalar aggregate is still
+    // scalar — without these cases, auditing an already-executed plan
+    // flags legitimate scalar cross-joins as warn-level BNLJs
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      isScalarSubplan(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      isScalarSubplan(r.child)
     case other if other.children.size == 1 => isScalarSubplan(other.children.head)
     case _ => false
+  }
+
+  /** Nodes strictly inside one WholeStageCodegen span: descend from the
+    * span root but stop at InputAdapterExec — the codegen boundary —
+    * so exchanges, scans and NESTED codegen regions below it are not
+    * double-counted into this span's total. */
+  private def spanNodes(p: SparkPlan): Int = p match {
+    case _: org.apache.spark.sql.execution.InputAdapter => 0
+    case n => 1 + n.children.map(spanNodes).sum
   }
 
   /** Every physical node, descending through AQE wrappers (which are
@@ -143,6 +160,13 @@ object PlanAudit {
     val direct = p.collectWithSubqueries { case n => n }
     direct.flatMap {
       case a: AdaptiveSparkPlanExec => a +: collectAll(a.executedPlan)
+      // AQE materialized stages hide their subplans from collect —
+      // descend so auditing an already-executed DataFrame still sees
+      // every node. ReusedExchangeExec is NOT descended here: the
+      // exchange it references appears (and is counted) at its
+      // original site; isScalarSubplan recurses into it separately.
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectAll(q.plan)
       case n => Seq(n)
     }
   }

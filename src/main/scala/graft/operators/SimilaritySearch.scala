@@ -197,10 +197,12 @@ object SimilaritySearch {
     corpus
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nlist)
-      .select(col(idCol).as("_cent_id"), col(vecCol).as("_cent_vec"))
+      // array<double> so every downstream cosine runs in the same
+      // precision the DuckDB oracles use — a float-vs-double cosine
+      // landing exactly on a 6-dp rounding boundary would diverge
+      .select(col(idCol).as("_cent_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_cent_vec"))
 
-  /** Each row of `df` with its `n` highest-cosine centroids (rounded
-    * cosines, id tiebreaks — deterministic). */
   /** The production memory-bounded ANN shape: IVF candidate generation
     * scored against INT8-QUANTIZED vectors (what a 100 TB deployment
     * keeps in RAM — 4x smaller than float32), then an exact float
@@ -255,6 +257,8 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
   }
 
+  /** Each row of `df` with its `n` highest-cosine centroids (rounded
+    * cosines, id tiebreaks — deterministic). */
   private def bestLists(df: DataFrame, cents: DataFrame,
                         id: String, vec: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
