@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   */
 object GraftOps {
 
+  /** Row-count gate for `describeStats()`: at or below this the default
+    * is exact sorted-position percentiles (all values of one column fit
+    * comfortably in a single aggregation buffer — 10M doubles is 80 MB);
+    * above it the mergeable approx sketch is the only safe shape. */
+  val DescribeExactMaxRows: Long = 10000000L
+
   implicit class RichGraftDf(val df: DataFrame) extends AnyVal {
 
     // ----- §2.2 projection / access ------------------------------------
@@ -151,14 +157,22 @@ object GraftOps {
       * row per column instead. Sample stddev (the reference is internally
       * inconsistent, we pick one).
       *
-      * Percentiles are approximate by default (`approx_percentile`, a
-      * mergeable t-digest-style sketch with bounded memory): exact
-      * `percentile` is a TypedImperativeAggregate that buffers every value
-      * of the column in one aggregation buffer — with a single global
-      * group that is one executor holding the whole column, an OOM at
-      * 100 TB. `exact = true` opts back into interpolated exact
-      * percentiles for small/test data where bit-exact quantiles matter. */
-    def describeStats(exact: Boolean = false): DataFrame = {
+      * Percentile mode: exact `percentile` is a TypedImperativeAggregate
+      * that buffers every value of the column in one aggregation buffer —
+      * with a single global group that is one executor holding the whole
+      * column, an OOM at 100 TB. `approx_percentile` (a mergeable
+      * t-digest-style sketch with bounded memory) is the only shape that
+      * survives there. The no-arg overload picks per frame: exact (the
+      * reference's naive sorted-position semantics) below
+      * [[GraftOps.DescribeExactMaxRows]], sketch above — users of a
+      * small frame get the numbers they expect, big frames never hit
+      * the buffer trap. The one extra count() the gate pays is
+      * parquet-metadata-cheap and negligible next to the stats pass. */
+    def describeStats(): DataFrame =
+      describeStats(exact = df.count() <= GraftOps.DescribeExactMaxRows)
+
+    /** [[describeStats()]] with the percentile mode forced. */
+    def describeStats(exact: Boolean): DataFrame = {
       val numCols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
       require(numCols.nonEmpty, "describe: no numeric columns")
       def pct(v: Column, p: Double): Column =

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.GraftOps
 import graft.operators.GraftOps._
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.functions._
@@ -139,13 +140,27 @@ class GraftOpsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("p75") == 3.75)
   }
 
-  test("describe default (approx) agrees with exact on tiny data") {
+  test("describe default takes the exact path below the row-count gate") {
+    // the frame is tiny, so the no-arg default must equal exact
+    // bit-for-bit — including interpolated quartiles approx_percentile
+    // cannot produce (it returns observed values only)
     val e = rows(abc.select("Score").describeStats(exact = true)).head
     val a = rows(abc.select("Score").describeStats()).head
-    // approx_percentile returns an observed value, not an interpolation;
-    // on 3 rows it picks the nearest actual value.
-    assert(a.getAs[Double]("p50") == e.getAs[Double]("p50"))
-    assert(a.getAs[Double]("min") == e.getAs[Double]("min"))
+    Seq("count", "mean", "min", "p25", "p50", "p75", "max").foreach { c =>
+      assert(a.getAs[Any](c) == e.getAs[Any](c), c)
+    }
+    assert(a.getAs[Double]("p75") == 3.75) // interpolated => exact path taken
+  }
+
+  test("describe default falls back to the sketch above the row-count gate") {
+    // 10,000,002 rows of 0..10000001: one over the gate. The exact path
+    // would interpolate p25 to 2500000.25 (non-observed); the sketch
+    // returns observed values only, so an integral p25 proves the
+    // default actually switched branches on the big frame.
+    val big = spark.range(GraftOps.DescribeExactMaxRows + 2).toDF("v")
+    val a = rows(big.describeStats()).head
+    assert(a.getAs[Long]("count") == GraftOps.DescribeExactMaxRows + 2)
+    assert(a.getAs[Double]("p25") == math.floor(a.getAs[Double]("p25")))
   }
 
   // --- loc / iloc (:1466-1506) ----------------------------------------------
