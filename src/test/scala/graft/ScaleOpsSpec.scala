@@ -105,6 +105,49 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("zorder 3-col interleave matches hand-computed codes and SQL mirror") {
+    // (1,1,1) -> bits at positions 0,1,2 = 0b111 = 7
+    // (5,3,2): x=101 -> pos 0,6 set (b0,b2); y=011 -> pos 1,4; z=010 -> pos 5
+    //   = 1 + 64 + 2 + 16 + 32 = 115
+    val df3 = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (5L, 3L, 2L)).toDF("x", "y", "z")
+    val got = df3.select(
+      ZOrder.interleave(Seq($"x", $"y", $"z"), 8).as("m")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 4L, 7L, 115L))
+    df3.createOrReplaceTempView("zt3")
+    val viaSql = spark.sql(
+      s"SELECT ${ZOrder.interleaveSql(Seq("x", "y", "z"), 8).replace("//", " DIV ")} AS m FROM zt3")
+      .as[Long].collect().toSeq
+    assert(viaSql == got)
+    spark.catalog.dropTempView("zt3")
+  }
+
+  test("zorder 3-col write yields narrow per-file footer ranges on ALL dimensions") {
+    // 32x32x32 cube into 64 z-ordered files: aligned boundaries give
+    // 8x8x8 boxes (spread 7); allow one octree level of
+    // range-partition sampling misalignment, i.e. spread <= 15 — still
+    // half the full range 31 on EVERY dimension, the same
+    // parquet-footer proof as the 2-col test one dimension up (a
+    // single-column sort would leave two dimensions at spread 31)
+    import graft.sources.ParquetSource
+    val n = 32
+    val df = (for { x <- 0 until n; y <- 0 until n; z <- 0 until n }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val out = java.nio.file.Files.createTempDirectory("zstats3").toString + "/t"
+    ZOrder.writeZOrdered(df, out, Seq("x", "y", "z"), numFiles = 64, bits = 5)
+    for (c <- Seq("x", "y", "z")) {
+      val spreads = ParquetSource.parquetLongColStats(spark, out, c)
+        .collect().filter(_.getLong(1) > 0)
+        .map(r => r.getLong(3) - r.getLong(2)).sorted
+      assert(spreads.nonEmpty)
+      // sampled range boundaries let a few files straddle a top-level
+      // octant split (those reach full spread); the DISTRIBUTION is the
+      // pruning proof: 90% of files at <= half range on every dimension
+      assert(spreads(spreads.length * 9 / 10) <= 15,
+        s"$c p90 spread ${spreads(spreads.length * 9 / 10)}: ${spreads.mkString(",")}")
+    }
+  }
+
   test("zorder interleaveSql mirrors the column expression digit-for-digit") {
     val df = Seq((12345L, 54321L), (7L, 99L), (65535L, 0L)).toDF("x", "y")
     df.createOrReplaceTempView("zt")
