@@ -49,9 +49,11 @@ object PageRank {
   /** Ranks after `iters` rounds over `edges(src, dst)` (string node ids,
     * duplicate edges ignored). Returns (node, rank_scaled) where
     * rank_scaled is the fixed-point rank; ranks sum to ≤ SCALE (dangling
-    * leakage). The node count feeding the base rank is computed IN the
-    * plan (a one-row aggregate cross-joined in) — no driver-side count
-    * action, so the whole computation is one lazy plan.
+    * leakage). The node count feeding the base rank is read once off
+    * the persisted node set and folded in as a literal — one tiny count
+    * job against disk blocks the loop reuses anyway, instead of a
+    * broadcast-nested-loop stage per round for a number that never
+    * changes.
     *
     * CACHE CONTRACT: the returned plan reads two DISK_ONLY-persisted
     * invariants (degree-annotated edges, node set) that stay registered
@@ -180,9 +182,11 @@ object PageRank {
 
     // rank' = (15 * (SCALE div N)) div 100  +  (85 * Σ contrib) div 100,
     // contrib = rank div deg. Every div is integer; the oracle repeats
-    // the identical expression text. N rides along as a one-row
-    // aggregate cross-joined where needed (broadcast nested loop of a
-    // single row — free).
+    // the identical expression text. N is read once off the persisted
+    // node set (the count rides disk blocks the loop reuses anyway) and
+    // folded in as a literal: the former per-round one-row crossJoin
+    // cost a broadcast-nested-loop stage every iteration for a number
+    // that never changes.
     //
     // Per-iteration shape: the rank table is one SMALL row per node while
     // `ed` is one row per edge, so the join wants rank on the build side
@@ -191,9 +195,23 @@ object PageRank {
     // Missing destinations get their zero via the union of explicit zero
     // rows instead of a post-hoc left join: one join + one keyed
     // aggregation per round, nothing else.
-    val nn = nodes.agg(count(lit(1)).as("nn"))
-    var rank = nodes.crossJoin(nn)
-      .select(col("node"), expr(s"${Scale}L div nn").as("rank"))
+    //
+    // Each round's rank table is persisted (DISK_ONLY, same rationale
+    // as the invariants): the cache boundary stops Catalyst from
+    // re-analyzing and re-optimizing an iters-deep nested join tree as
+    // one enormous plan — planning cost goes linear in iters instead of
+    // superlinear, which at the 10× fixture was most of the ~11s/round
+    // fixed overhead. The intermediate caches are handed back in the
+    // pinned list, so `withRanks` (and the operator specs) release them
+    // deterministically; the BPE learner's deferred handover
+    // (BpeTrainer.scala) is the same pattern with an eager per-round
+    // action, which PageRank deliberately avoids — the caller's single
+    // action materializes the whole chain bottom-up.
+    val nn = nodes.count()
+    var rank = nodes
+      .select(col("node"), lit(Scale / nn).as("rank"))
+    val base = (15L * (Scale / nn)) / 100L
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
       // `div`, not `/`: long / long in Spark is DOUBLE division, and at
       // rank ~1e12 a double's ulp (~1.2e-4) exceeds 1/deg for large
@@ -204,11 +222,13 @@ object PageRank {
         .union(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("c"))
-        .crossJoin(nn)
         .select(col("dst").as("node"),
-          expr(s"(15 * (${Scale}L div nn)) div 100 + (85 * c) div 100").as("rank"))
+          expr(s"${base}L + (85 * c) div 100").as("rank"))
+        .persist(lvl)
+      rounds += rank
     }
-    (rank.withColumnRenamed("rank", "rank_scaled"), Seq(e, ed, nodes))
+    (rank.withColumnRenamed("rank", "rank_scaled"),
+      Seq(e, ed, nodes) ++ rounds.toSeq)
   }
 
   /** The identical computation as chained SQL CTEs (aggregates are not
