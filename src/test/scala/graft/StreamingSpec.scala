@@ -359,6 +359,73 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream/batch parity: merged stream partials equal SketchProfile.direct") {
+    // the exactly-once evidence the older sinks have: HLL register
+    // merge is associative+commutative, so the union of per-batch
+    // sketches must equal the one-pass sketch over the SAME rows
+    // EXACTLY — any drift means a batch was dropped or double-counted
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_eq").toString
+    val b1 = (1 to 40).map(i => Event(i, ts("2024-01-01 00:01:00"), i % 20, "view", 1.0))
+    val b2 = (41 to 80).map(i => Event(i, ts("2024-01-01 00:02:00"), i % 30,
+      if (i % 2 == 0) "view" else "click", 1.0))
+    val ms = MemoryStream[Event]
+    val raw = ms.toDF().withColumnRenamed("userId", "user_id")
+    val q = StreamOps.sketchPartialSink(raw, s"$tmp/partials", s"$tmp/ckpt",
+      keyCols = Seq("eventType"), cols = Seq("user_id"))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = StreamOps.readSketchProfile(spark, s"$tmp/partials",
+        Seq("eventType"), Seq("user_id")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.SketchProfile.direct(
+        (b1 ++ b2).toDF().withColumnRenamed("userId", "user_id"),
+        Seq("eventType"), Seq("user_id")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("stream/batch parity: accumulated nearDupSink shards equal the batch dedup") {
+    // each increment doc is matched against the static corpus
+    // independently, so the union of per-batch pair shards must equal
+    // Dedup.nearDupsAgainstCorpus over the full increment in one call
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_eq").toString
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and then runs all the way home tonight"),
+      (101L, "spark shuffles partitions and broadcasts the small build side of every join"),
+      (102L, "curation pipelines score documents for quality language and duplication signals daily")
+    ).toDF("doc_id", "text")
+    val inc1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs all the way home today"),
+      (2L, "completely different tokens about databases and storage engines"))
+    val inc2 = Seq(
+      (3L, "spark shuffles partitions and broadcasts the small build side of most every join"),
+      (4L, "curation pipelines score documents for quality language and duplication signals hourly"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupSink(ms.toDF().toDF("doc_id", "text"), corpus,
+      s"$tmp/pairs", s"$tmp/ckpt", "doc_id", "text")
+    try {
+      ms.addData(inc1: _*); q.processAllAvailable()
+      ms.addData(inc2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.nearDupsAgainstCorpus(
+        (inc1 ++ inc2).toDF("doc_id", "text"), corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch.nonEmpty && batch.map(_._1) == Set(1L, 3L, 4L), batch.toString)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("enrichStream attaches static dimension rows without shuffling the stream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
