@@ -61,4 +61,54 @@ object SketchProfile {
       hll_sketch_estimate(hll_sketch_agg(col(c), lit(lgK))).as(s"ndv_$c"))
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ----- quantiles (KLL) ------------------------------------------------
+  // Spark ships mergeable NDV sketches (hll_*) but no mergeable
+  // quantile sketch — percentile_approx's digest cannot be stored or
+  // merged later. The KLL trio (plans/KllExpressions.scala) closes
+  // that: per-shard quantile partials land once, any later percentile
+  // question over any shard slice is an aggregation over ~3 KB rows.
+
+  import org.apache.spark.sql.graft.KllFunctions
+
+  /** Default KLL k: ~1.65% normalized rank error, ~3 KB per sketch. */
+  val DefaultKllK: Int = KllFunctions.DefaultK
+
+  private def kllName(c: String) = s"kll_$c"
+
+  /** One row per (shard, key...) carrying a binary KLL quantile sketch
+    * per profiled numeric column — the quantile companion of
+    * [[partials]]. */
+  def quantilePartials(df: DataFrame, shardCol: Column, keyCols: Seq[String],
+                       cols: Seq[String], k: Int = DefaultKllK): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.map(c =>
+      KllFunctions.kllSketchAgg(col(c).cast("double"), k).as(kllName(c)))
+    df.groupBy((shardCol.as("shard") +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Quantile estimates at `qs` per key from stored partials — merge
+    * any shard subset, never rescan. Output: one array<double> column
+    * `q_<col>` per profiled column, positions matching `qs`. */
+  def mergeQuantiles(partialRows: DataFrame, keyCols: Seq[String],
+                     cols: Seq[String], qs: Seq[Double],
+                     k: Int = DefaultKllK): DataFrame = {
+    val aggs = cols.map(c =>
+      KllFunctions.kllQuantiles(
+        KllFunctions.kllMergeAgg(col(kllName(c)), k), qs).as(s"q_$c"))
+    partialRows.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-pass quantile estimates straight from the data — the
+    * shard-free form and the bound reference for the
+    * partial/merge path. */
+  def directQuantiles(df: DataFrame, keyCols: Seq[String],
+                      cols: Seq[String], qs: Seq[Double],
+                      k: Int = DefaultKllK): DataFrame = {
+    val aggs = cols.map(c =>
+      KllFunctions.kllQuantiles(
+        KllFunctions.kllSketchAgg(col(c).cast("double"), k), qs).as(s"q_$c"))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -800,6 +800,55 @@ object Curation extends QueryModule {
           rankOk("lt50", "le50", 0.5).as("p50_ok"),
           rankOk("lt95", "le95", 0.95).as("p95_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Mergeable-quantile profiling (KLL): the quantile companion of
+    // profile_sketch, exercising the custom kll_sketch_agg /
+    // kll_quantiles aggregates (Spark has no storable quantile sketch
+    // of its own — plans/KllExpressions.scala). Same hash-gate shape:
+    // the oracle-checkable payload is the EXACT p50/p95 per group
+    // (quantile_cont parity, like median_groups); the KLL estimates are
+    // rank-audited in-plan — count rows below each estimate, assert the
+    // observed rank sits within 2x the sketch's published normalized
+    // rank-error bound of the target — and ship as booleans the oracle
+    // emits closed-form. A KLL regression (or a broken merge) flips a
+    // boolean and hash-mismatches.
+    "profile_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.KllFunctions
+      val li = Tables(s, dir, "lineitem")
+      val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
+      val prof = li
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          KllFunctions.kllQuantiles(
+            KllFunctions.kllSketchAgg(col("l_extendedprice").cast("double")),
+            Seq(0.5, 0.95)).as("kq"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("eq"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("kq"), 1).as("t50"),
+          element_at(col("kq"), 2).as("t95"),
+          round(element_at(col("eq"), 1), 6).as("p50_exact"),
+          round(element_at(col("eq"), 2), 6).as("p95_exact"))
+      val ranks = li
+        .join(broadcast(prof.select(col("l_returnflag").as("rf"),
+          col("t50"), col("t95"))),
+          col("l_returnflag") === col("rf"))
+        .groupBy(col("rf"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("t50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("t50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("t95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("l_extendedprice") <= col("t95"), 1L).otherwise(0L)).as("le95"))
+      val tol = ceil(col("n") * lit(2.0 * eps)) + lit(2.0)
+      def rankOk(lt: String, le: String, q: Double) =
+        (col(lt) <= ceil(col("n") * q) + tol) && (col(le) >= floor(col("n") * q) - tol)
+      prof.join(broadcast(ranks), col("l_returnflag") === col("rf"))
+        .select(col("l_returnflag"),
+          col("p50_exact"), col("p95_exact"),
+          rankOk("lt50", "le50", 0.5).as("kll_p50_ok"),
+          rankOk("lt95", "le95", 0.95).as("kll_p95_ok"))
+        .orderBy(col("l_returnflag"))
     }))
 
   /** DuckDB token-array fragment over an arbitrary text expression
@@ -820,6 +869,15 @@ object Curation extends QueryModule {
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_parts,
            TRUE AS ndv_orders_ok, TRUE AS ndv_parts_ok,
            TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // Exact-quantile payload (quantile_cont parity, like median_groups)
+    // plus literal-TRUE rank-bound booleans the Spark side computes for
+    // real against the KLL estimates.
+    "profile_quantiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+           TRUE AS kll_p50_ok, TRUE AS kll_p95_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "funnel_steps" ->
       """WITH a AS (SELECT user_id, ts, event_type,

@@ -78,4 +78,80 @@ class SketchProfileSpec extends SparkSpecBase {
         s"$k: ${merged(k)} vs $n")
     }
   }
+
+  // ----- KLL quantile partials -----------------------------------------
+
+  /** Observed normalized rank error of estimate `v` for target rank `q`
+    * over `sorted` values: distance from q to the [lt, le] rank window
+    * v occupies, in fractions of n. */
+  private def rankError(sorted: Array[Double], v: Double, q: Double): Double = {
+    val n = sorted.length.toDouble
+    val lt = sorted.count(_ < v) / n
+    val le = sorted.count(_ <= v) / n
+    if (q < lt) lt - q else if (q > le) q - le else 0.0
+  }
+
+  test("merged KLL shard partials stay within rank-error bound of exact") {
+    val li = Tables(spark, dir, "lineitem")
+    val keys = Seq("l_returnflag")
+    val cols = Seq("l_extendedprice")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val eps = org.apache.spark.sql.graft.KllFunctions
+      .normalizedRankError(SketchProfile.DefaultKllK)
+    val partials = SketchProfile.quantilePartials(
+      li, pmod(col("l_suppkey"), lit(7)), keys, cols)
+    val merged = SketchProfile.mergeQuantiles(partials, keys, cols, qs)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val direct = SketchProfile.directQuantiles(li, keys, cols, qs)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val byKey = li.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    byKey.foreach { case (k, sorted) =>
+      qs.zipWithIndex.foreach { case (q, i) =>
+        // merge of partials pays the bound twice at most (merge is
+        // error-preserving; 2x is generous headroom, still ~3%)
+        assert(rankError(sorted, merged(k)(i), q) <= 2 * eps,
+          s"$k q=$q merged ${merged(k)(i)}")
+        assert(rankError(sorted, direct(k)(i), q) <= 2 * eps,
+          s"$k q=$q direct ${direct(k)(i)}")
+      }
+    }
+  }
+
+  test("KLL partials round-trip through parquet and answer slice queries") {
+    val li = Tables(spark, dir, "lineitem")
+    val out = Files.createTempDirectory("kll").toString
+    val keys = Seq("l_returnflag")
+    val cols = Seq("l_extendedprice")
+    val eps = org.apache.spark.sql.graft.KllFunctions
+      .normalizedRankError(SketchProfile.DefaultKllK)
+    val day1 = li.filter(col("l_orderkey") % 2 === 0)
+    val day2 = li.filter(col("l_orderkey") % 2 =!= 0)
+    SketchProfile.quantilePartials(day1, lit(1), keys, cols)
+      .write.mode("append").parquet(s"$out/partials")
+    SketchProfile.quantilePartials(day2, lit(2), keys, cols)
+      .write.mode("append").parquet(s"$out/partials")
+    val stored = spark.read.parquet(s"$out/partials")
+    // full roll-up within bound of the full data
+    val merged = SketchProfile.mergeQuantiles(stored, keys, cols, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    val all = li.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    all.foreach { case (k, sorted) =>
+      assert(rankError(sorted, merged(k), 0.5) <= 2 * eps, s"$k full")
+    }
+    // shard-slice roll-up (day 1 only) within bound of day-1 data —
+    // the "any shard combination, no rescan" contract
+    val sliced = SketchProfile.mergeQuantiles(
+      stored.filter(col("shard") === 1), keys, cols, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    val d1 = day1.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    d1.foreach { case (k, sorted) =>
+      assert(rankError(sorted, sliced(k), 0.5) <= 2 * eps, s"$k slice")
+    }
+  }
 }
