@@ -166,6 +166,8 @@ case class KllQuantilesExpr(child: Expression, qs: Array[Double])
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // an EMPTY sketch yields null even when the input bytes are non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_quantiles"
 
   override def nullSafeEval(input: Any): Any = {
