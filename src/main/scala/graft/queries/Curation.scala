@@ -681,11 +681,18 @@ object Curation extends QueryModule {
     // construction: every cluster member shares the cluster hash).
     // Scale shape: the pair/CC machinery is the audited dedup_clusters
     // path; the split itself is one hash projection and the leakage
-    // check two key-joins of the (sparse) pair list.
+    // check two key-joins of the (sparse) pair list. The pair list is
+    // PERSISTED before reuse: it is tiny (near-dups are rare by
+    // construction) but its derivation is the whole candidate
+    // pipeline, and both the CC pass and the crossing check consume
+    // it — un-persisted, Catalyst re-ran the full candidate pass for
+    // the leak check (measured 28.7x at the 30x fixture vs 3x data;
+    // with the persist the pass runs once).
     "split_cluster_safe" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
         maxDocFreq = Dedup.HotShingleCutoff)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
       val keyed = docs.join(labels, col("doc_id") === col("node"), "left")
         .select(col("doc_id"), col("n_chars"),
