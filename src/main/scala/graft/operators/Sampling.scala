@@ -143,4 +143,42 @@ object Sampling {
     }
     df.filter(substring(md5(key.cast("string")), 1, 4) < thr)
   }
+
+  /** Temperature-scaled source mixing — the multi-source corpus-mixing
+    * rule of the T5/mT5 lineage: source s with n_s documents gets
+    * sampling weight n_s^alpha; alpha < 1 flattens the source
+    * distribution, so oversized crawls are downsampled hardest while
+    * small high-value sources keep (nearly) everything. A target corpus
+    * fraction fixes the scale:
+    * rate_s = min(1, target * N * w_s / Σw / n_s), membership is the
+    * key-stable md5 draw — the mixture is fully deterministic and any
+    * engine recomputes it.
+    *
+    * Cross-engine determinism is engineered, not hoped for: w_s is
+    * 6-dp-rounded (pow differs in the last ulp across libms — the bm25
+    * ln precedent), Σw is a PREFIX-SUM FOLD in source order (a plain
+    * aggregate sum's order is engine-chosen), the rate is 6-dp-rounded,
+    * and the membership compare is integer draw < integer
+    * floor(rate × 65536).
+    *
+    * Scale shape: per-source stats are a tiny aggregate (single-row
+    * window over #sources rows — bounded by construction) broadcast
+    * back onto the corpus; membership is a codegen'd scan-level filter.
+    * Returns the kept rows with their columns unchanged. */
+  def temperatureMix(df: DataFrame, key: Column, source: Column,
+                     alpha: Double, targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    val w = counts.withColumn("__w", round(pow(col("__n"), alpha), 6))
+    val fold = Window.orderBy(col("__src")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = w.withColumn("__ps", sum(col("__w")).over(fold))
+      .agg(max(col("__ps")).as("__sumw"), sum(col("__n")).as("__nn"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select(col("__src"), round(least(lit(1.0),
+        lit(targetFraction) * col("__nn") * col("__w") / col("__sumw") / col("__n")), 6)
+        .as("__rate"))
+    val draw = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    df.join(broadcast(rates), source === col("__src"))
+      .filter(draw < floor(col("__rate") * 65536.0).cast("long"))
+      .drop("__src", "__rate")
+  }
 }

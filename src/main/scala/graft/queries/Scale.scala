@@ -105,6 +105,27 @@ object Scale extends QueryModule {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Temperature-scaled source mixing (T5/mT5-style size^alpha
+    // flattening at alpha=0.7, 30% target corpus): per-source rates
+    // derived deterministically (6-dp-rounded pow, prefix-sum fold in
+    // source order, integer thresholds), membership by the key-stable
+    // md5 draw. Output is the per-source mixing report the pipeline
+    // owner signs off on; DuckDB recomputes rates AND membership
+    // digit-for-digit.
+    "mix_temperature" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val kept = Sampling.temperatureMix(docs, col("doc_id"), col("source"),
+        alpha = 0.7, targetFraction = 0.3)
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_sampled")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+          round(coalesce(col("n_sampled"), lit(0L)) / col("n_docs"), 6)
+            .as("achieved_rate"))
+        .orderBy(col("source"))
+    }),
+
     // Bucketed-table join: both sides written bucketed+sorted by the
     // join key, then merge-joined with no exchange (the write paid the
     // shuffle once; ScaleLayoutSpec pins the exchange-free plan). The
@@ -350,6 +371,27 @@ object Scale extends QueryModule {
       s"""SELECT doc_id, lang, n_chars FROM documents
          WHERE ${md5DrawSql("doc_id")} < least(1.0, 0.001 * n_chars) * 65536.0
          ORDER BY doc_id""",
+    // rates recomputed with the identical op order: 6-dp pow, ordered
+    // prefix-sum fold for the weight total, 6-dp rate, integer threshold
+    "mix_temperature" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1),
+          w AS (SELECT source, n, round(pow(n, 0.7), 6) AS w FROM c),
+          t AS (SELECT max(ps) AS sumw, max(nn) AS nn FROM
+                 (SELECT sum(w) OVER (ORDER BY source) AS ps,
+                         sum(n) OVER (ORDER BY source) AS nn FROM w)),
+          r AS (SELECT source, n,
+                  round(least(1.0, 0.3 * nn * w / sumw / n), 6) AS rate
+                FROM w CROSS JOIN t),
+          k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+                FROM documents d JOIN r ON d.source = r.source
+                WHERE ${md5DrawSql("d.doc_id")} < CAST(floor(rate * 65536.0) AS BIGINT)
+                GROUP BY 1)
+          SELECT r.source, r.n AS n_docs,
+                 CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+                 round(coalesce(k.n_sampled, 0) * 1.0 / r.n, 6) AS achieved_rate
+          FROM r LEFT JOIN k ON r.source = k.source
+          ORDER BY r.source""",
     "layout_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS revenue

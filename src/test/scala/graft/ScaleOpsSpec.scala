@@ -59,6 +59,36 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(math.abs(byW(400L) - 4000.0) < 300, s"w=400 kept ${byW(400L)}")
   }
 
+  test("temperatureMix flattens the source distribution toward the target") {
+    // 10k docs from a big source, 1k from a small one: at alpha=0.7 the
+    // big source's rate must be strictly lower, the small one's
+    // strictly higher, than the uniform 30% target — the whole point of
+    // temperature mixing — and membership must be key-stable
+    val df = ((1L to 10000L).map(i => (i, "big")) ++
+      (20001L to 21000L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, $"id", $"src",
+      alpha = 0.7, targetFraction = 0.3)
+    val again = Sampling.temperatureMix(df, $"id", $"src",
+      alpha = 0.7, targetFraction = 0.3).select("id").as[Long].collect().toSet
+    assert(kept.select("id").as[Long].collect().toSet == again, "not deterministic")
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBig = bySrc("big") / 10000.0
+    val rateSmall = bySrc("small") / 1000.0
+    assert(rateBig < 0.3 && rateSmall > 0.3,
+      s"big=$rateBig small=$rateSmall: alpha should flatten around the target")
+    // the mixture still lands near the 30% total (md5 draw is uniform)
+    val total = bySrc.values.sum.toDouble / 11000.0
+    assert(math.abs(total - 0.3) < 0.03, s"total rate $total")
+    // alpha=1 is proportional sampling: every source gets the target rate
+    val prop = Sampling.temperatureMix(df, $"id", $"src",
+      alpha = 1.0, targetFraction = 0.3)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prop("big") / 10000.0 - 0.3) < 0.03)
+    assert(math.abs(prop("small") / 1000.0 - 0.3) < 0.05)
+  }
+
   test("zorder interleave2 matches hand-computed Morton codes") {
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L), (65535L, 65535L))
       .toDF("x", "y")
