@@ -340,4 +340,60 @@ object Dedup {
         round(frac, 6).as("overlap_frac"),
         (frac >= flagAt).as("contaminated"))
   }
+
+  /** EXACT cross-document substring overlap (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * notion): for every document pair sharing at least one exact run of
+    * `n` consecutive tokens, the total shared-window count and the
+    * LONGEST exact shared token run. Near-dup metrics (Jaccard,
+    * MinHash) measure set overlap and miss the long-verbatim-quote
+    * case this catches: a 60-token lift inside two otherwise-different
+    * documents.
+    *
+    * Mechanics: every position's n-token window (ALL windows, in
+    * order — WordNgramsExpr) becomes one (doc, pos, window) row;
+    * posting lists group the inverted index by window value exactly
+    * like [[nearDupPairsExact]] (one shuffle, pairs explode i<j from
+    * the sorted list, `maxDocFreq` caps boilerplate windows before the
+    * quadratic step). Shared windows at positions (pi, pj) belong to
+    * the same RUN iff consecutive on a diagonal (pj - pi constant,
+    * pi consecutive) — the classic gaps-and-islands grouping
+    * (pi - row_number is constant within an island), so the longest
+    * run falls out of one window function over the (sparse) shared-
+    * window rows. max_run_tokens = longest island + n - 1.
+    *
+    * Scale shape: corpus-linear explode, one window-keyed shuffle with
+    * the df cap, and all post-pair work is on shared-window rows —
+    * output-sized, not corpus-sized. */
+  def substringOverlap(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, maxDocFreq: Long = 64L): DataFrame = {
+    val wins = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(NativeExpressions.wordNgrams(col("toks"), n)).as(Seq("pos", "w")))
+    val shared = wins
+      .groupBy(col("w"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocFreq)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, k) ->
+             transform(filter(slice(ds, k + 2, size(ds)), y -> y.doc_id != x.doc_id),
+               y -> struct(x.doc_id AS i, y.doc_id AS j,
+                           x.pos AS pi, y.pos AS pj))))""")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.pi").as("pi"), col("p.pj").as("pj"))
+    // islands: within (i, j, diagonal), consecutive pi values form one
+    // exact run; pi - row_number is the island key
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i"), col("j"), col("pj") - col("pi"))
+      .orderBy(col("pi"))
+    shared
+      .withColumn("grp", col("pi") - row_number().over(byDiag))
+      .groupBy(col("i"), col("j"), (col("pj") - col("pi")).as("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("run")).cast("long").as("n_shared_windows"),
+        (max(col("run")) + lit(n - 1)).cast("long").as("max_run_tokens"))
+  }
 }

@@ -106,6 +106,16 @@ object Pipeline extends QueryModule {
           maxDocFreq = Dedup.HotShingleCutoff)
         .orderBy(col("i"), col("j"))),
 
+    // Exact cross-document substring overlap (Lee et al. 2022): longest
+    // shared run of >= 8 consecutive tokens per document pair — catches
+    // the long-verbatim-quote case set-overlap metrics miss. Posting
+    // lists on the 8-token window (one shuffle, boilerplate df cap),
+    // gaps-and-islands over the sparse shared-window rows for the run
+    // lengths.
+    "substring_overlap" -> ((s, dir) =>
+      Dedup.substringOverlap(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("i"), col("j"))),
+
     // MinHash-LSH candidates + exact rerank: same answer as dedup_near
     // (banded LSH at k=128/r=8 has ~1-3e-11 miss probability at the
     // J>=0.97 separation this corpus has), found without the full
@@ -761,6 +771,27 @@ object Pipeline extends QueryModule {
                FROM all_docs)
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     "dedup_near" -> (nearPairsSql + " ORDER BY i, j"),
+    "substring_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          e AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM t WHERE len(toks) >= 8),
+          ww AS (SELECT doc_id, i - 1 AS pos,
+                        array_to_string(toks[i:i+7], ' ') AS w FROM e),
+          ok AS (SELECT w FROM ww GROUP BY w
+                 HAVING count(*) >= 2 AND count(*) <= 64),
+          pr AS (SELECT a.doc_id i, b.doc_id j, a.pos pi, b.pos pj
+                 FROM ww a JOIN ww b ON a.w = b.w AND a.doc_id < b.doc_id
+                 WHERE a.w IN (SELECT w FROM ok)),
+          isl AS (SELECT i, j, pj - pi AS diag, pi,
+                         pi - row_number() OVER (PARTITION BY i, j, pj - pi
+                                                 ORDER BY pi) AS grp
+                  FROM pr),
+          runs AS (SELECT i, j, diag, grp, count(*) AS run
+                   FROM isl GROUP BY 1, 2, 3, 4)
+          SELECT i, j, CAST(sum(run) AS BIGINT) AS n_shared_windows,
+                 CAST(max(run) + 7 AS BIGINT) AS max_run_tokens
+          FROM runs GROUP BY 1, 2 ORDER BY i, j""",
     "dedup_minhash" -> (nearPairsSql + " ORDER BY i, j"),
     // dedup_simhash: the oracle rebuilds the ENTIRE simhash pipeline —
     // md5-derived 64-bit shingle hashes (hex fold in HUGEINT), per-bit

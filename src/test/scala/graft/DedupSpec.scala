@@ -100,4 +100,23 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(1L)._1 > 0 && rows(1L)._2, "overlapping doc must be flagged")
     assert(rows(3L)._1 == 0 && !rows(3L)._2, "clean doc must not be flagged")
   }
+
+  test("substringOverlap reports the longest exact shared token run") {
+    val docs = Seq(
+      // 1 and 2 share the 10-token run "a..j": 3 consecutive 8-windows
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "x y a b c d e f g h i j z"),
+      // unrelated
+      (3L, "p q r s t u v w"),
+      // 4 and 5 share TWO disjoint 8-token runs: islands must not merge
+      (4L, "a1 b1 c1 d1 e1 f1 g1 h1 qq k1 l1 m1 n1 o1 p1 q1 r1"),
+      (5L, "a1 b1 c1 d1 e1 f1 g1 h1 zz k1 l1 m1 n1 o1 p1 q1 r1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringOverlap(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_shared_windows"), r.getAs[Long]("max_run_tokens"))).toMap
+    assert(got.keySet == Set((1L, 2L), (4L, 5L)), got.toString)
+    assert(got((1L, 2L)) == (3L, 10L), s"1-2: ${got((1L, 2L))}")
+    assert(got((4L, 5L)) == (2L, 8L), s"4-5: ${got((4L, 5L))}")
+  }
 }
