@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.{Graft, Tables}
 import graft.operators.Display
-import graft.sources.{CsvSource, ExcelSource, JsonSource, ParquetSource, SqlSource}
+import graft.sources.{AvroSource, CsvSource, ExcelSource, JsonSource, ParquetSource, SqlSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,18 @@ object IoQueries extends QueryModule {
       val out = tmpDir("orc")
       ParquetSource.saveOrc(src, out)
       ParquetSource.loadOrc(s, out).orderBy(col("r_regionkey"))
+    }),
+
+    // Avro container-file round trip over the dependency-free
+    // graft-avro source/DSv2 connector (spark-avro is absent here):
+    // orders exercises longs, strings, doubles AND the
+    // timestamp-micros logical type; written one file per partition on
+    // the executors, read back through the V2 scan.
+    "io_avro_roundtrip" -> ((s, dir) => {
+      val src = Tables(s, dir, "orders")
+      val out = tmpDir("avro")
+      AvroSource.write(src, out)
+      AvroSource.read(s, out).orderBy(col("o_orderkey"))
     }),
 
     // §2.10 to_excel + §2.9 read_excel, read back through the
@@ -240,6 +252,7 @@ object IoQueries extends QueryModule {
     "io_json_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_parquet_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "io_orc_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "io_avro_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "io_text_roundtrip" -> "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "io_evolve_read" ->
       """SELECT * FROM (

@@ -99,6 +99,40 @@ class IoSpec extends SparkSpecBase {
     assert(Display.dfEqual(ParquetSource.loadOrc(spark, dir), abc))
   }
 
+  test("avro write -> read round-trips arrays, nulls and ints exactly") {
+    import graft.sources.AvroSource
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmp("avro") + "/emb"
+    AvroSource.write(emb, dir)
+    val back = AvroSource.read(spark, dir)
+    // multiset equality on (id, exact float array, label)
+    assert(back.count() == emb.count())
+    assert(Display.dfEqual(back.orderBy("vec_id"), emb.orderBy("vec_id")))
+    // null round-trip: a frame with a null string and a null array cell
+    val withNulls = Seq(
+      (1L, Option("x"), Option(Seq(1.0f, 2.0f))),
+      (2L, None: Option[String], None: Option[Seq[Float]])
+    ).toDF("id", "s", "v")
+    val d2 = tmp("avro") + "/nulls"
+    AvroSource.write(withNulls, d2)
+    val b2 = AvroSource.read(spark, d2).orderBy("id").collect()
+    assert(b2(1).isNullAt(1) && b2(1).isNullAt(2))
+    assert(b2(0).getSeq[Float](2) == Seq(1.0f, 2.0f))
+  }
+
+  test("avro V2 scan prunes to the required columns") {
+    import graft.sources.AvroSource
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmp("avro") + "/prune"
+    AvroSource.write(emb, dir)
+    val pruned = AvroSource.read(spark, dir).select("vec_id")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.toSeq == Seq("vec_id"),
+      s"scan should read only vec_id: ${scan.schema}")
+    assert(pruned.count() == emb.count())
+  }
+
   // --- Excel (read.rs test_read_excel :310-328, write.rs :197-214) ----------
 
   test("to_excel -> read_excel round-trips types and values") {
