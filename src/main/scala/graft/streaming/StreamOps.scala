@@ -286,6 +286,33 @@ object StreamOps {
       }
       .start()
 
+  /** Quantile companion of [[sketchPartialSink]]: per-micro-batch KLL
+    * quantile sketch partials (operators.SketchProfile.quantilePartials)
+    * land as batchId-keyed parquet shards; any later percentile
+    * question over any batch slice is `SketchProfile.mergeQuantiles`
+    * over ~3 KB sketch rows — never a rescan of stream history. Same
+    * idempotence contract: a replayed batch overwrites its own shard. */
+  def quantilePartialSink(events: DataFrame, outDir: String,
+                          checkpointDir: String, keyCols: Seq[String],
+                          cols: Seq[String]) =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchProfile
+          .quantilePartials(batch, lit(batchId), keyCols, cols)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** Quantile estimates at `qs` per key over every batch
+    * `quantilePartialSink` has landed so far. */
+  def readQuantileProfile(spark: SparkSession, outDir: String,
+                          keyCols: Seq[String], cols: Seq[String],
+                          qs: Seq[Double]): DataFrame =
+    graft.operators.SketchProfile.mergeQuantiles(
+      spark.read.parquet(outDir), keyCols, cols, qs)
+
   /** Live ingest dedup: every micro-batch of incoming documents is
     * MinHash-LSH matched AGAINST THE STATIC CORPUS (cost scales with
     * the increment, never corpus x corpus — the batch

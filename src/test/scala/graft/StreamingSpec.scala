@@ -390,6 +390,35 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream/batch parity: merged quantile partials stay within KLL bound") {
+    // KLL merge preserves the rank-error guarantee, so the streamed
+    // partials must answer percentile questions within 2x the published
+    // bound of the exact value over the SAME rows
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_eq").toString
+    val b1 = (1 to 500).map(i => Event(i, ts("2024-01-01 00:01:00"), i % 20, "view", i * 1.0))
+    val b2 = (501 to 1000).map(i => Event(i, ts("2024-01-01 00:02:00"), i % 20, "view", i * 1.0))
+    val ms = MemoryStream[Event]
+    val q = StreamOps.quantilePartialSink(ms.toDF(), s"$tmp/partials", s"$tmp/ckpt",
+      keyCols = Seq("eventType"), cols = Seq("value"))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val got = StreamOps.readQuantileProfile(spark, s"$tmp/partials",
+        Seq("eventType"), Seq("value"), Seq(0.5)).collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+      val eps = org.apache.spark.sql.graft.KllFunctions
+        .normalizedRankError(graft.operators.SketchProfile.DefaultKllK)
+      // values are 1..1000: a 2x-bound p50 estimate sits within
+      // 2 * eps * 1000 ranks of 500
+      assert(math.abs(got("view") - 500.0) <= 2 * eps * 1000 + 1,
+        s"p50 ${got("view")}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("stream/batch parity: accumulated nearDupSink shards equal the batch dedup") {
     // each increment doc is matched against the static corpus
     // independently, so the union of per-batch pair shards must equal
