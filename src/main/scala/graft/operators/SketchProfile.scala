@@ -111,4 +111,33 @@ object SketchProfile {
         KllFunctions.kllSketchAgg(col(c).cast("double"), k), qs).as(s"q_$c"))
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ----- set overlap (theta) --------------------------------------------
+  // HLL answers "how many distinct per segment"; theta sketches also
+  // answer "how many distinct in BOTH segments" from the per-segment
+  // sketches alone (KMV retention supports intersection) — audience
+  // overlap, cross-shard contamination, feature co-occurrence. Sketch
+  // bytes are a pure function of the item SET (order- and
+  // partitioning-insensitive, fixed seed), exact below the nominal
+  // entry count.
+
+  import org.apache.spark.sql.graft.ThetaFunctions
+
+  /** Pairwise distinct-overlap estimates between segments: one theta
+    * sketch per `segCol` value over `idCol`, then estimates for every
+    * segment pair (a < b) — |A|, |B| and the |A ∩ B| HLL cannot give.
+    * The per-segment sketch table is tiny (one row per segment), so the
+    * pair stage is a broadcast self-join regardless of corpus size. */
+  def overlapMatrix(df: DataFrame, segCol: String, idCol: String,
+                    nominal: Int = ThetaFunctions.DefaultNominal): DataFrame = {
+    val sk = df.groupBy(col(segCol).as("seg"))
+      .agg(ThetaFunctions.thetaSketchAgg(col(idCol), nominal).as("sk"))
+    sk.as("a")
+      .join(broadcast(sk.as("b")), col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        ThetaFunctions.thetaEstimate(col("a.sk")).as("ndv_a"),
+        ThetaFunctions.thetaEstimate(col("b.sk")).as("ndv_b"),
+        ThetaFunctions.thetaIntersectEstimate(col("a.sk"), col("b.sk"))
+          .as("ndv_both"))
+  }
 }

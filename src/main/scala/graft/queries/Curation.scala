@@ -867,6 +867,33 @@ object Curation extends QueryModule {
           rankOk("lt50", "le50", 0.5).as("kll_p50_ok"),
           rankOk("lt95", "le95", 0.95).as("kll_p95_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Distinct-set OVERLAP between segments via theta sketches — the
+    // profiling question HLL cannot answer from sketches alone ("how
+    // many users did BOTH event types"). Exact intersection NDVs are
+    // the oracle-checkable payload (one distinct + self-join, the same
+    // plan DuckDB runs); the theta estimates ride as within-5%-bound
+    // booleans (theta at nominal 4096 is exact below 4096 distincts and
+    // ~1.6% RSE above — 5% is > 3 sigma). A sketch or intersection
+    // regression flips a boolean and hash-mismatches.
+    "profile_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ThetaFunctions
+      val d = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val exact = d.as("a")
+        .join(d.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).cast("long").as("n_users_both"))
+      val est = graft.operators.SketchProfile.overlapMatrix(d, "event_type", "user_id")
+        .select(col("seg_a").as("type_a"), col("seg_b").as("type_b"),
+          col("ndv_both"))
+      exact.join(broadcast(est), Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_users_both"),
+          (abs(col("ndv_both") - col("n_users_both")) <=
+            col("n_users_both") * lit(0.05) + lit(1.0)).as("theta_ok"))
+        .orderBy(col("type_a"), col("type_b"))
     }))
 
   /** DuckDB token-array fragment over an arbitrary text expression
@@ -888,6 +915,17 @@ object Curation extends QueryModule {
            TRUE AS ndv_orders_ok, TRUE AS ndv_parts_ok,
            TRUE AS p50_ok, TRUE AS p95_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // Exact distinct-intersection payload; the theta-within-bound
+    // boolean is literal TRUE here and computed for real on the Spark
+    // side.
+    "profile_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS n_users_both,
+                TRUE AS theta_ok
+         FROM d a JOIN d b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // Exact-quantile payload (quantile_cont parity, like median_groups)
     // plus literal-TRUE rank-bound booleans the Spark side computes for
     // real against the KLL estimates.
