@@ -134,6 +134,111 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Prefix-filtered EXACT n-gram Jaccard near-dup pairs (All-Pairs /
+    * PPJoin family, Bayardo et al. WWW'07; Xiao et al. WWW'08): index
+    * only each document's PREFIX — its `|x| - ceil(t*|x|) + 1`
+    * globally-rarest shingles — instead of every shingle, then verify
+    * candidates with the exact set intersection. LOSSLESS at the
+    * threshold: sort every shingle set by one global total order
+    * (doc-frequency ascending, shingle text as tiebreak); if
+    * J(A,B) >= t then |A inter B| >= t*|A| and >= t*|B|, and at most
+    * `ceil(t*|x|) - 1` shared shingles fit outside either prefix — so
+    * the globally-smallest shared shingle sits in BOTH prefixes and the
+    * prefix-prefix equi-join generates every qualifying pair.
+    *
+    * Scale shape vs `nearDupPairsExact`: pair explosion runs on prefix
+    * posting lists only — at t=0.8 each doc contributes ~20% of its
+    * shingles, and because the global order is rarest-first those are
+    * the LOW-df shingles, so posting lists in the pair stage are short
+    * by construction (quadratic work collapses ~25x at t=0.8). The
+    * price is two extra linear shuffles (df attach + per-doc sort) and
+    * a candidate->shingle-set verify join, all linear in corpus size —
+    * the trade that wins whenever pair mass dominates, i.e. at scale.
+    * Docs whose prefix length is <= 0 cannot reach the threshold
+    * (c <= n_cold < t*|A| bounds jac below t) and drop out early. */
+  def nearDupPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxDocFreq: Long = 0L): DataFrame = {
+    val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
+    val exploded = d.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    // One shuffle builds the posting list AND the doc frequency; the
+    // hot-shingle cutoff drops boilerplate lists here exactly as in
+    // nearDupPairsExact (denominators below stay the FULL nsh, so
+    // results are bit-identical to the uncut oracle at any df profile
+    // below the cutoff).
+    val withDf = exploded.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
+      .filter(if (maxDocFreq > 0) size(col("ds")) <= maxDocFreq else lit(true))
+      .select(col("s"), size(col("ds")).as("df"), explode(col("ds")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.nsh").as("nsh"),
+        col("df"), col("s"))
+    // Per-doc shingles sorted rarest-first: struct (df, s) sorts by df
+    // then text — one deterministic global order shared by every doc.
+    // `ss` (the ordered shingle array) is reused by the verify stage;
+    // `plen` is the All-Pairs prefix bound against the FULL shingle
+    // count (hot shingles removed from ss can only shrink the true
+    // cold overlap, never grow it past the bound).
+    val byDoc = withDf.groupBy(col("doc_id"), col("nsh"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sorted"))
+      .select(col("doc_id"), col("nsh"),
+        expr("transform(sorted, x -> x.s)").as("ss"),
+        (size(col("sorted")) - ceil(col("nsh") * lit(threshold)).cast("int")
+          + 1).as("plen"))
+      // corpus-sized (one row per doc, carrying its shingle array) and
+      // consumed three times (prefix index + both verify joins):
+      // DISK_ONLY materializes the two shuffles once without competing
+      // with the pair stage for executor memory (split_cluster_safe
+      // precedent — un-persisted, Catalyst re-derives the whole chain
+      // per consumer).
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Candidate pairs from PREFIX posting lists only (same sorted-list
+    // pair explosion as nearDupPairsExact, but over ~t-fraction of the
+    // index mass and rare keys). A pair colliding on several prefix
+    // shingles dedupes in the groupBy.
+    val pref = byDoc.filter(col("plen") > 0)
+      .select(col("doc_id"), col("nsh"),
+        explode_outer(expr("slice(ss, 1, plen)")).as("s"))
+      .filter(col("s").isNotNull)
+    val cands = pref.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode_outer(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)), y ->
+               struct(x.doc_id AS i, y.doc_id AS j, x.nsh AS na, y.nsh AS nb))))"""))
+        .as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("hits"))
+    // Exact verify: candidates re-join their full (cold) shingle arrays
+    // — two keyed joins against the persisted byDoc, linear in the
+    // candidate count, which the prefix filter has already collapsed.
+    cands
+      .join(byDoc.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
+      .join(byDoc.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** Prefix-index size diagnostic for `nearDupPairsPrefix`: rows =
+    * (full_index_entries, prefix_index_entries) — the measured
+    * candidate-mass reduction the prefix bound buys at a threshold. */
+  private[graft] def prefixIndexSizes(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): (Long, Long) = {
+    val d = shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), size(col("sh")).as("nsh"))
+    val agg = d.agg(
+      sum(col("nsh")),
+      sum(greatest(col("nsh") - ceil(col("nsh") * lit(threshold)).cast("int")
+        + 1, lit(0)))).head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
   /** MinHash + banded-LSH near-duplicate pairs with an exact Jaccard
     * rerank. Candidate pairs come from colliding in >= 1 of k/r bands
     * (P = 1-(1-J^r)^(k/r); k=64, r=4 gives ~0.999 recall at J=0.8 and

@@ -894,6 +894,29 @@ object Curation extends QueryModule {
           (abs(col("ndv_both") - col("n_users_both")) <=
             col("n_users_both") * lit(0.05) + lit(1.0)).as("theta_ok"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Heavy hitters via a frequent-items sketch (Misra-Gries family,
+    // plans/FreqExpressions.scala): the top-k tokens of the corpus from
+    // ONE fixed-size mergeable buffer per partition — the sum() shuffle
+    // shape — where the exact answer shuffles every distinct token. The
+    // exact top-20 is the oracle-checkable payload; the sketch estimate
+    // rides as a within-hard-bound boolean (|est - true| <=
+    // getMaximumError is GUARANTEED by the sketch, not probabilistic,
+    // so the gate cannot flap on partitioning or merge order).
+    "heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.FreqFunctions
+      val toks = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20)
+      val sk = toks.agg(FreqFunctions.freqSketchAgg(col("tok")).as("sk"))
+      top.crossJoin(broadcast(sk))
+        .select(col("tok"), col("cnt"),
+          (abs(FreqFunctions.freqEstimate(col("sk"), col("tok")) - col("cnt"))
+            <= FreqFunctions.freqMaxError(col("sk"))).as("freq_ok"))
+        .orderBy(col("cnt").desc, col("tok"))
     }))
 
   /** DuckDB token-array fragment over an arbitrary text expression
@@ -935,6 +958,14 @@ object Curation extends QueryModule {
            round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
            TRUE AS kll_p50_ok, TRUE AS kll_p95_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // Exact top-20 token payload; the sketch-within-hard-bound boolean
+    // is literal TRUE here and computed for real on the Spark side.
+    "heavy_hitters" ->
+      s"""WITH t AS (SELECT ${toksOf("text")} toks FROM documents),
+            tok AS (SELECT unnest(toks) tok FROM t)
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt, TRUE AS freq_ok
+          FROM tok GROUP BY 1
+          ORDER BY cnt DESC, tok LIMIT 20""",
     "funnel_steps" ->
       """WITH a AS (SELECT user_id, ts, event_type,
                       min(CASE WHEN event_type = 'signup' THEN ts END)

@@ -26,7 +26,7 @@ object Pipeline extends QueryModule {
   /** SQL for the exact 3-gram Jaccard pair list (shared by the near-dup
     * oracles incl. Curation's cluster CTE; mirrors
     * Dedup.nearDupPairsExact at threshold 0.5). */
-  private[queries] val nearPairsSql =
+  private[queries] def nearPairsSqlAt(threshold: Double): String =
     s"""WITH t AS (
           SELECT doc_id, $toksSql toks FROM documents
         ), sh AS (
@@ -46,7 +46,9 @@ object Pipeline extends QueryModule {
         FROM pairs
         JOIN sizes na ON na.doc_id = pairs.i
         JOIN sizes nb ON nb.doc_id = pairs.j
-        WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5"""
+        WHERE c::DOUBLE / (na.n + nb.n - c) >= $threshold"""
+
+  private[queries] val nearPairsSql = nearPairsSqlAt(0.5)
 
   /** SQL mirror of TextFunctions.langId: argmax of marker-word hits with
     * the fixed priority-order tiebreak, 'und' when nothing hits. */
@@ -104,6 +106,18 @@ object Pipeline extends QueryModule {
     "dedup_near" -> ((s, dir) =>
       Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
           maxDocFreq = Dedup.HotShingleCutoff)
+        .orderBy(col("i"), col("j"))),
+
+    // Prefix-filtered exact near-dup (All-Pairs/PPJoin): index each
+    // doc's rarest ~20% of shingles only (the t=0.8 prefix bound),
+    // generate candidates from those short rare-key posting lists,
+    // verify with the exact intersection. Lossless at the threshold, so
+    // the oracle is the plain uncut Jaccard — and the pair-explosion
+    // stage touches a fraction of the index mass the full inverted-
+    // index join pays at 100 TB.
+    "dedup_prefix" -> ((s, dir) =>
+      Dedup.nearDupPairsPrefix(Tables(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, maxDocFreq = Dedup.HotShingleCutoff)
         .orderBy(col("i"), col("j"))),
 
     // Exact cross-document substring overlap (Lee et al. 2022): longest
@@ -771,6 +785,8 @@ object Pipeline extends QueryModule {
                FROM all_docs)
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     "dedup_near" -> (nearPairsSql + " ORDER BY i, j"),
+    // same exact-Jaccard answer at t=0.8 — the prefix filter is lossless
+    "dedup_prefix" -> (nearPairsSqlAt(0.8) + " ORDER BY i, j"),
     "substring_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
           e AS (SELECT doc_id, toks,

@@ -51,6 +51,23 @@ class DedupSpec extends SparkSpecBase {
     assert(sh.subsetOf(exact))
   }
 
+  test("prefix-filtered pairs equal the exact pairs (lossless at the threshold)") {
+    for (t <- Seq(0.5, 0.8)) {
+      val exact = Dedup.nearDupPairsExact(corpus, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pfx = Dedup.nearDupPairsPrefix(corpus, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pfx == exact, s"threshold $t")
+    }
+  }
+
+  test("prefix index carries a fraction of the full index mass") {
+    val (full, pfx) = Dedup.prefixIndexSizes(corpus, "doc_id", "text", 3, 0.8)
+    // t=0.8 prefix bound: |x| - ceil(0.8|x|) + 1 ≈ 20% of |x| + 1
+    assert(pfx < full / 2, s"prefix=$pfx full=$full")
+    assert(pfx > 0)
+  }
+
   test("maxDocFreq cutoff drops hot shingles but keeps true near-dups") {
     val pairs = Dedup.nearDupPairsExact(corpus, "doc_id", "text", maxDocFreq = 3L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
