@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.MultimodalFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{AsofJoin, Dedup, SimilaritySearch}
+import graft.operators.{AsofJoin, Dedup, Pca, SimilaritySearch}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries over `documents` / `embeddings` / `events`:
@@ -307,6 +307,32 @@ object Pipeline extends QueryModule {
           min(col("vec_id")).as("min_vec"))
         .orderBy(col("cluster_id"))),
 
+    // Distributed PCA over the embedding corpus: the data pass is ONE
+    // mergeable moment aggregation (X^T X + means + count in a single
+    // fixed-size buffer, plans/GramianExpressions.scala), then a
+    // driver-side 64x64 Jacobi eigensolve (operators/Pca.scala — the
+    // model, not the data, crosses the driver boundary). Payload: the
+    // exact population covariance matrix, which DuckDB recomputes with
+    // covar_pop; the eigensolve gates through `eig_ok` — max |Cv - λv|
+    // residual, orthonormality defect, and the trace identity, all
+    // checked on the fitted model and emitted as one deterministic
+    // boolean the oracle states closed-form.
+    "embed_pca" -> ((s, dir) => {
+      import s.implicits._
+      val d = 64
+      val model = Pca.fit(Tables(s, dir, "embeddings"), "embedding", d)
+      val (resid, ortho, traceDef) = Pca.solverDefects(model, 4)
+      val scale = math.max(model.eigenvalues.head, 1e-12)
+      val ok = resid <= 1e-9 * scale && ortho <= 1e-10 &&
+        traceDef <= 1e-9 * scale * d
+      val rows = for (i <- 0 until d; j <- i until d)
+        yield (i + 1, j + 1, model.cov(i)(j))
+      rows.toDF("i", "j", "cov")
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"),
+          lit(ok).as("eig_ok"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Symmetric int8 quantization per embedding (max-abs scaling) with
     // the reconstruction RMSE — the compression step before shipping a
     // 100 TB embedding corpus to an ANN index (4x smaller, error
@@ -347,6 +373,40 @@ object Pipeline extends QueryModule {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("c") / col("t"))), 6).as("avg_logp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    // Chen & Goodman 1999) — the smoothing real n-gram LMs ship with,
+    // built entirely from exact distributed counts: absolute discount
+    // D=0.75 off every bigram count, mass redistributed via the
+    // CONTINUATION probability (how many distinct contexts a word
+    // follows, not how often it occurs — the "San Francisco" fix).
+    // Every aggregate is a keyed partial-agg shuffle over the bigram /
+    // prefix / suffix key; the type total rides as a broadcast scalar.
+    // Payload: the top-30 bigrams by count with their exact P_KN.
+    "kneser_ney" -> ((s, dir) => {
+      val D = 0.75
+      val cnt = Tables(s, dir, "documents")
+        .select(explode(org.apache.spark.sql.graft.NativeExpressions
+          .wordNgrams(tokens(col("text")), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .select(col("bg"), col("c"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+      // c(w1 •) and N1+(w1 •): one aggregation over the type table,
+      // keyed on the prefix; N1+(• w2) keyed on the suffix; N1+(• •)
+      // is a single scalar.
+      val pre = cnt.groupBy(col("w1"))
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("nfwd"))
+      val suf = cnt.groupBy(col("w2")).agg(count(lit(1)).as("nrev"))
+      val types = cnt.agg(count(lit(1)).cast("double").as("tt"))
+      cnt.join(pre, "w1").join(suf, "w2").crossJoin(broadcast(types))
+        .select(col("bg"), col("c"),
+          round(greatest(col("c") - lit(D), lit(0.0)) / col("c1") +
+            (lit(D) * col("nfwd") / col("c1")) * (col("nrev") / col("tt")), 6)
+            .as("p_kn"))
+        .orderBy(col("c").desc, col("bg"))
+        .limit(30)
     }),
 
     // Passage-level exact dedup: verbatim 10-token chunks appearing in
@@ -1236,6 +1296,17 @@ object Pipeline extends QueryModule {
          SELECT cent_id AS cluster_id, count(*) AS n_vecs,
            round(avg(ccos), 6) AS avg_cos, min(vec_id) AS min_vec
          FROM assigned GROUP BY 1 ORDER BY 1""",
+    // Exact covariance payload recomputed with covar_pop; the
+    // eigensolve's residual/orthonormality/trace checks are computed
+    // for real Spark-side and stated closed-form here.
+    "embed_pca" ->
+      """WITH idx AS (SELECT CAST(i AS INT) i FROM generate_series(1, 64) g(i)),
+          p AS (SELECT a.i i, b.i j FROM idx a JOIN idx b ON a.i <= b.i)
+          SELECT p.i AS i, p.j AS j,
+            round(covar_pop(embedding[p.i], embedding[p.j]), 6) AS cov,
+            TRUE AS eig_ok
+          FROM embeddings CROSS JOIN p
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
           bg AS (SELECT doc_id,
@@ -1248,6 +1319,22 @@ object Pipeline extends QueryModule {
             round(avg(ln(c / t)), 6) AS avg_logp
           FROM bg JOIN cnt USING (bg) CROSS JOIN tot
           GROUP BY 1 ORDER BY 1""",
+    "kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          bg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                                for i in generate_series(1, len(toks) - 1)]) bg
+                 FROM t WHERE len(toks) >= 2),
+          cnt AS (SELECT bg, count(*) c,
+                    split_part(bg, ' ', 1) w1, split_part(bg, ' ', -1) w2
+                  FROM bg GROUP BY 1),
+          pre AS (SELECT w1, sum(c) c1, count(*) nfwd FROM cnt GROUP BY 1),
+          suf AS (SELECT w2, count(*) nrev FROM cnt GROUP BY 1),
+          tt AS (SELECT CAST(count(*) AS DOUBLE) tt FROM cnt)
+          SELECT bg, CAST(c AS BIGINT) AS c,
+            round(greatest(c - 0.75, 0) / c1 +
+                  (0.75 * nfwd / c1) * (nrev / tt), 6) AS p_kn
+          FROM cnt JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN tt
+          ORDER BY c DESC, bg LIMIT 30""",
     "events_hopping" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
                    - CAST(k AS INTEGER) * INTERVAL '10 minutes',
