@@ -140,4 +140,46 @@ object SketchProfile {
         ThetaFunctions.thetaIntersectEstimate(col("a.sk"), col("b.sk"))
           .as("ndv_both"))
   }
+
+  // ----- heavy hitters (frequent-items) ---------------------------------
+  // The frequency companion: "what are the most common values and how
+  // often" from fixed-size mergeable Misra-Gries buffers
+  // (plans/FreqExpressions.scala). Unlike HLL/KLL/theta, the error
+  // bound here is HARD (|est - true| <= maxError always), so merged
+  // partials keep a machine-checkable guarantee whatever the sharding.
+
+  import org.apache.spark.sql.graft.FreqFunctions
+
+  /** Default map size: 2048 slots, max error <= ~3.5 N / 2048. */
+  val DefaultFreqMapSize: Int = FreqFunctions.DefaultMapSize
+
+  private def freqName(c: String) = s"freq_$c"
+
+  /** One row per (shard, key...) carrying a binary frequent-items
+    * sketch per profiled string column plus the shard row weight
+    * `freq_n` (needed to state the merged error bound in stream terms). */
+  def freqPartials(df: DataFrame, shardCol: Column, keyCols: Seq[String],
+                   cols: Seq[String],
+                   maxMapSize: Int = DefaultFreqMapSize): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.map(c =>
+      FreqFunctions.freqSketchAgg(col(c), maxMapSize).as(freqName(c))) :+
+      count(lit(1)).as("freq_n")
+    df.groupBy((shardCol.as("shard") +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-key estimate + hard bound for one item from stored partials —
+    * merge any shard subset, never rescan. Output columns per profiled
+    * column: `est_<col>` and `maxerr_<col>`. */
+  def mergeFreq(partialRows: DataFrame, keyCols: Seq[String],
+                cols: Seq[String], item: String,
+                maxMapSize: Int = DefaultFreqMapSize): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val merged = FreqFunctions.freqMergeAgg(col(freqName(c)), maxMapSize)
+      Seq(FreqFunctions.freqEstimate(merged, lit(item)).as(s"est_$c"),
+        FreqFunctions.freqMaxError(merged).as(s"maxerr_$c"))
+    }
+    partialRows.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -305,6 +305,34 @@ object StreamOps {
       }
       .start()
 
+  /** Heavy-hitter companion of [[sketchPartialSink]]: per-micro-batch
+    * frequent-items sketch partials (operators.SketchProfile
+    * .freqPartials) land as batchId-keyed parquet shards. Any later
+    * "how often has value X occurred, per key, over any batch slice"
+    * is a merge over fixed-size sketch rows with a HARD |est - true|
+    * <= maxError guarantee — never a rescan of stream history. Same
+    * idempotence contract: a replayed batch overwrites its own shard. */
+  def freqPartialSink(events: DataFrame, outDir: String,
+                      checkpointDir: String, keyCols: Seq[String],
+                      cols: Seq[String]) =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchProfile
+          .freqPartials(batch, lit(batchId), keyCols, cols)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** Count estimate + hard bound for `item` per key over every batch
+    * `freqPartialSink` has landed so far. */
+  def readFreqProfile(spark: SparkSession, outDir: String,
+                      keyCols: Seq[String], cols: Seq[String],
+                      item: String): DataFrame =
+    graft.operators.SketchProfile.mergeFreq(
+      spark.read.parquet(outDir), keyCols, cols, item)
+
   /** Quantile estimates at `qs` per key over every batch
     * `quantilePartialSink` has landed so far. */
   def readQuantileProfile(spark: SparkSession, outDir: String,

@@ -419,6 +419,38 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream/batch parity: merged freq partials keep the hard bound") {
+    // Misra-Gries merge preserves the HARD |est - true| <= maxError
+    // guarantee, so the streamed partials must answer "how often did
+    // item X occur" within the merged sketch's own stated bound of the
+    // exact count over the SAME rows — for every key and any batching.
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_freq_eq").toString
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i =>
+      Event(i, ts("2024-01-01 00:01:00"), i % 3,
+        if (i % 4 == 0) "click" else s"view$i", i * 1.0))
+    val ms = MemoryStream[Event]
+    val q = StreamOps.freqPartialSink(ms.toDF(), s"$tmp/partials", s"$tmp/ckpt",
+      keyCols = Seq("userId"), cols = Seq("eventType"))
+    try {
+      ms.addData(batch(1, 500): _*); q.processAllAvailable()
+      ms.addData(batch(501, 1000): _*); q.processAllAvailable()
+      val got = StreamOps.readFreqProfile(spark, s"$tmp/partials",
+        Seq("userId"), Seq("eventType"), "click").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val exact = (1 to 1000).filter(_ % 4 == 0).groupBy(_ % 3)
+        .map { case (k, v) => k.toLong -> v.size.toLong }
+      exact.foreach { case (k, truth) =>
+        val (est, me) = got(k)
+        assert(math.abs(est - truth) <= me,
+          s"key $k est $est true $truth bound $me")
+      }
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("stream/batch parity: accumulated nearDupSink shards equal the batch dedup") {
     // each increment doc is matched against the static corpus
     // independently, so the union of per-batch pair shards must equal
