@@ -96,7 +96,58 @@ object NativeExpressions {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"word_shingles: n must be an integer literal, got $other")
-    })))
+    })),
+    // ---- mergeable sketch family (aggregates + scalar extractors) ----
+    // optional-second-arg pattern: the size parameter must be an
+    // integer literal (sketch layouts are compile-time shapes)
+    "kll_sketch_agg" -> (exprs => KllSketchAggExpr(exprs.head,
+      intLitArg(exprs, 1, "kll_sketch_agg k", KllFunctions.DefaultK))
+      .toAggregateExpression()),
+    "kll_merge_agg" -> (exprs => KllMergeAggExpr(exprs.head,
+      intLitArg(exprs, 1, "kll_merge_agg k", KllFunctions.DefaultK))
+      .toAggregateExpression()),
+    "theta_sketch_agg" -> (exprs => ThetaSketchAggExpr(exprs.head,
+      intLitArg(exprs, 1, "theta_sketch_agg nominal", ThetaFunctions.DefaultNominal))
+      .toAggregateExpression()),
+    "theta_union_agg" -> (exprs => ThetaUnionAggExpr(exprs.head,
+      intLitArg(exprs, 1, "theta_union_agg nominal", ThetaFunctions.DefaultNominal))
+      .toAggregateExpression()),
+    "kll_quantiles" -> (exprs => KllQuantilesExpr(exprs.head, exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _)
+          if cs.forall(_.foldable) =>
+        cs.map(_.eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles: rank must be numeric, got $other")
+        }).toArray
+      case other => throw new IllegalArgumentException(
+        s"kll_quantiles: ranks must be an array literal, got $other")
+    })),
+    "theta_estimate" -> (exprs => ThetaEstimateExpr(exprs.head)),
+    "theta_intersect_estimate" ->
+      (exprs => ThetaIntersectEstimateExpr(exprs(0), exprs(1))),
+    "freq_sketch_agg" -> (exprs => FreqSketchAggExpr(exprs.head,
+      intLitArg(exprs, 1, "freq_sketch_agg maxMapSize", FreqFunctions.DefaultMapSize))
+      .toAggregateExpression()),
+    "freq_merge_agg" -> (exprs => FreqMergeAggExpr(exprs.head,
+      intLitArg(exprs, 1, "freq_merge_agg maxMapSize", FreqFunctions.DefaultMapSize))
+      .toAggregateExpression()),
+    "freq_estimate" -> (exprs => FreqEstimateExpr(exprs(0), exprs(1))),
+    "freq_max_error" -> (exprs => FreqMaxErrorExpr(exprs.head)),
+    "gramian_agg" -> (exprs => GramianAggExpr(exprs.head,
+      intLitArg(exprs, 1, "gramian_agg d", -1)).toAggregateExpression()))
+
+  /** Integer-literal argument at `pos`, or `dflt` when absent
+    * (dflt < 0 means required). */
+  private def intLitArg(exprs: Seq[Expression], pos: Int, what: String,
+                        dflt: Int): Int =
+    exprs.lift(pos) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case None if dflt >= 0 => dflt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
 
   /** Register the native expressions as SQL functions on an existing
     * session (`SELECT simhash64(...) FROM ...`). The

@@ -46,4 +46,28 @@ class GraftSqlSpec extends SparkSpecBase {
       spark.sql("SELECT word_shingles(array('a'), cast(rand()*3 AS INT))").collect()
     }
   }
+
+  test("the mergeable sketch family is callable from SQL") {
+    NativeExpressions.registerSql(spark)
+    spark.range(3000).createOrReplaceTempView("sq_ids")
+    val r = spark.sql(
+      """SELECT theta_estimate(theta_sketch_agg(id)) AS ndv,
+                freq_estimate(freq_sketch_agg(CAST(id % 5 AS STRING)), '3') AS f3,
+                freq_max_error(freq_sketch_agg(CAST(id % 5 AS STRING))) AS me,
+                kll_quantiles(kll_sketch_agg(CAST(id AS DOUBLE)), array(0.5)) AS q,
+                gramian_agg(array(CAST(id AS DOUBLE)), 1) AS mom
+         FROM sq_ids""").collect()(0)
+    assert(r.getDouble(0) == 3000.0) // theta exact below nominal
+    assert(r.getLong(1) == 600L && r.getLong(2) == 0L) // freq exact, no purge
+    assert(math.abs(r.getSeq[Double](3).head - 1500.0) <= 60.0) // kll p50
+    val mom = r.getSeq[Double](4)
+    assert(mom(0) == 3000.0 && mom(1) == 3000.0 * 2999 / 2) // n, sum(id)
+  }
+
+  test("sketch size parameters must be integer literals") {
+    NativeExpressions.registerSql(spark)
+    intercept[Exception] {
+      spark.sql("SELECT freq_sketch_agg('a', cast(rand()*3 AS INT))").collect()
+    }
+  }
 }
