@@ -896,6 +896,39 @@ object Curation extends QueryModule {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): rank the
+    // selection pool by how much more likely each document is under a
+    // bag-of-unigrams model of the TARGET domain (source 'src0') than
+    // under the raw-corpus model — log-ratio features with add-1
+    // smoothing over the shared vocabulary, per-doc score = mean token
+    // log-ratio (length-normalized). Every stage is a keyed
+    // count/join shuffle on the token; the three totals ride as
+    // broadcast scalars. Payload: the 50 highest-scoring pool docs.
+    "dsir_select" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("t"))
+      val cRaw = tok.groupBy(col("t")).agg(count(lit(1)).as("cr"))
+      val cTgt = tok.filter(col("source") === "src0")
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val tot = cRaw.agg(sum(col("cr")).cast("double").as("nraw"),
+        count(lit(1)).cast("double").as("v"))
+      val ttot = cTgt.agg(sum(col("ct")).cast("double").as("ntgt"))
+      val lam = cRaw.join(cTgt, Seq("t"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ttot))
+        .select(col("t"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ntgt") + col("v"))) -
+            log((col("cr") + lit(1.0)) / (col("nraw") + col("v")))).as("lam"))
+      tok.filter(col("source") =!= "src0")
+        .join(lam, "t")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(col("lam")), 6).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // Heavy hitters via a frequent-items sketch (Misra-Gries family,
     // plans/FreqExpressions.scala): the top-k tokens of the corpus from
     // ONE fixed-size mergeable buffer per partition — the sum() shuffle
@@ -958,6 +991,25 @@ object Curation extends QueryModule {
            round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
            TRUE AS kll_p50_ok, TRUE AS kll_p95_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, source, ${toksOf("text")} toks FROM documents),
+          tok AS (SELECT doc_id, source, unnest(toks) t FROM t),
+          craw AS (SELECT t, count(*) cr FROM tok GROUP BY 1),
+          ctgt AS (SELECT t, count(*) ct FROM tok WHERE source = 'src0' GROUP BY 1),
+          tot AS (SELECT CAST(sum(cr) AS DOUBLE) nraw,
+                         CAST(count(*) AS DOUBLE) v FROM craw),
+          ttot AS (SELECT CAST(sum(ct) AS DOUBLE) ntgt FROM ctgt),
+          lam AS (SELECT craw.t,
+                    ln((coalesce(ct, 0) + 1.0) / (ntgt + v)) -
+                    ln((cr + 1.0) / (nraw + v)) lam
+                  FROM craw LEFT JOIN ctgt USING (t)
+                  CROSS JOIN tot CROSS JOIN ttot)
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+                 round(avg(lam), 6) AS dsir_score
+          FROM tok JOIN lam USING (t)
+          WHERE source != 'src0'
+          GROUP BY 1, 2
+          ORDER BY dsir_score DESC, doc_id LIMIT 50""",
     // Exact top-20 token payload; the sketch-within-hard-bound boolean
     // is literal TRUE here and computed for real on the Spark side.
     "heavy_hitters" ->
