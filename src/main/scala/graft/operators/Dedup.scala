@@ -225,6 +225,44 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync principle applied to
+    * token streams): chunk boundaries fall where a rolling w-token
+    * polynomial hash hits `hash % divisor == 0`, so boundaries are a
+    * pure function of LOCAL content — insert a sentence at the front of
+    * a document and every later chunk still hashes identically, which
+    * is exactly the shifted-duplicate case FIXED chunking
+    * (`dupPassages`) misses by construction. Returns chunks shared by
+    * >= 2 documents: (chunk_md5, n_docs, keep_id).
+    *
+    * Scale shape: boundary detection is per-row expression work (no
+    * shuffle); the only exchange is the final chunk-fingerprint
+    * groupBy, whose key cardinality is the distinct-chunk count. All
+    * hash arithmetic is Horner-with-mod in longs (base 31 per char,
+    * base 1000003 per token, mod 1e9+7) so external engines can
+    * reproduce fingerprints bit-for-bit. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           w: Int = 4, divisor: Int = 16): DataFrame = {
+    // One compiled pass per row (plans/NativeExpressions.scala
+    // CdcChunksExpr — a first HOF formulation of the same arithmetic
+    // stalled the OPTIMIZER: five stacked lambda stages each inlining
+    // into the next built expression trees Catalyst spent minutes
+    // rewriting before a single row moved). explode_outer + isNotNull:
+    // see nearDupPairsExact.
+    val chunks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        explode_outer(NativeExpressions.cdcChunks(col("toks"), w, divisor))
+          .as("chunk"))
+      .filter(col("chunk").isNotNull)
+    chunks
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
+      .distinct()
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Prefix-index size diagnostic for `nearDupPairsPrefix`: rows =
     * (full_index_entries, prefix_index_entries) — the measured
     * candidate-mass reduction the prefix bound buys at a threshold. */

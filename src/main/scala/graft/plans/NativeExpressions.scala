@@ -41,6 +41,9 @@ object NativeExpressions {
   def wordNgrams(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordNgramsExpr(ExpressionUtils.expression(tokens), n))
 
+  def cdcChunks(tokens: Column, w: Int, divisor: Int): Column =
+    ExpressionUtils.column(CdcChunksExpr(ExpressionUtils.expression(tokens), w, divisor))
+
   def markerHits(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(StringArrayHitsExpr(ExpressionUtils.expression(tokens), words.toArray))
 
@@ -244,6 +247,73 @@ case class WordNgramsExpr(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+/** Content-defined chunks of a token array (the LBFS/rsync cut rule):
+  * a boundary falls after token i+w-1 wherever the rolling w-token
+  * polynomial hash satisfies `hash % divisor == 0`, making boundaries a
+  * pure function of LOCAL content — chunks realign after insertions,
+  * the case fixed-width chunking misses. One compiled pass per row;
+  * the hash arithmetic (base 31 per code point, base 1000003 per token
+  * hash, mod 1e9+7, Horner with mod at each step) is chosen so external
+  * engines reproduce chunk strings bit-for-bit in plain SQL (the
+  * `cdc_chunks` oracle). A cut at the very last token is suppressed
+  * (it would produce an empty tail chunk). */
+case class CdcChunksExpr(child: Expression, w: Int, divisor: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(w > 0 && divisor > 1, "cdc_chunks: w > 0, divisor > 1")
+
+  private val M = 1000000007L
+  private val P = 1000003L
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    if (num < w) new GenericArrayData(Array.empty[Any])
+    else {
+      val toks = new Array[UTF8String](num)
+      val th = new Array[Long](num)
+      var i = 0
+      while (i < num) {
+        toks(i) = arr.getUTF8String(i)
+        val s = toks(i).toString
+        var acc = 0L
+        var k = 0
+        while (k < s.length) {
+          val cp = s.codePointAt(k)
+          acc = (acc * 31L + cp) % M
+          k += Character.charCount(cp)
+        }
+        th(i) = acc
+        i += 1
+      }
+      val sep = UTF8String.fromString(" ")
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var start = 0
+      i = 0
+      while (i <= num - w) {
+        var wh = 0L
+        var j = 0
+        while (j < w) { wh = (wh * P + th(i + j)) % M; j += 1 }
+        val cut = i + w // token count before the boundary
+        if (wh % divisor == 0 && cut < num) {
+          out += UTF8String.concatWs(sep, toks.slice(start, cut).toIndexedSeq: _*)
+          start = cut
+        }
+        i += 1
+      }
+      out += UTF8String.concatWs(sep, toks.slice(start, num).toIndexedSeq: _*)
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
     copy(child = newChild)
 }
 

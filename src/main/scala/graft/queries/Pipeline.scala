@@ -416,6 +416,14 @@ object Pipeline extends QueryModule {
       Dedup.dupPassages(Tables(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
         .orderBy(col("passage"))),
 
+    // Content-defined chunking dedup: boundaries from a rolling
+    // window hash (pure function of local content), so chunks realign
+    // after insertions — the shifted-duplicate case fixed 10-token
+    // chunking (passage_dedup) misses. See Dedup.contentDefinedChunks.
+    "cdc_chunks" -> ((s, dir) =>
+      Dedup.contentDefinedChunks(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("chunk_md5"))),
+
     // Benchmark decontamination: 5-gram overlap of every training doc
     // (doc_id % 20 != 0) against the benchmark split (doc_id % 20 == 0).
     // The planted near-dup pairs that straddle the split are exactly
@@ -868,6 +876,34 @@ object Pipeline extends QueryModule {
           SELECT i, j, CAST(sum(run) AS BIGINT) AS n_shared_windows,
                  CAST(max(run) + 7 AS BIGINT) AS max_run_tokens
           FROM runs GROUP BY 1, 2 ORDER BY i, j""",
+    // identical Horner-with-mod hash arithmetic, boundaries, chunk
+    // strings and md5 fingerprints rebuilt with list comprehensions
+    "cdc_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql toks FROM documents),
+          t AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 4),
+          h AS (SELECT doc_id, toks,
+                  [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CAST(ascii(c) AS BIGINT) for c in string_split(tk, '')]),
+                     (acc, x) -> (acc * 31 + x) % 1000000007) for tk in toks] th
+                FROM t),
+          wb AS (SELECT doc_id, toks,
+                   [CAST(i + 3 AS BIGINT) for i in generate_series(1, len(th) - 3)
+                    if list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+3]),
+                         (acc, x) -> (acc * 1000003 + x) % 1000000007) % 16 = 0
+                       AND i + 3 < len(toks)] ends
+                 FROM h),
+          b AS (SELECT doc_id, toks,
+                  list_concat(list_concat([CAST(0 AS BIGINT)], ends),
+                              [CAST(len(toks) AS BIGINT)]) bounds
+                FROM wb),
+          c AS (SELECT doc_id,
+                  unnest([array_to_string(toks[bounds[k]+1:bounds[k+1]], ' ')
+                          for k in generate_series(1, len(bounds) - 1)]) chunk
+                FROM b),
+          d AS (SELECT DISTINCT doc_id, md5(chunk) chunk_md5 FROM c)
+          SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_docs,
+                 min(doc_id) AS keep_id
+          FROM d GROUP BY 1 HAVING count(*) >= 2 ORDER BY chunk_md5""",
     "dedup_minhash" -> (nearPairsSql + " ORDER BY i, j"),
     // dedup_simhash: the oracle rebuilds the ENTIRE simhash pipeline —
     // md5-derived 64-bit shingle hashes (hex fold in HUGEINT), per-bit

@@ -191,4 +191,25 @@ class NativeExprSpec extends SparkSpecBase {
       assert(r.getLong(2) == d, s"distinct for '${r.getString(0)}'")
     }
   }
+
+  test("cdc_chunks boundaries are content-defined: chunks realign after a prefix insertion") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"tok${i % 37}x$i").mkString(" ")
+    val shifted = "inserted sentence goes here " + base
+    val rows = Seq(("a", base), ("b", shifted)).toDF("id", "text")
+      .select(col("id"), org.apache.spark.sql.graft.NativeExpressions
+        .cdcChunks(split(col("text"), " "), 4, 16).as("chunks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // chunks must total back to the token stream (lossless cover)
+    assert(rows("a").mkString(" ") == base)
+    assert(rows("b").mkString(" ") == shifted)
+    // content-defined: all chunks of `a` except possibly the first
+    // reappear verbatim in `b` despite the 4-token prefix shift —
+    // the property fixed-width chunking cannot have
+    val bSet = rows("b").toSet
+    val realigned = rows("a").tail.count(bSet.contains)
+    assert(rows("a").size >= 5, s"fixture too short: ${rows("a").size} chunks")
+    assert(realigned == rows("a").size - 1,
+      s"only $realigned of ${rows("a").size - 1} tail chunks realigned")
+  }
 }
