@@ -216,8 +216,14 @@ object Dedup {
     // Exact verify: candidates re-join their full (cold) shingle arrays
     // — two keyed joins against the persisted byDoc, linear in the
     // candidate count, which the prefix filter has already collapsed.
-    cands
+    // SHUFFLE_HASH hint: both sides are data-scaled (candidates grow
+    // with pair mass, byDoc with the corpus), so a broadcast is never
+    // safe — without the hint, a misestimated candidate table was
+    // collected for broadcast at the 30x fixture and blew the driver's
+    // 1 GiB result cap.
+    cands.hint("shuffle_hash")
       .join(byDoc.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
+      .hint("shuffle_hash")
       .join(byDoc.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
       .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))

@@ -247,4 +247,42 @@ class CurationOpsSpec extends SparkSpecBase {
     val pmi = SparkEntry.queries("pmi_bigrams")(spark, dir).collect()
     assert(pmi.length <= 20 && pmi.forall(_.getLong(2) >= 10L))
   }
+
+  test("dsir_select ranks target-vocabulary docs above off-domain docs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dsir_select")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(1) != "src0"),
+      "selection pool must exclude the target source")
+    // scores arrive sorted desc with a doc_id tiebreak
+    val scores = rows.map(r => (r.getDouble(3), r.getLong(0)))
+    scores.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2), s"order broken at $d1/$d2")
+    case _ => ()
+    }
+    // a synthetic pool doc written in the target's own vocabulary must
+    // outscore every real pool doc: splice it in and re-rank
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val tgtText = docs.filter(col("source") === "src0")
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+    val spiked = docs.unionByName(
+      Seq((999999L, tgtText, "en", "src1", tgtText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    try {
+      // reuse the registered query by materializing the spiked corpus
+      // as a documents table in a scratch sf dir
+      spiked.write.parquet(s"$tmp/documents.parquet")
+      val sel = SparkEntry.queries("dsir_select")(spark, tmp).collect()
+      val spikeRow = sel.find(_.getLong(0) == 999999L)
+      // a verbatim target doc need not rank FIRST (a pool doc
+      // concentrating a few very-high-ratio tokens can beat a typical
+      // target doc's mean), but it must be selected and target-leaning
+      assert(spikeRow.isDefined, "verbatim-target doc must be selected")
+      assert(spikeRow.get.getDouble(3) > 0.0,
+        s"target-vocabulary doc must score positive, got ${spikeRow.get.getDouble(3)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
