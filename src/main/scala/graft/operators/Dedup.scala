@@ -216,14 +216,16 @@ object Dedup {
     // Exact verify: candidates re-join their full (cold) shingle arrays
     // — two keyed joins against the persisted byDoc, linear in the
     // candidate count, which the prefix filter has already collapsed.
-    // SHUFFLE_HASH hint: both sides are data-scaled (candidates grow
-    // with pair mass, byDoc with the corpus), so a broadcast is never
-    // safe — without the hint, a misestimated candidate table was
-    // collected for broadcast at the 30x fixture and blew the driver's
-    // 1 GiB result cap.
-    cands.hint("shuffle_hash")
+    // MERGE hint: both sides are data-scaled (candidates grow with
+    // pair mass, byDoc with the corpus), so only the fully-spillable
+    // sort-merge join is safe — without a hint, a misestimated
+    // candidate table was collected for BROADCAST at the 30x fixture
+    // and blew the driver's 1 GiB result cap; a shuffle-hash hint then
+    // failed to fit its per-partition build map in executor memory at
+    // the same scale. Sort-merge spills and finishes.
+    cands.hint("merge")
       .join(byDoc.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(byDoc.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
       .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))

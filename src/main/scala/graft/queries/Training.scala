@@ -144,6 +144,58 @@ object Training extends QueryModule {
     // hashing trick). Count on the bigram key, then TakeOrdered for
     // the global top-k — the rank window only ever sees the 100
     // surviving rows.
+    // N-gram diversity per source: type/token ratios at n=1,2,3 — the
+    // self-repetition signal (template-generated or boilerplate-heavy
+    // sources collapse toward 0; diverse prose stays high). One
+    // generator pass per n, keyed partial-agg shuffles; distinct types
+    // count via the same shuffle (approx_count_distinct would also do
+    // at 100 TB, but the exact form is the oracle-checkable one).
+    "ngram_diversity" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val perN = (1 to 3).map { n =>
+        docs.select(col("source"),
+            explode(org.apache.spark.sql.graft.NativeExpressions
+              .wordNgrams(tokens(col("text")), n)).as("g"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("types"))
+          .select(col("source"), lit(n).as("n"), col("types"), col("total"),
+            round(col("types") / col("total"), 6).as("ttr"))
+      }
+      perN.reduce(_.unionByName(_)).orderBy(col("source"), col("n"))
+    }),
+
+    // Vocabulary growth curve (Heaps' law diagnostic): how many NEW
+    // token types each tenth of the corpus contributes, plus the
+    // cumulative vocabulary. First-occurrence doc per type is one
+    // min() aggregation; the bucket edge rides as a broadcast scalar;
+    // the cumulative sum runs over exactly 10 rows.
+    "vocab_growth" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val hi = Tables(s, dir, "documents")
+        .agg((max(col("doc_id")) + 1).cast("double").as("ndocs"))
+      // token mass per decile (always 10 rows) + new types attributed
+      // to the decile of their FIRST occurrence — on a corpus with a
+      // bounded synthetic vocabulary the curve saturates in decile 0,
+      // which is itself the diagnostic (Heaps exponent ~0).
+      val mass = tok.crossJoin(broadcast(hi))
+        .select(floor(col("doc_id") * 10.0 / col("ndocs")).cast("int").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firstDoc = tok.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      val newTypes = firstDoc.crossJoin(broadcast(hi))
+        .select(floor(col("fd") * 10.0 / col("ndocs")).cast("int").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("new_types"))
+      mass.join(newTypes, Seq("decile"), "left")
+        .select(col("decile"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("decile"), col("n_tokens"), col("new_types"),
+          sum(col("new_types"))
+            .over(Window.orderBy(col("decile"))).as("cum_types"))
+        .orderBy(col("decile"))
+    }),
+
     "vocab_topk" -> ((s, dir) => {
       val counts = Tables(s, dir, "documents")
         .select(explode(org.apache.spark.sql.graft.NativeExpressions
@@ -427,6 +479,42 @@ object Training extends QueryModule {
           FROM (SELECT doc_id, unnest(${Pipeline.toksSql}) tok FROM documents)
           WHERE tok <> ''
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ngram_diversity" ->
+      s"""WITH t AS (SELECT source, ${Pipeline.toksSql} toks FROM documents),
+          g AS (
+            SELECT source, n, g FROM (
+              SELECT source, 1 AS n, unnest(toks) g FROM t
+              UNION ALL
+              SELECT source, 2 AS n,
+                unnest([array_to_string(toks[i:i+1], ' ')
+                        for i in generate_series(1, len(toks) - 1)]) g
+              FROM t WHERE len(toks) >= 2
+              UNION ALL
+              SELECT source, 3 AS n,
+                unnest([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) g
+              FROM t WHERE len(toks) >= 3))
+          SELECT source, n,
+            CAST(count(DISTINCT g) AS BIGINT) AS types,
+            CAST(count(*) AS BIGINT) AS total,
+            round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS ttr
+          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${Pipeline.toksSql}) t FROM documents),
+          hi AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) ndocs FROM documents),
+          mass AS (SELECT CAST(floor(doc_id * 10.0 / ndocs) AS INTEGER) decile,
+                     CAST(count(*) AS BIGINT) n_tokens
+                   FROM tok CROSS JOIN hi GROUP BY 1),
+          fd AS (SELECT t, min(doc_id) fd FROM tok GROUP BY 1),
+          nt AS (SELECT CAST(floor(fd * 10.0 / ndocs) AS INTEGER) decile,
+                   CAST(count(*) AS BIGINT) new_types
+                 FROM fd CROSS JOIN hi GROUP BY 1)
+          SELECT mass.decile AS decile, n_tokens,
+            coalesce(new_types, 0) AS new_types,
+            CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY mass.decile)
+                 AS BIGINT) AS cum_types
+          FROM mass LEFT JOIN nt ON mass.decile = nt.decile
+          ORDER BY 1""",
     "vocab_topk" ->
       s"""WITH t AS (SELECT ${Pipeline.toksSql} toks FROM documents),
           bg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
