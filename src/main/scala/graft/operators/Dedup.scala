@@ -216,17 +216,22 @@ object Dedup {
     // Exact verify: candidates re-join their full (cold) shingle arrays
     // — two keyed joins against the persisted byDoc, linear in the
     // candidate count, which the prefix filter has already collapsed.
-    // MERGE hint: both sides are data-scaled (candidates grow with
-    // pair mass, byDoc with the corpus), so only the fully-spillable
-    // sort-merge join is safe — without a hint, a misestimated
-    // candidate table was collected for BROADCAST at the 30x fixture
-    // and blew the driver's 1 GiB result cap; a shuffle-hash hint then
-    // failed to fit its per-partition build map in executor memory at
-    // the same scale. Sort-merge spills and finishes.
-    cands.hint("merge")
-      .join(byDoc.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
-      .hint("merge")
-      .join(byDoc.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
+    // Join strategy is load-bearing here, measured at the 30x fixture:
+    // build the HASH MAP from byDoc (bounded: corpus rows / shuffle
+    // partitions) and STREAM the candidate side. Every alternative
+    // fails at scale — unhinted, Catalyst mis-estimated the candidate
+    // table and collected it for broadcast (blew the 1 GiB driver
+    // result cap); hash-building the candidate side could not fit its
+    // per-partition map; sort-merge SORTED the candidate stream while
+    // each row carried a multi-KB shingle array (first-join output),
+    // spilling past the machine's free disk. Streaming candidates
+    // through two byDoc-built hash joins touches each candidate row
+    // twice with no sort and no array reordering.
+    cands
+      .join(byDoc.select(col("doc_id").as("i"), col("ss").as("sa"))
+        .hint("shuffle_hash"), "i")
+      .join(byDoc.select(col("doc_id").as("j"), col("ss").as("sb"))
+        .hint("shuffle_hash"), "j")
       .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)

@@ -152,12 +152,17 @@ object Training extends QueryModule {
     // at 100 TB, but the exact form is the oracle-checkable one).
     "ngram_diversity" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // two-level aggregation instead of count+countDistinct in one
+      // agg: the multi-distinct form plans an Expand that doubles
+      // every exploded n-gram row through the shuffle; (source, gram)
+      // partial counts then one rollup is a single clean exchange
       val perN = (1 to 3).map { n =>
         docs.select(col("source"),
             explode(org.apache.spark.sql.graft.NativeExpressions
               .wordNgrams(tokens(col("text")), n)).as("g"))
+          .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("source"))
-          .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("types"))
+          .agg(count(lit(1)).as("types"), sum(col("c")).as("total"))
           .select(col("source"), lit(n).as("n"), col("types"), col("total"),
             round(col("types") / col("total"), 6).as("ttr"))
       }
