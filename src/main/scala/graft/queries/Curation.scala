@@ -929,6 +929,29 @@ object Curation extends QueryModule {
         .limit(50)
     }),
 
+    // The OPERATIONAL frequent-items path under the hash gate: sketch
+    // partials per shard (the profile-once form), merged per key — the
+    // shard-merge round-trip heavy_hitters doesn't exercise. Payload:
+    // exact per-lang counts of the probed source; the merged sketch's
+    // estimate must sit within ITS OWN stated hard bound (merge
+    // preserves |est-true| <= maxError whatever the sharding).
+    "profile_freq" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.FreqFunctions
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val partials = graft.operators.SketchProfile.freqPartials(
+        docs, pmod(col("doc_id"), lit(4)), Seq("lang"), Seq("source"))
+      val merged = graft.operators.SketchProfile.mergeFreq(
+        partials, Seq("lang"), Seq("source"), "src0")
+      val exact = docs.groupBy(col("lang"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_src0"))
+      exact.join(merged, "lang")
+        .select(col("lang"), col("n_src0"),
+          (abs(col("est_source") - col("n_src0")) <= col("maxerr_source"))
+            .as("freq_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Heavy hitters via a frequent-items sketch (Misra-Gries family,
     // plans/FreqExpressions.scala): the top-k tokens of the corpus from
     // ONE fixed-size mergeable buffer per partition — the sum() shuffle
@@ -1010,6 +1033,14 @@ object Curation extends QueryModule {
           WHERE source != 'src0'
           GROUP BY 1, 2
           ORDER BY dsir_score DESC, doc_id LIMIT 50""",
+    // Exact per-lang probe counts; the merged-sketch hard-bound
+    // boolean is literal TRUE here and computed for real Spark-side.
+    "profile_freq" ->
+      """SELECT lang,
+           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_src0,
+           TRUE AS freq_ok
+         FROM documents GROUP BY 1 ORDER BY 1""",
     // Exact top-20 token payload; the sketch-within-hard-bound boolean
     // is literal TRUE here and computed for real on the Spark side.
     "heavy_hitters" ->
