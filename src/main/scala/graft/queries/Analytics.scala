@@ -325,7 +325,7 @@ object Analytics extends QueryModule {
                    CAST(count(*) AS BIGINT) AS n_active
                  FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
          SELECT act.cohort_wk, wk_offset, n_active,
-           round(n_active::DOUBLE / cohort_n, 6) AS retention
+           round(n_active::DOUBLE / cohort_n, 6) + 0.0 AS retention
          FROM act JOIN sz USING (cohort_wk) ORDER BY cohort_wk, wk_offset""",
     "event_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
@@ -334,7 +334,7 @@ object Analytics extends QueryModule {
          c AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n_trans
                FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
          SELECT prev_type, next_type, n_trans,
-           round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type), 6) AS prob
+           round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type), 6) + 0.0 AS prob
          FROM c ORDER BY prev_type, next_type""",
     "graph_pagerank" ->
       (PageRank.ranksSql(edgesSql, iters = 5) + "\nORDER BY rank_scaled DESC, node"),
@@ -455,7 +455,7 @@ object Analytics extends QueryModule {
                      / 1000000.0 END + 0.0 AS interp
          FROM w ORDER BY user_id, hour""",
     "value_histogram" ->
-      """SELECT bin, count(*) AS n_orders, round(sum(o_totalprice), 2) AS bin_total,
+      """SELECT bin, count(*) AS n_orders, round(sum(o_totalprice), 2) + 0.0 AS bin_total,
            bin * 25000 AS bin_lo
          FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, o_totalprice
                FROM orders)

@@ -1010,8 +1010,8 @@ object Curation extends QueryModule {
     // real against the KLL estimates.
     "profile_quantiles" ->
       """SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
-           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+           round(quantile_cont(l_extendedprice, 0.5), 6) + 0.0 AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 6) + 0.0 AS p95_exact,
            TRUE AS kll_p50_ok, TRUE AS kll_p95_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "dsir_select" ->
@@ -1028,7 +1028,7 @@ object Curation extends QueryModule {
                   FROM craw LEFT JOIN ctgt USING (t)
                   CROSS JOIN tot CROSS JOIN ttot)
           SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
-                 round(avg(lam), 6) AS dsir_score
+                 round(avg(lam), 6) + 0.0 AS dsir_score
           FROM tok JOIN lam USING (t)
           WHERE source != 'src0'
           GROUP BY 1, 2
@@ -1097,7 +1097,7 @@ object Curation extends QueryModule {
          SELECT doc_id,
            round(coalesce(sum(CASE WHEN t = 'dup' THEN w END), 0) +
                  coalesce(sum(CASE WHEN t = 'join' THEN w END), 0) +
-                 coalesce(sum(CASE WHEN t = 'vector' THEN w END), 0), 6) AS bm25
+                 coalesce(sum(CASE WHEN t = 'vector' THEN w END), 0), 6) + 0.0 AS bm25
          FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id""",
     "url_domains" ->
       """WITH a AS (SELECT doc_id,
@@ -1147,8 +1147,8 @@ object Curation extends QueryModule {
            SELECT g.user_id, g.h, coalesce(v, 0.0) v
            FROM grid g LEFT JOIN hourly USING (user_id, h))
          SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v,
-           round(avg(v) OVER w, 6) AS avg_3h,
-           round(max(v) OVER w, 2) AS max_3h
+           round(avg(v) OVER w, 6) + 0.0 AS avg_3h,
+           round(max(v) OVER w, 2) + 0.0 AS max_3h
          FROM dense
          WINDOW w AS (PARTITION BY user_id ORDER BY h
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -1197,7 +1197,7 @@ object Curation extends QueryModule {
             SELECT a.id ni, b.id ci, count(*) c
             FROM n_sh a JOIN c_sh b ON a.s = b.s GROUP BY 1, 2)
           SELECT ni AS new_id, ci AS corpus_id,
-            round(c::DOUBLE / (na.n + nb.n - c), 6) AS jac
+            round(c::DOUBLE / (na.n + nb.n - c), 6) + 0.0 AS jac
           FROM p JOIN n_sz na ON na.id = p.ni JOIN c_sz nb ON nb.id = p.ci
           WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5
           ORDER BY new_id, corpus_id""",
@@ -1207,7 +1207,7 @@ object Curation extends QueryModule {
              round(stddev_samp(l_quantity), 6) sd
            FROM lineitem GROUP BY 1)
          SELECT l_orderkey, l_linenumber, l_extendedprice, l.l_returnflag,
-           round((l_quantity - mu) / sd, 6) AS z
+           round((l_quantity - mu) / sd, 6) + 0.0 AS z
          FROM lineitem l JOIN st USING (l_returnflag)
          ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "dedup_clusters" ->
@@ -1260,7 +1260,7 @@ object Curation extends QueryModule {
          SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, round(sum(value), 2) + 0.0 AS sum_value
          FROM s GROUP BY user_id, sn ORDER BY user_id, session_start""",
     "funnel_pairs" ->
       """WITH e AS (
@@ -1275,7 +1275,7 @@ object Curation extends QueryModule {
            AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 30 MINUTE
          ORDER BY a_id, b_id""",
     "sample_hash" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) + 0.0 AS o_totalprice
          FROM orders
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
          ORDER BY o_orderkey""",
@@ -1314,29 +1314,29 @@ object Curation extends QueryModule {
              quantile_cont(l_extendedprice, 0.95) p95raw
            FROM lineitem GROUP BY 1)
          SELECT l.l_returnflag,
-           round(p05raw, 6) AS p05, round(p95raw, 6) AS p95,
-           round(avg(least(greatest(l_extendedprice, p05raw), p95raw)), 6) AS avg_wins,
-           round(stddev_samp(least(greatest(l_extendedprice, p05raw), p95raw)), 6) AS sd_wins
+           round(p05raw, 6) + 0.0 AS p05, round(p95raw, 6) + 0.0 AS p95,
+           round(avg(least(greatest(l_extendedprice, p05raw), p95raw)), 6) + 0.0 AS avg_wins,
+           round(stddev_samp(least(greatest(l_extendedprice, p05raw), p95raw)), 6) + 0.0 AS sd_wins
          FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
          GROUP BY 1, p05raw, p95raw ORDER BY 1""",
     "mad_stats" ->
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) m
                       FROM lineitem GROUP BY 1)
-         SELECT l.l_returnflag, round(any_value(m), 6) AS med,
-           round(quantile_cont(abs(l_quantity - m), 0.5), 6) AS mad
+         SELECT l.l_returnflag, round(any_value(m), 6) + 0.0 AS med,
+           round(quantile_cont(abs(l_quantity - m), 0.5), 6) + 0.0 AS mad
          FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
          GROUP BY 1 ORDER BY 1""",
     "agg_salted" ->
       """SELECT l_returnflag, count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(avg(l_quantity), 6) AS avg_qty
+           round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+           round(avg(l_quantity), 6) + 0.0 AS avg_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "corr_stats" ->
       """SELECT l_returnflag, count(*) AS n,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_covar,
            round(covar_pop(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar_pop,
-           round(stddev_samp(l_quantity), 6) AS qty_stddev
+           round(stddev_samp(l_quantity), 6) + 0.0 AS qty_stddev
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "boilerplate_ngrams" ->
       """WITH a AS (SELECT doc_id,

@@ -168,13 +168,13 @@ object Parity extends QueryModule {
     "parity_remove_column" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
     "parity_sum" ->
-      "SELECT round(sum(l_quantity), 2) AS sum_l_quantity FROM lineitem",
+      "SELECT round(sum(l_quantity), 2) + 0.0 AS sum_l_quantity FROM lineitem",
     "parity_mean" ->
-      "SELECT round(avg(l_quantity), 6) AS mean_l_quantity FROM lineitem",
+      "SELECT round(avg(l_quantity), 6) + 0.0 AS mean_l_quantity FROM lineitem",
     "parity_variance" ->
-      "SELECT round(var_samp(c_acctbal), 4) AS var_c_acctbal FROM customer",
+      "SELECT round(var_samp(c_acctbal), 4) + 0.0 AS var_c_acctbal FROM customer",
     "parity_stddev" ->
-      "SELECT round(stddev_samp(c_acctbal), 6) AS std_c_acctbal FROM customer",
+      "SELECT round(stddev_samp(c_acctbal), 6) + 0.0 AS std_c_acctbal FROM customer",
     "parity_min" ->
       """SELECT min(p_partkey) AS min_p_partkey, min(p_size) AS min_p_size,
          min(p_retailprice) AS min_p_retailprice FROM part""",
@@ -188,8 +188,8 @@ object Parity extends QueryModule {
     "parity_shape" ->
       "SELECT count(*) AS n_rows, CAST(5 AS BIGINT) AS n_cols FROM customer",
     "parity_describe" ->
-      """SELECT "column", count, round(mean, 6) AS mean, round(stddev, 6) AS stddev,
-                min, round(p25, 6) AS p25, round(p50, 6) AS p50, round(p75, 6) AS p75, max
+      """SELECT "column", count, round(mean, 6) + 0.0 AS mean, round(stddev, 6) + 0.0 AS stddev,
+                min, round(p25, 6) + 0.0 AS p25, round(p50, 6) + 0.0 AS p50, round(p75, 6) + 0.0 AS p75, max
          FROM (
            SELECT 'c_acctbal' AS "column", count(c_acctbal) AS count,
              avg(c_acctbal) AS mean, stddev_samp(c_acctbal) AS stddev,

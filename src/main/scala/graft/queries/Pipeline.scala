@@ -42,7 +42,7 @@ object Pipeline extends QueryModule {
           GROUP BY 1, 2
         )
         SELECT pairs.i AS i, pairs.j AS j,
-               round(c::DOUBLE / (na.n + nb.n - c), 6) AS jac
+               round(c::DOUBLE / (na.n + nb.n - c), 6) + 0.0 AS jac
         FROM pairs
         JOIN sizes na ON na.doc_id = pairs.i
         JOIN sizes nb ON nb.doc_id = pairs.j
@@ -946,7 +946,7 @@ object Pipeline extends QueryModule {
       s"""WITH near AS (SELECT DISTINCT j FROM ($nearPairsSql)),
           t AS (SELECT doc_id, $toksSql toks FROM documents)
           SELECT doc_id, len(toks) AS n_tokens,
-            round($stopHitsSql::DOUBLE / len(toks), 6) AS stop_ratio
+            round($stopHitsSql::DOUBLE / len(toks), 6) + 0.0 AS stop_ratio
           FROM t
           WHERE doc_id NOT IN (SELECT j FROM near)
             AND len(toks) >= 20
@@ -956,8 +956,8 @@ object Pipeline extends QueryModule {
       s"""SELECT doc_id, len(toks) AS n_tokens, length(norm) AS n_chars_norm,
             $langIdSql AS lang_id,
             $stopHitsSql AS stop_hits,
-            round($stopHitsSql::DOUBLE / len(toks), 6) AS stop_ratio,
-            round((length(norm) - len(toks) + 1)::DOUBLE / len(toks), 6) AS avg_tok_len
+            round($stopHitsSql::DOUBLE / len(toks), 6) + 0.0 AS stop_ratio,
+            round((length(norm) - len(toks) + 1)::DOUBLE / len(toks), 6) + 0.0 AS avg_tok_len
           FROM (SELECT doc_id, $toksSql toks,
                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) norm
                 FROM documents)
@@ -965,7 +965,7 @@ object Pipeline extends QueryModule {
     "token_stats" ->
       s"""SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
             count(*) AS total_docs,
-            round(avg(len(toks)), 6) AS avg_tokens_per_doc,
+            round(avg(len(toks)), 6) + 0.0 AS avg_tokens_per_doc,
             (SELECT count(DISTINCT t) FROM
               (SELECT unnest(toks2) t FROM
                 (SELECT $toksSql toks2 FROM documents))) AS distinct_tokens
@@ -1020,9 +1020,9 @@ object Pipeline extends QueryModule {
       s"""SELECT doc_id,
             len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens,
             len($toksSql) AS ws_tokens,
-            round(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
-            round(length(regexp_replace(text, '[^\\p{N}]', '', 'g'))::DOUBLE / length(text), 6) AS digit_ratio,
-            round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio
+            round(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text), 6) + 0.0 AS alpha_ratio,
+            round(length(regexp_replace(text, '[^\\p{N}]', '', 'g'))::DOUBLE / length(text), 6) + 0.0 AS digit_ratio,
+            round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / length(text), 6) + 0.0 AS punct_ratio
           FROM documents ORDER BY doc_id""",
     "asof_join" ->
       """WITH v AS (
@@ -1033,7 +1033,7 @@ object Pipeline extends QueryModule {
            FROM events WHERE event_type = 'click')
          SELECT c.event_id, c.user_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-           round(v.view_value, 2) AS view_value
+           round(v.view_value, 2) + 0.0 AS view_value
          FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
          ORDER BY c.event_id""",
     "asof_tolerance" ->
@@ -1050,7 +1050,7 @@ object Pipeline extends QueryModule {
          FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
          ORDER BY c.event_id""",
     "range_join" ->
-      """SELECT band_id, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+      """SELECT band_id, count(*) AS n, round(avg(p_retailprice), 6) + 0.0 AS avg_price
          FROM part
          JOIN (VALUES (CAST(0 AS BIGINT), 900.0, 920.0), (1, 920.0, 940.0),
                       (2, 940.0, 960.0), (3, 960.0, 980.0),
@@ -1069,7 +1069,7 @@ object Pipeline extends QueryModule {
              list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.99 ORDER BY i, j""",
+         SELECT i, j, round(cos, 6) + 0.0 AS cos FROM p WHERE cos >= 0.99 ORDER BY i, j""",
     "media_frames" ->
       """WITH f AS (
            SELECT doc_id, k AS frame_idx,
@@ -1172,7 +1172,7 @@ object Pipeline extends QueryModule {
           SELECT tr.doc_id,
             count(*) AS n_shingles,
             count(b.s) AS n_matched,
-            round(count(b.s)::DOUBLE / count(*), 6) AS overlap_frac,
+            round(count(b.s)::DOUBLE / count(*), 6) + 0.0 AS overlap_frac,
             (count(b.s)::DOUBLE / count(*)) >= 0.1 AS contaminated
           FROM tr LEFT JOIN bench b ON tr.s = b.s
           GROUP BY 1 ORDER BY 1""",
@@ -1185,7 +1185,7 @@ object Pipeline extends QueryModule {
          p AS (SELECT v AS pv, bk0 AS pb0, bk1 AS pb1 FROM b WHERE vec_id = 0)
          SELECT b.vec_id,
            round(list_dot_product(b.v, p.pv) /
-                 (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos
+                 (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) + 0.0 AS cos
          FROM b CROSS JOIN p
          WHERE b.vec_id <> 0
            AND (bit_count(xor(b.bk0, p.pb0)) <= 2 OR bit_count(xor(b.bk1, p.pb1)) <= 2)
@@ -1274,7 +1274,7 @@ object Pipeline extends QueryModule {
       """WITH p AS (SELECT embedding::DOUBLE[] pe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
            round(list_dot_product(e, pe) /
-                 (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) AS cos
+                 (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) + 0.0 AS cos
          FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0), p
          ORDER BY cos DESC, vec_id LIMIT 10""",
     "json_props" ->
@@ -1285,7 +1285,7 @@ object Pipeline extends QueryModule {
     "events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
                  '%Y-%m-%d %H:%M:%S') AS w_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           event_type, count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "mix_sources" ->
       s"""WITH cells AS (
@@ -1296,8 +1296,8 @@ object Pipeline extends QueryModule {
           tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) td,
                          CAST(sum(n_tokens) AS DOUBLE) tt FROM cells)
           SELECT source, lang, n_docs, n_tokens, n_chars,
-            round(n_docs / td, 6) AS doc_share,
-            round(n_tokens / tt, 6) AS token_share
+            round(n_docs / td, 6) + 0.0 AS doc_share,
+            round(n_tokens / tt, 6) + 0.0 AS token_share
           FROM cells CROSS JOIN tot
           ORDER BY source, lang""",
     "embed_quantize" ->
@@ -1313,7 +1313,7 @@ object Pipeline extends QueryModule {
          SELECT vec_id, qscale,
            md5(array_to_string(qv, ',')) AS q_md5,
            round(sqrt(list_sum([pow(v[i] - qv[i] * qscale, 2)
-                                for i in generate_series(1, len(v))]) / len(v)), 6) AS recon_rmse
+                                for i in generate_series(1, len(v))]) / len(v)), 6) + 0.0 AS recon_rmse
          FROM q ORDER BY vec_id""",
     "embed_clusters" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -1330,7 +1330,7 @@ object Pipeline extends QueryModule {
                                           ORDER BY ccos DESC, cent_id) rk FROM ac)
            WHERE rk = 1)
          SELECT cent_id AS cluster_id, count(*) AS n_vecs,
-           round(avg(ccos), 6) AS avg_cos, min(vec_id) AS min_vec
+           round(avg(ccos), 6) + 0.0 AS avg_cos, min(vec_id) AS min_vec
          FROM assigned GROUP BY 1 ORDER BY 1""",
     // Exact covariance payload recomputed with covar_pop; the
     // eigensolve's residual/orthonormality/trace checks are computed
@@ -1339,7 +1339,7 @@ object Pipeline extends QueryModule {
       """WITH idx AS (SELECT CAST(i AS INT) i FROM generate_series(1, 64) g(i)),
           p AS (SELECT a.i i, b.i j FROM idx a JOIN idx b ON a.i <= b.i)
           SELECT p.i AS i, p.j AS j,
-            round(covar_pop(embedding[p.i], embedding[p.j]), 6) AS cov,
+            round(covar_pop(embedding[p.i], embedding[p.j]), 6) + 0.0 AS cov,
             TRUE AS eig_ok
           FROM embeddings CROSS JOIN p
           GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -1352,7 +1352,7 @@ object Pipeline extends QueryModule {
           cnt AS (SELECT bg, count(*) c FROM bg GROUP BY 1),
           tot AS (SELECT CAST(sum(c) AS DOUBLE) t FROM cnt)
           SELECT doc_id, count(*) AS n_bigrams,
-            round(avg(ln(c / t)), 6) AS avg_logp
+            round(avg(ln(c / t)), 6) + 0.0 AS avg_logp
           FROM bg JOIN cnt USING (bg) CROSS JOIN tot
           GROUP BY 1 ORDER BY 1""",
     "kneser_ney" ->
@@ -1368,14 +1368,14 @@ object Pipeline extends QueryModule {
           tt AS (SELECT CAST(count(*) AS DOUBLE) tt FROM cnt)
           SELECT bg, CAST(c AS BIGINT) AS c,
             round(greatest(c - 0.75, 0) / c1 +
-                  (0.75 * nfwd / c1) * (nrev / tt), 6) AS p_kn
+                  (0.75 * nfwd / c1) * (nrev / tt), 6) + 0.0 AS p_kn
           FROM cnt JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN tt
           ORDER BY c DESC, bg LIMIT 30""",
     "events_hopping" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
                    - CAST(k AS INTEGER) * INTERVAL '10 minutes',
                  '%Y-%m-%d %H:%M:%S') AS w_start,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
          FROM events, generate_series(0, 2) g(k)
          GROUP BY 1 ORDER BY 1""")
 }

@@ -509,7 +509,7 @@ object Relational extends QueryModule {
   /** Shared between the Spark query and the DuckDB oracle verbatim. */
   val SqlQ3: String =
     """SELECT l_orderkey,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
        o_orderpriority
        FROM customer, orders, lineitem
        WHERE c_mktsegment = 'BUILDING'
@@ -521,7 +521,7 @@ object Relational extends QueryModule {
     * date range. Identical text on both engines. */
   val SqlQ5: String =
     """SELECT n_name,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue
        FROM customer, orders, lineitem, supplier, nation, region
        WHERE c_custkey = o_custkey
          AND l_orderkey = o_orderkey
@@ -551,7 +551,7 @@ object Relational extends QueryModule {
   /** TPC-H Q17 adapted (p_brand only; threshold 0.5*avg keeps the
     * result non-degenerate on this data). Identical text both engines. */
   val SqlQ17: String =
-    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly
        FROM lineitem, part
        WHERE p_partkey = l_partkey
          AND p_brand = 'Brand#4'
@@ -567,9 +567,9 @@ object Relational extends QueryModule {
     * is exact, so both engines round the identical value. */
   val SqlQ10: String =
     """SELECT c_custkey, c_name,
-       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2)
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) + 0.0
             AS DOUBLE) AS revenue,
-       round(c_acctbal, 2) AS c_acctbal, n_name
+       round(c_acctbal, 2) + 0.0 AS c_acctbal, n_name
        FROM customer, orders, lineitem, nation
        WHERE c_custkey = o_custkey
          AND l_orderkey = o_orderkey
@@ -584,8 +584,8 @@ object Relational extends QueryModule {
     * Identical text on both engines. */
   val SqlQ18: String =
     """SELECT c_name, c_custkey, o_orderkey,
-       round(o_totalprice, 2) AS o_totalprice,
-       round(sum(l_quantity), 2) AS sum_qty
+       round(o_totalprice, 2) + 0.0 AS o_totalprice,
+       round(sum(l_quantity), 2) + 0.0 AS sum_qty
        FROM customer, orders, lineitem
        WHERE o_orderkey IN (
            SELECT l_orderkey FROM lineitem
@@ -599,7 +599,7 @@ object Relational extends QueryModule {
     * bands), adapted to the synthetic brands/sizes. Identical text on
     * both engines. */
   val SqlQ19: String =
-    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue
        FROM lineitem, part
        WHERE p_partkey = l_partkey
          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
@@ -609,7 +609,7 @@ object Relational extends QueryModule {
   /** TPC-H Q2 (min-cost supplier argmin), adapted: lineitem unit price
     * stands in for ps_supplycost. Identical text on both engines. */
   val SqlQ2: String =
-    """SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+    """SELECT DISTINCT round(s_acctbal, 2) + 0.0 AS s_acctbal, s_name, n_name, p_partkey, p_name
        FROM part, supplier, lineitem, nation, region
        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
          AND p_type = 'STANDARD' AND p_size < 10
@@ -644,7 +644,7 @@ object Relational extends QueryModule {
     * data gives every customer at least one order, so plain "no
     * orders" would be empty). Identical text on both engines. */
   val SqlQ22: String =
-    """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) + 0.0 AS totacctbal
        FROM customer
        WHERE c_nationkey IN (1, 3, 7, 11, 14, 19)
          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
@@ -666,16 +666,16 @@ object Relational extends QueryModule {
     "sql_q18" -> SqlQ18,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+         round(sum(l_extendedprice), 2) + 0.0 AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS sum_disc_price,
+         round(avg(l_quantity), 6) + 0.0 AS avg_qty,
+         round(avg(l_discount), 6) + 0.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "join_star" ->
       """SELECT r_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -686,7 +686,7 @@ object Relational extends QueryModule {
     "join_left" ->
       """SELECT p_partkey, p_brand, coalesce(qty, 0.0) AS qty
          FROM part LEFT JOIN (
-           SELECT l_partkey, round(sum(l_quantity), 2) AS qty
+           SELECT l_partkey, round(sum(l_quantity), 2) + 0.0 AS qty
            FROM lineitem GROUP BY 1
          ) ON p_partkey = l_partkey
          ORDER BY p_partkey""",
@@ -708,7 +708,7 @@ object Relational extends QueryModule {
                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "sort_topk" ->
-      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_orderkey, round(o_totalprice, 2) + 0.0 AS o_totalprice
          FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10""",
     "distinct_pairs" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""",
@@ -727,8 +727,8 @@ object Relational extends QueryModule {
     "window_stats" ->
       """SELECT c_mktsegment, c_custkey,
          ntile(4) OVER w AS quartile,
-         round(percent_rank() OVER w, 6) AS pct_rank,
-         round(cume_dist() OVER w, 6) AS cume
+         round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+         round(cume_dist() OVER w, 6) + 0.0 AS cume
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
          ORDER BY c_mktsegment, c_custkey""",
@@ -756,14 +756,14 @@ object Relational extends QueryModule {
     "rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
          coalesce(l_linestatus, 'ALL') AS ls,
-         count(*) AS n, round(sum(l_quantity), 2) AS qty
+         count(*) AS n, round(sum(l_quantity), 2) + 0.0 AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
     "pivot_agg" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) + 0.0 AS F,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) + 0.0 AS O,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) + 0.0 AS P
          FROM orders GROUP BY 1 ORDER BY yr""",
     "cube_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -782,7 +782,7 @@ object Relational extends QueryModule {
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            round(sum(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice
-                          ELSE 0.0 END), 2) AS big_rev,
+                          ELSE 0.0 END), 2) + 0.0 AS big_rev,
            count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
     "array_funcs" ->
@@ -797,7 +797,7 @@ object Relational extends QueryModule {
     "grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
            coalesce(l_linestatus, 'ALL') AS ls,
-           count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+           count(*) AS n, round(sum(l_extendedprice), 2) + 0.0 AS rev
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY rf, ls""",
@@ -805,15 +805,15 @@ object Relational extends QueryModule {
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
            round(sum(l_extendedprice) OVER (
              PARTITION BY l_suppkey ORDER BY epoch(CAST(l_shipdate AS TIMESTAMP))
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trail_rev
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) + 0.0 AS trail_rev
          FROM lineitem
          ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""",
     "median_groups" ->
       """SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
-           round(quantile_cont(l_quantity, 0.25), 6) AS qty_q1,
-           round(quantile_cont(l_quantity, 0.75), 6) AS qty_q3,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
+           round(quantile_cont(l_quantity, 0.5), 6) + 0.0 AS qty_median,
+           round(quantile_cont(l_quantity, 0.25), 6) + 0.0 AS qty_q1,
+           round(quantile_cont(l_quantity, 0.75), 6) + 0.0 AS qty_q3,
+           round(quantile_cont(l_extendedprice, 0.5), 6) + 0.0 AS price_median
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "unpivot_long" ->
       """SELECT p_partkey, measure, value FROM (
@@ -827,7 +827,7 @@ object Relational extends QueryModule {
          count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "window_rank" ->
-      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) + 0.0 AS o_totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -837,12 +837,12 @@ object Relational extends QueryModule {
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
          round(sum(l_quantity) OVER (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0 AS running_qty
          FROM lineitem
          ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""",
     "join_salted" ->
       """SELECT o_orderpriority,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
          count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
@@ -853,7 +853,7 @@ object Relational extends QueryModule {
          length(o_orderpriority) AS prio_len,
          CAST(year(o_orderdate) AS INTEGER) AS yr,
          CAST(month(o_orderdate) AS INTEGER) AS mo,
-         round(abs(o_totalprice - 1000.0), 2) AS delta,
-         round(sqrt(o_totalprice), 6) AS sqrt_price
+         round(abs(o_totalprice - 1000.0), 2) + 0.0 AS delta,
+         round(sqrt(o_totalprice), 6) + 0.0 AS sqrt_price
          FROM orders ORDER BY o_orderkey""")
 }

@@ -376,12 +376,12 @@ object Scale extends QueryModule {
     "mix_temperature" ->
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
                      FROM documents GROUP BY 1),
-          w AS (SELECT source, n, round(pow(n, 0.7), 6) AS w FROM c),
+          w AS (SELECT source, n, round(pow(n, 0.7), 6) + 0.0 AS w FROM c),
           t AS (SELECT max(ps) AS sumw, max(nn) AS nn FROM
                  (SELECT sum(w) OVER (ORDER BY source) AS ps,
                          sum(n) OVER (ORDER BY source) AS nn FROM w)),
           r AS (SELECT source, n,
-                  round(least(1.0, 0.3 * nn * w / sumw / n), 6) AS rate
+                  round(least(1.0, 0.3 * nn * w / sumw / n), 6) + 0.0 AS rate
                 FROM w CROSS JOIN t),
           k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
                 FROM documents d JOIN r ON d.source = r.source
@@ -389,16 +389,16 @@ object Scale extends QueryModule {
                 GROUP BY 1)
           SELECT r.source, r.n AS n_docs,
                  CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
-                 round(coalesce(k.n_sampled, 0) * 1.0 / r.n, 6) AS achieved_rate
+                 round(coalesce(k.n_sampled, 0) * 1.0 / r.n, 6) + 0.0 AS achieved_rate
           FROM r LEFT JOIN k ON r.source = k.source
           ORDER BY r.source""",
     "layout_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS revenue
+                round(sum(o_totalprice), 2) + 0.0 AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "layout_partition_prune" ->
-      """SELECT user_id, count(*) AS n_purchases, round(sum(value), 2) AS purchase_value
+      """SELECT user_id, count(*) AS n_purchases, round(sum(value), 2) + 0.0 AS purchase_value
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
     "dq_audit" ->
@@ -423,7 +423,7 @@ object Scale extends QueryModule {
                       OR o_custkey NOT IN (SELECT c_custkey FROM customer)
                     THEN 1 ELSE 0 END) v FROM orders)
          SELECT "check", n_rows, CAST(n_violations AS BIGINT) AS n_violations,
-                round(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+                round(CAST(n_violations AS DOUBLE) / n_rows, 6) + 0.0 AS violation_rate
          FROM (
            SELECT 'orders.totalprice_positive' AS "check", n n_rows, v_price n_violations FROM o
            UNION ALL SELECT 'orders.status_domain', n, v_status FROM o

@@ -33,7 +33,7 @@ object TpchSuite extends QueryModule {
     * then one partial-agg merge. The cheapest possible TPC-H shape; at
     * 100 TB it is IO-bound and prunes row groups via min/max stats. */
   val SqlQ6: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    """SELECT round(sum(l_extendedprice * l_discount), 2) + 0.0 AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -46,7 +46,7 @@ object TpchSuite extends QueryModule {
     * nation-pair orientations filters after the broadcasts, and the
     * orders⋈lineitem⋈customer chain stays a keyed shuffle join. */
   val SqlQ7: String =
-    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) + 0.0 AS revenue
        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                     CAST(extract(YEAR FROM l_shipdate) AS INT) AS l_year,
                     l_extendedprice * (1.0 - l_discount) AS volume
@@ -72,7 +72,7 @@ object TpchSuite extends QueryModule {
   val SqlQ8: String =
     """SELECT o_year,
        round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0.0 END)
-             / sum(volume), 6) AS mkt_share
+             / sum(volume), 6) + 0.0 AS mkt_share
        FROM (SELECT CAST(extract(YEAR FROM o_orderdate) AS INT) AS o_year,
                     l_extendedprice * (1.0 - l_discount) AS volume,
                     n2.n_name AS nation
@@ -91,7 +91,7 @@ object TpchSuite extends QueryModule {
     * the broadcast side BEFORE the fact join, nation broadcasts, and the
     * lineitem⋈orders chain is the only shuffle. */
   val SqlQ9: String =
-    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    """SELECT nation, o_year, round(sum(amount), 2) + 0.0 AS sum_profit
        FROM (SELECT n_name AS nation,
                     CAST(extract(YEAR FROM o_orderdate) AS INT) AS o_year,
                     l_extendedprice * (1.0 - l_discount)
@@ -112,7 +112,7 @@ object TpchSuite extends QueryModule {
     * engine-stable. */
   val SqlQ11: String =
     """SELECT l_partkey AS ps_partkey,
-       round(sum(l_extendedprice * l_quantity), 2) AS value
+       round(sum(l_extendedprice * l_quantity), 2) + 0.0 AS value
        FROM lineitem, supplier, nation
        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
          AND n_name = 'NATION_7'
@@ -166,7 +166,7 @@ object TpchSuite extends QueryModule {
     """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                      THEN l_extendedprice * (1.0 - l_discount)
                                      ELSE 0.0 END)
-                    / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue
+                    / sum(l_extendedprice * (1.0 - l_discount)), 6) + 0.0 AS promo_revenue
        FROM lineitem, part
        WHERE l_partkey = p_partkey
          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -181,7 +181,7 @@ object TpchSuite extends QueryModule {
   val SqlQ15: String =
     """WITH revenue AS (
          SELECT l_suppkey AS supplier_no,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS total_revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -232,7 +232,7 @@ object TpchSuite extends QueryModule {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY l_partkey)
-       SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+       SELECT s_suppkey, s_name, round(s_acctbal, 2) + 0.0 AS acctbal
        FROM supplier
        WHERE s_suppkey IN (
          SELECT shipped.l_suppkey

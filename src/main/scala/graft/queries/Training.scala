@@ -475,7 +475,7 @@ object Training extends QueryModule {
                  FROM nrm WHERE length(norm) > 0),
           cnt AS (SELECT doc_id, c, count(*) k FROM ch WHERE c <> '' GROUP BY 1, 2),
           tot AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) n FROM cnt GROUP BY 1)
-          SELECT cnt.doc_id, round(-sum((k/n) * ln(k/n)), 6) AS char_entropy,
+          SELECT cnt.doc_id, round(-sum((k/n) * ln(k/n)), 6) + 0.0 AS char_entropy,
             count(*) AS n_distinct_chars
           FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
           GROUP BY 1, n ORDER BY 1""",
@@ -502,7 +502,7 @@ object Training extends QueryModule {
           SELECT source, n,
             CAST(count(DISTINCT g) AS BIGINT) AS types,
             CAST(count(*) AS BIGINT) AS total,
-            round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS ttr
+            round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS ttr
           FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "vocab_growth" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${Pipeline.toksSql}) t FROM documents),
@@ -541,8 +541,8 @@ object Training extends QueryModule {
             WHERE tok <> '' GROUP BY 1, 2),
           w(bucket, w) AS (VALUES $weightRows)
           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-            round(sum(cnt * w), 6) AS dot,
-            round(1.0 / (1.0 + exp(-(sum(cnt * w) / sum(cnt) + 0.125))), 6) AS quality_score
+            round(sum(cnt * w), 6) + 0.0 AS dot,
+            round(1.0 / (1.0 + exp(-(sum(cnt * w) / sum(cnt) + 0.125))), 6) + 0.0 AS quality_score
           FROM f JOIN w USING (bucket)
           GROUP BY 1 ORDER BY 1"""
     },

@@ -76,14 +76,14 @@ object Typed extends QueryModule {
   val oracle: Map[String, String] = Map(
     "typed_revenue" ->
       """SELECT l_returnflag AS rf,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
          count(*) AS n
          FROM lineitem
          WHERE l_quantity > 10.0 AND l_discount < 0.05
          GROUP BY 1 ORDER BY 1""",
     "typed_group_stats" ->
       """SELECT o_custkey, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS spend,
-         round(max(o_totalprice), 2) AS top_order
+         round(sum(o_totalprice), 2) + 0.0 AS spend,
+         round(max(o_totalprice), 2) + 0.0 AS top_order
          FROM orders GROUP BY 1 ORDER BY 1""")
 }
