@@ -25,6 +25,104 @@ object Dedup {
     * which computes the UNCUT exact Jaccard, is unchanged. */
   val HotShingleCutoff: Long = 500L
 
+  /** Corpus-size gate for the AUTO hot-shingle cutoff (and for the
+    * prefix-path dispatch in [[nearDupPairs]]): below this many
+    * documents the fixed `maxDocFreq` argument is used as-is, so the
+    * sf0.01/sf0.1 oracle fixtures stay bit-identical to the uncut
+    * DuckDB recomputation. Above it, one cheap df-histogram pass
+    * derives the cutoff from the DATA (SCALING.md round-9: the fixed
+    * cutoff silently fails to engage exactly when the df distribution
+    * shifts under it — max df 377 < 500 at 30x left 1.13B candidate
+    * pairs). */
+  val AutoCutoffMinDocs: Long = 50000L
+
+  /** Pair-mass budget per document for the auto cutoff: the cutoff is
+    * the largest df whose cumulative Σ df·(df−1)/2 over all rarer
+    * shingles stays within `budget = this × n_docs`. 200 pairs/doc
+    * keeps the candidate stage linear-ish in corpus size (30M pairs at
+    * 150k docs vs the measured 1.13B uncut). */
+  val AutoCutoffPairBudgetPerDoc: Long = 200L
+
+  /** The auto cutoff never drops below this df: shingles shared by a
+    * handful of documents ARE the near-dup signal, so even a blown
+    * budget keeps them (the budget is a target, not a contract). */
+  val AutoCutoffFloor: Long = 8L
+
+  /** Largest doc frequency whose cumulative pair mass fits the budget.
+    * `hist` is (df value → number of shingles at that df) — tiny
+    * (distinct df values), safe to fold on the driver. */
+  private[graft] def autoDocFreqCutoff(hist: Seq[(Long, Long)], nDocs: Long,
+      pairBudgetPerDoc: Long = AutoCutoffPairBudgetPerDoc): Long = {
+    val budget = pairBudgetPerDoc.toDouble * nDocs
+    var cum = 0.0
+    var cut = 1L
+    var stopped = false
+    for ((dfv, cnt) <- hist.sortBy(_._1) if !stopped) {
+      val mass = cnt.toDouble * dfv.toDouble * (dfv - 1).toDouble / 2.0
+      // largest prefix of the ascending-df histogram that fits; once a
+      // band overflows, every later band would too (cumulative mass)
+      if (cum + mass <= budget) { cum += mass; cut = dfv }
+      else stopped = true
+    }
+    math.max(cut, AutoCutoffFloor)
+  }
+
+  /** Corpus-size gate above which [[nearDupPairs]] routes the exact
+    * near-dup join through the prefix-filtered All-Pairs path instead
+    * of the full posting-list join. Both paths are EXACT at the
+    * threshold (DedupSpec pins pairwise equality), so the dispatch is
+    * purely a plan choice: the prefix join runs its pair stage on
+    * ~t-fraction of the index mass with rarest-first keys — the
+    * measured 10x win at t=0.8 (SCALING.md round 9) — but pays two
+    * extra linear shuffles, which is the wrong trade for small inputs. */
+  val PrefixPathMinDocs: Long = 50000L
+
+  /** Exact n-gram Jaccard near-dup pairs with a size-dispatched plan:
+    * the inverted-index join below [[PrefixPathMinDocs]] documents, the
+    * prefix-filtered All-Pairs join above it. Results are identical;
+    * composite pipelines (curation_keep, split_cluster_safe) call THIS
+    * so they inherit the scale path without re-plumbing. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Long = 0L,
+                   prefixGateDocs: Long = PrefixPathMinDocs,
+                   autoGateDocs: Long = AutoCutoffMinDocs): DataFrame = {
+    val nDocs = df.count()
+    if (nDocs >= prefixGateDocs)
+      nearDupPairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq,
+        autoGateDocs, docCount = nDocs)
+    else
+      nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq,
+        autoGateDocs, docCount = nDocs)
+  }
+
+  /** Resolve the cutoff a near-dup run actually applies: below the
+    * gate the caller's fixed `maxDocFreq` passes through unchanged
+    * (fixture/oracle bit-exactness); above it, one COUNT-ONLY df pass
+    * over the exploded shingles (no posting arrays — a fraction of the
+    * pair stage it protects) derives the data-driven cutoff, never
+    * looser than the caller's. The engaged cutoff and the dropped
+    * shingle-key/pair mass are reported on stderr so production runs
+    * can see the guard fire instead of inferring it from runtimes. */
+  private def resolveCutoff(exploded: DataFrame, nDocs: Long, userCutoff: Long,
+                            autoGateDocs: Long, tag: String): Long = {
+    if (nDocs < autoGateDocs) userCutoff
+    else {
+      val hist = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .groupBy(col("df")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val auto = autoDocFreqCutoff(hist, nDocs)
+      val eff = if (userCutoff > 0) math.min(auto, userCutoff) else auto
+      val dropped = hist.collect { case (d, c) if d > eff => c }.sum
+      val droppedMass = hist.collect { case (d, c) if d > eff =>
+        c.toDouble * d.toDouble * (d - 1).toDouble / 2 }.sum
+      System.err.println(f"[graft-dedup] $tag: auto hot-shingle cutoff " +
+        f"df<=$eff engaged at $nDocs docs (dropped $dropped shingle " +
+        f"keys, ~$droppedMass%.3g candidate pairs)")
+      eff
+    }
+  }
+
   /** Exact duplicate groups by normalized-content MD5. Returns one row
     * per duplicated fingerprint: (fp, n_copies, keep_id = min id).
     * Map-side partial aggregation; the shuffle carries one row per
@@ -74,7 +172,10 @@ object Dedup {
     * cutoff) results are bit-identical to the exact oracle. */
   def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Long = 0L): DataFrame = {
+                        maxDocFreq: Long = 0L,
+                        autoGateDocs: Long = AutoCutoffMinDocs,
+                        docCount: Long = -1L): DataFrame = {
+    val nDocs = if (docCount >= 0) docCount else df.count()
     // repartition spreads the per-document shingle computation across
     // cores/executors (a small parquet file is otherwise ONE input
     // partition doing all the interpreted HOF work) and acts as a
@@ -114,10 +215,15 @@ object Dedup {
     // — bounded and droppable. Only beyond df~10^7 would the buffer
     // itself hurt, at which point pre-filtering against a profiled hot
     // set is the escalation.
+    // Above the gate the histogram pass recomputes the shingle chain
+    // once (linear) — an acceptable price exactly where the quadratic
+    // pair mass it bounds dominates; below the gate it costs nothing.
+    val cutoff = resolveCutoff(exploded, nDocs, maxDocFreq, autoGateDocs,
+      "nearDupPairsExact")
     exploded.groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
       .filter(size(col("ds")) >= 2 &&
-        (if (maxDocFreq > 0) size(col("ds")) <= maxDocFreq else lit(true)))
+        (if (cutoff > 0) size(col("ds")) <= cutoff else lit(true)))
       .select(explode_outer(expr(
         """flatten(transform(ds, (x, i) ->
              transform(slice(ds, i + 2, size(ds)), y ->
@@ -155,10 +261,49 @@ object Dedup {
     * a candidate->shingle-set verify join, all linear in corpus size —
     * the trade that wins whenever pair mass dominates, i.e. at scale.
     * Docs whose prefix length is <= 0 cannot reach the threshold
-    * (c <= n_cold < t*|A| bounds jac below t) and drop out early. */
+    * (c <= n_cold < t*|A| bounds jac below t) and drop out early.
+    *
+    * Cache discipline: the corpus-sized `byDoc` intermediate (one row
+    * per doc carrying its full shingle array) is persisted for the
+    * three consumers inside ONE job, then released as soon as the
+    * (pair-sized, far smaller) result has materialized — so repeated
+    * calls in a long-lived session do not accumulate corpus-sized disk
+    * cache entries. The RETURNED frame is persisted (DISK_ONLY);
+    * callers that are fully done with it may `unpersist()` it, or use
+    * [[withPrefixPairs]] for scoped deterministic release (the
+    * PageRank.withRanks pattern). */
   def nearDupPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5,
-                         maxDocFreq: Long = 0L): DataFrame = {
+                         maxDocFreq: Long = 0L,
+                         autoGateDocs: Long = AutoCutoffMinDocs,
+                         docCount: Long = -1L): DataFrame = {
+    val (res, pinned) = nearDupPairsPrefixPinned(df, idCol, textCol, n,
+      threshold, maxDocFreq, autoGateDocs, docCount)
+    // Materialize the small pair output once, then drop the corpus-
+    // sized byDoc cache; only the result frame stays pinned.
+    res.count()
+    pinned.foreach(_.unpersist(blocking = true))
+    res
+  }
+
+  /** Scoped variant: runs `action` over the prefix near-dup pairs and
+    * releases EVERY cache (including the result) before returning. */
+  def withPrefixPairs[T](df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxDocFreq: Long = 0L)(action: DataFrame => T): T = {
+    val (res, pinned) = nearDupPairsPrefixPinned(df, idCol, textCol, n, threshold, maxDocFreq)
+    try action(res)
+    finally (res +: pinned).foreach(_.unpersist(blocking = true))
+  }
+
+  /** Core build: returns (persisted pair result, pinned intermediates).
+    * Callers own the release of both — see the two wrappers above. */
+  def nearDupPairsPrefixPinned(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 3, threshold: Double = 0.5,
+                               maxDocFreq: Long = 0L,
+                               autoGateDocs: Long = AutoCutoffMinDocs,
+                               docCount: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val nDocs = if (docCount >= 0) docCount else df.count()
     val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
     val exploded = d.select(col("doc_id"), size(col("sh")).as("nsh"),
         explode_outer(col("sh")).as("s"))
@@ -167,10 +312,15 @@ object Dedup {
     // hot-shingle cutoff drops boilerplate lists here exactly as in
     // nearDupPairsExact (denominators below stay the FULL nsh, so
     // results are bit-identical to the uncut oracle at any df profile
-    // below the cutoff).
+    // below the cutoff). Above the auto gate the cutoff is derived
+    // from the df histogram (see resolveCutoff) — here it bounds the
+    // PREFIX posting lists too, since those are a subset of the full
+    // lists this filter caps.
+    val cutoff = resolveCutoff(exploded, nDocs, maxDocFreq, autoGateDocs,
+      "nearDupPairsPrefix")
     val withDf = exploded.groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
-      .filter(if (maxDocFreq > 0) size(col("ds")) <= maxDocFreq else lit(true))
+      .filter(if (cutoff > 0) size(col("ds")) <= cutoff else lit(true))
       .select(col("s"), size(col("ds")).as("df"), explode(col("ds")).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.nsh").as("nsh"),
         col("df"), col("s"))
@@ -227,7 +377,7 @@ object Dedup {
     // spilling past the machine's free disk. Streaming candidates
     // through two byDoc-built hash joins touches each candidate row
     // twice with no sort and no array reordering.
-    cands
+    val res = cands
       .join(byDoc.select(col("doc_id").as("i"), col("ss").as("sa"))
         .hint("shuffle_hash"), "i")
       .join(byDoc.select(col("doc_id").as("j"), col("ss").as("sb"))
@@ -236,6 +386,8 @@ object Dedup {
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    (res, Seq(byDoc))
   }
 
   /** Content-defined chunking (the LBFS/rsync principle applied to

@@ -208,6 +208,9 @@ object PageRank {
     // action, which PageRank deliberately avoids — the caller's single
     // action materializes the whole chain bottom-up.
     val nn = nodes.count()
+    // An empty edge list would otherwise surface as a raw
+    // ArithmeticException from Scale / nn at plan-build time.
+    require(nn > 0, "pagerank: empty node set (no edges)")
     var rank = nodes
       .select(col("node"), lit(Scale / nn).as("rank"))
     val base = (15L * (Scale / nn)) / 100L

@@ -259,7 +259,9 @@ case class WordNgramsExpr(child: Expression, n: Int)
   * hash, mod 1e9+7, Horner with mod at each step) is chosen so external
   * engines reproduce chunk strings bit-for-bit in plain SQL (the
   * `cdc_chunks` oracle). A cut at the very last token is suppressed
-  * (it would produce an empty tail chunk). */
+  * (it would produce an empty tail chunk). Arrays shorter than the
+  * hash window `w` come back as ONE whole-array chunk (no boundary can
+  * fire), so no document content is ever silently dropped. */
 case class CdcChunksExpr(child: Expression, w: Int, divisor: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
@@ -275,8 +277,16 @@ case class CdcChunksExpr(child: Expression, w: Int, divisor: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val num = arr.numElements()
-    if (num < w) new GenericArrayData(Array.empty[Any])
-    else {
+    if (num == 0) new GenericArrayData(Array.empty[Any])
+    else if (num < w) {
+      // Shorter than one hash window: no boundary can fire, so the
+      // whole token array is a single chunk. (Returning [] here would
+      // silently DROP the document's content for direct SQL users; the
+      // DuckDB oracle and Dedup.contentDefinedChunks agree on this.)
+      val sep = UTF8String.fromString(" ")
+      val toks = (0 until num).map(arr.getUTF8String)
+      new GenericArrayData(Array[Any](UTF8String.concatWs(sep, toks: _*)))
+    } else {
       val toks = new Array[UTF8String](num)
       val th = new Array[Long](num)
       var i = 0

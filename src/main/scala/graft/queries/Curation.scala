@@ -24,7 +24,7 @@ object Curation extends QueryModule {
     // round, diameter-bounded (see ConnectedComponents). The DuckDB
     // oracle recomputes the closure with a recursive CTE.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
         maxDocFreq = Dedup.HotShingleCutoff)
       ConnectedComponents.connectedComponents(pairs, "i", "j")
         .withColumnRenamed("node", "doc_id")
@@ -47,7 +47,7 @@ object Curation extends QueryModule {
     // the only spill at the 10x scale validation (SCALING.md).
     "cluster_keep_best" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
         maxDocFreq = Dedup.HotShingleCutoff)
       val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
       val w = Window.partitionBy(col("cluster"))
@@ -67,7 +67,7 @@ object Curation extends QueryModule {
     // implementations are verified against the same recursive-CTE
     // oracle, on the real near-dup graph.
     "dedup_clusters_star" -> ((s, dir) => {
-      val pairs = Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
         maxDocFreq = Dedup.HotShingleCutoff)
       ConnectedComponents.connectedComponentsStar(pairs, "i", "j")
         .withColumnRenamed("node", "doc_id")
@@ -295,7 +295,7 @@ object Curation extends QueryModule {
     // across aliased branches).
     "graph_triangles" -> ((s, dir) =>
       Triangles.perNodeCounts(
-        Dedup.nearDupPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+        Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text",
           maxDocFreq = Dedup.HotShingleCutoff), "i", "j")
         .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))),
@@ -656,7 +656,7 @@ object Curation extends QueryModule {
     // audited pair/CC machinery plus one sparse per-cluster window.
     "dedup_attrition" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
         maxDocFreq = Dedup.HotShingleCutoff)
       val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")
       val keyed = docs.join(labels, col("doc_id") === col("node"))
@@ -690,7 +690,7 @@ object Curation extends QueryModule {
     // with the persist the pass runs once).
     "split_cluster_safe" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
         maxDocFreq = Dedup.HotShingleCutoff)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val labels = ConnectedComponents.connectedComponents(pairs, "i", "j")

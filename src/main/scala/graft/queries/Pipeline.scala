@@ -156,7 +156,7 @@ object Pipeline extends QueryModule {
     // projection), so Catalyst sees and optimizes the whole thing.
     "curation_keep" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val nearDupJ = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+      val nearDupJ = Dedup.nearDupPairs(docs, "doc_id", "text",
           maxDocFreq = Dedup.HotShingleCutoff)
         .select(col("j").as("doc_id")).distinct()
       val t = tokens(col("text"))

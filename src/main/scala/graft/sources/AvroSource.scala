@@ -122,6 +122,18 @@ object AvroSource {
     val schema = df.schema
     val avroJson = toAvroSchema(schema, "graft_row").toString
     new File(dir).mkdirs()
+    // A fully-empty DataFrame has only empty partitions, which executors
+    // skip below — without this driver-side schema-only container the
+    // directory would hold zero files and a subsequent read/readSchema
+    // would fail with "no .avro files" instead of an empty frame.
+    if (df.isEmpty) {
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSchema))
+      w.create(avroSchema, new File(dir, "part-00000.avro"))
+      w.close()
+      return
+    }
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val avroSchema = new Schema.Parser().parse(avroJson)
@@ -144,9 +156,16 @@ object AvroSource {
   /** List the .avro files of `dir` (or accept a single file path). */
   def listFiles(path: String): Seq[String] = {
     val f = new File(path)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".avro")).map(_.getPath).sorted.toSeq
-    else Seq(path)
+    if (f.isDirectory) {
+      // File.listFiles returns null on IO error (e.g. permission loss
+      // between isDirectory and the scan) — fail with the path, not an NPE.
+      val children = Option(f.listFiles()).getOrElse(
+        throw new java.io.IOException(s"graft-avro: cannot list directory $path"))
+      val avro = children.filter(_.getName.endsWith(".avro")).map(_.getPath).sorted.toSeq
+      require(avro.nonEmpty, s"graft-avro: no .avro files under $path")
+      avro
+    } else if (f.isFile) Seq(path)
+    else throw new java.io.FileNotFoundException(s"graft-avro: no such path $path")
   }
 
   /** Schema of an Avro container file, as Spark types. */

@@ -74,6 +74,46 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("autoDocFreqCutoff picks the largest df prefix within the pair budget") {
+    // hist: df -> n_shingles. masses: df=2 -> 100*1=100 pairs,
+    // df=10 -> 10*45=450, df=100 -> 2*4950=9900, df=1000 -> 1*499500.
+    val hist = Seq((2L, 100L), (10L, 10L), (100L, 2L), (1000L, 1L))
+    // budget 200/doc * 60 docs = 12000: fits through df=100 (10450),
+    // not df=1000 -> cutoff 100
+    assert(Dedup.autoDocFreqCutoff(hist, nDocs = 60) == 100L)
+    // budget 200*2=400: fits only df=2 (100); df=10 would reach 550.
+    // The FLOOR (8) overrides the too-tight budget answer of 2.
+    assert(Dedup.autoDocFreqCutoff(hist, nDocs = 2) == Dedup.AutoCutoffFloor)
+    // huge budget: nothing cut — cutoff is the max df present
+    assert(Dedup.autoDocFreqCutoff(hist, nDocs = 1000000) == 1000L)
+  }
+
+  test("auto cutoff engaged above the gate leaves fixture pairs unchanged") {
+    // Force the auto path (gate=1): on this corpus every df is far
+    // below the floor, so cut == uncut must hold bit-for-bit — the
+    // contract that keeps the registered oracles exact at fixture scale.
+    val uncut = Dedup.nearDupPairsExact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = Dedup.nearDupPairsExact(corpus, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff, autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == uncut)
+    val autoPfx = Dedup.nearDupPairsPrefix(corpus, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff, autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(autoPfx == uncut)
+  }
+
+  test("nearDupPairs dispatches by corpus size; both routes agree") {
+    val viaExact = Dedup.nearDupPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        prefixGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaExact == viaPrefix)
+    assert(viaExact.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("incremental dedup matches the increment against the corpus, never corpus x corpus") {
     val increment = Seq(
       (101L, "the quick brown fox jumps over the lazy dog and runs far away home again"), // ~= 1

@@ -212,4 +212,17 @@ class NativeExprSpec extends SparkSpecBase {
     assert(realigned == rows("a").size - 1,
       s"only $realigned of ${rows("a").size - 1} tail chunks realigned")
   }
+
+  test("cdc_chunks keeps sub-window documents as one whole chunk") {
+    import spark.implicits._
+    // shorter than the w=4 hash window: no boundary can fire, but the
+    // content must NOT be dropped (it used to come back as [])
+    val got = Seq(("s", "just three tokens"), ("e", ""))
+      .toDF("id", "text")
+      .select(col("id"), org.apache.spark.sql.graft.NativeExpressions
+        .cdcChunks(array_remove(split(col("text"), " "), ""), 4, 16).as("chunks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("s") == Seq("just three tokens"))
+    assert(got("e") == Seq.empty)
+  }
 }
