@@ -712,6 +712,65 @@ object Curation extends QueryModule {
         .orderBy(col("split"))
     }),
 
+    // The COMPOSED end-to-end curation pipeline, v2 — the round-9
+    // operators chained in one declarative plan (the curation_keep
+    // discipline, widened): temperature-scaled source mixing →
+    // size-dispatched exact near-dup removal → DSIR importance scoring
+    // over the survivors → leakage-safe train/val/test split →
+    // per-(split, source) sign-off report. Chaining proves the
+    // operators compose without materialization barriers: Catalyst
+    // sees mix filter, anti-join, scoring joins and split projection
+    // as ONE optimizable tree (the near-dup pair derivation inside
+    // nearDupPairs is the only eager boundary, by design).
+    //
+    // Why a PLAIN hash split is leakage-safe here, where split_assign
+    // alone is not: dropping the higher-id member `j` of EVERY
+    // qualifying pair leaves a set in which no two surviving documents
+    // are near-dups (any surviving pair would have its j dropped —
+    // contradiction), so there is no cluster to keep together. The
+    // split key is SALTED ('split:' prefix): the mix stage already
+    // consumed the raw md5(doc_id) draw, and reusing it would pile
+    // every mixed-in survivor into 'train' (kept docs all have small
+    // draws by construction).
+    "curation_pipeline_v2" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val mixed = Sampling.temperatureMix(docs, col("doc_id"), col("source"),
+        alpha = 0.7, targetFraction = 0.3)
+      val dupJ = Dedup.nearDupPairs(mixed, "doc_id", "text",
+          maxDocFreq = Dedup.HotShingleCutoff)
+        .select(col("j").as("doc_id")).distinct()
+      val kept = mixed.join(dupJ, Seq("doc_id"), "left_anti")
+      // DSIR over the deduped survivors (dsir_select semantics, but the
+      // raw/target models are fit on the KEPT set — score with what you
+      // ship, not with what you discarded)
+      val ktok = kept.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("t"))
+      val cRaw = ktok.groupBy(col("t")).agg(count(lit(1)).as("cr"))
+      val cTgt = ktok.filter(col("source") === "src0")
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val tot = cRaw.agg(sum(col("cr")).cast("double").as("nraw"),
+        count(lit(1)).cast("double").as("v"))
+      val ttot = cTgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("ntgt"))
+      val lam = cRaw.join(cTgt, Seq("t"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ttot))
+        .select(col("t"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ntgt") + col("v"))) -
+            log((col("cr") + lit(1.0)) / (col("nraw") + col("v")))).as("lam"))
+      val scored = ktok.join(lam, "t")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_toks"), round(avg(col("lam")), 6).as("dsir"))
+      val sp = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+      scored
+        .withColumn("split",
+          when(sp < "cccc", "train").when(sp < "e666", "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_toks"),
+          round(avg(col("dsir")), 6).as("avg_dsir"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("split"), col("source"))
+    }),
+
     // Corpus-lineage diagnostic: pairwise 8-gram Jaccard BETWEEN
     // SOURCES — which crawl shards are re-serving each other's content.
     // Scale shape: distinct (source, shingle) pairs, then a
@@ -980,6 +1039,13 @@ object Curation extends QueryModule {
     * it for the synthetic increment). */
   private def toksOf(textExpr: String): String =
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
+
+  /** DuckDB integer md5 draw in [0, 65536): first 4 hex chars of
+    * md5(key) as a number (the Sampling membership convention). */
+  private def md5DrawOf(keySql: String): String =
+    (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($keySql), $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
     // The sketch estimates themselves are engine-specific; the oracle
@@ -1430,6 +1496,67 @@ object Curation extends QueryModule {
             CAST(sum(n_chars) AS BIGINT) AS total_chars, leaked_pairs
           FROM sp CROSS JOIN cross_pairs
           GROUP BY split, leaked_pairs ORDER BY split""",
+    // The full composed pipeline, stage by stage: mix rates with the
+    // engineered op order (6-dp pow, ordered prefix-sum fold, 6-dp
+    // rate, integer threshold), exact 3-gram Jaccard pairs over the
+    // MIXED subset only, drop every pair's j, DSIR log-ratios fit on
+    // the survivors, salted split hash, two-stage 6-dp rounding of the
+    // score aggregate exactly as the Spark side rounds.
+    "curation_pipeline_v2" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1),
+          w AS (SELECT source, n, round(pow(n, 0.7), 6) + 0.0 AS w FROM c),
+          tt AS (SELECT max(ps) AS sumw, max(nn) AS nn FROM
+                  (SELECT sum(w) OVER (ORDER BY source) AS ps,
+                          sum(n) OVER (ORDER BY source) AS nn FROM w)),
+          r AS (SELECT source,
+                  round(least(1.0, 0.3 * nn * w / sumw / n), 6) + 0.0 AS rate
+                FROM w CROSS JOIN tt),
+          mixed AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE ${md5DrawOf("CAST(d.doc_id AS VARCHAR)")} <
+                  CAST(floor(rate * 65536.0) AS BIGINT)),
+          mt AS (SELECT doc_id, source, ${Pipeline.toksSql} toks FROM mixed),
+          msh AS (SELECT doc_id,
+                    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                          for i in generate_series(1, len(toks) - 2)])) s
+                  FROM mt WHERE len(toks) >= 3),
+          msizes AS (SELECT doc_id, count(*) n FROM msh GROUP BY 1),
+          mpairs AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+                     FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+          dropped AS (
+            SELECT DISTINCT j FROM mpairs
+            JOIN msizes na ON na.doc_id = mpairs.i
+            JOIN msizes nb ON nb.doc_id = mpairs.j
+            WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5),
+          ktok AS (SELECT doc_id, source, unnest(toks) t FROM mt
+                   WHERE doc_id NOT IN (SELECT j FROM dropped)),
+          craw AS (SELECT t, count(*) cr FROM ktok GROUP BY 1),
+          ctgt AS (SELECT t, count(*) ct FROM ktok
+                   WHERE source = 'src0' GROUP BY 1),
+          tot AS (SELECT CAST(sum(cr) AS DOUBLE) nraw,
+                         CAST(count(*) AS DOUBLE) v FROM craw),
+          ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) ntgt FROM ctgt),
+          lam AS (SELECT craw.t,
+                    ln((coalesce(ct, 0) + 1.0) / (ntgt + v)) -
+                    ln((cr + 1.0) / (nraw + v)) AS lam
+                  FROM craw LEFT JOIN ctgt ON craw.t = ctgt.t
+                  CROSS JOIN tot CROSS JOIN ttot),
+          scored AS (SELECT doc_id, source, count(*) n_toks,
+                       round(avg(lam), 6) + 0.0 AS dsir
+                     FROM ktok JOIN lam ON ktok.t = lam.t GROUP BY 1, 2),
+          sp AS (SELECT *,
+                   CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM scored)
+          SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_toks,
+            round(avg(dsir), 6) + 0.0 AS avg_dsir,
+            min(doc_id) AS min_doc
+          FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
     "pmi_bigrams" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          f AS (SELECT * FROM s WHERE len(w) >= 2),

@@ -92,7 +92,8 @@ class PlanAuditSpec extends SparkSpecBase {
         n == "lang_id" || n == "pmi_bigrams" || n == "novelty_score" ||
         n == "ann_ivf_rerank" || n == "split_cluster_safe" ||
         n == "dedup_attrition" || n == "shard_rebalance" ||
-        n == "bpe_fertility" || n == "pack_efficiency"
+        n == "bpe_fertility" || n == "pack_efficiency" ||
+        n == "curation_pipeline_v2"
     }.toSeq.sorted
     assert(names.size >= 40, s"sweep unexpectedly small: $names")
     val dirty = names.filterNot { n =>

@@ -112,4 +112,33 @@ class TrainingSpec extends SparkSpecBase {
     val again = Training.queries("quota_sample")(spark, sfDir)
     assert(q.exceptAll(again).count() == 0 && again.exceptAll(q).count() == 0)
   }
+
+  test("curation_pipeline_v2: stage counts reconcile against the standalone operators") {
+    import graft.operators.{Dedup, Sampling}
+    val out = SparkEntry.queries("curation_pipeline_v2")(spark, sfDir).collect()
+    // the split column is exactly the three-way partition
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // total docs in the report == mixed survivors minus near-dup drops
+    // (every kept doc has >= 1 token on this fixture, so none vanish
+    // from the scoring join)
+    val docs = Tables(spark, sfDir, "documents")
+    val mixed = Sampling.temperatureMix(docs, col("doc_id"), col("source"),
+      alpha = 0.7, targetFraction = 0.3)
+    val nMixed = mixed.count()
+    val nDropped = Dedup.nearDupPairs(mixed, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff)
+      .select(col("j")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == nMixed - nDropped,
+      s"report=${out.map(_.getLong(2)).sum} mixed=$nMixed dropped=$nDropped")
+    // survivors are pairwise non-near-dup, so the plain salted-hash
+    // split is leakage-free BY CONSTRUCTION: no qualifying pair can
+    // have both endpoints alive
+    val kept = mixed.join(
+      Dedup.nearDupPairs(mixed, "doc_id", "text",
+        maxDocFreq = Dedup.HotShingleCutoff).select(col("j").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val survivorPairs = Dedup.nearDupPairs(kept, "doc_id", "text",
+      maxDocFreq = Dedup.HotShingleCutoff).count()
+    assert(survivorPairs == 0L, s"$survivorPairs near-dup pairs survived dedup")
+  }
 }
