@@ -132,11 +132,13 @@ object SimilaritySearch {
 
   /** IVF (inverted-file) batch ANN — the other classic scale path next
     * to LSH (ref: the brief's "IVF or LSH-bucketed variant"; public
-    * design: Faiss IVFFlat). The coarse quantizer is a deterministic
-    * hash-ordered sample of the corpus itself (`nlist` seed centroids
-    * by md5(id) order — no k-means iteration, so the whole index is
-    * reproducible across engines and the DuckDB oracle can rebuild it
-    * bit-for-bit). Spherical assignment: every vector joins its argmax-
+    * design: Faiss IVFFlat). The coarse quantizer is a k-means
+    * codebook: `nlist` hash-ordered seed vectors (smallest md5(id))
+    * refined by [[LloydIters]] deterministic Lloyd rounds
+    * ([[lloydCentroids]]) — every step 6-dp rounded with id tiebreaks,
+    * so the whole index is reproducible across engines and the DuckDB
+    * oracle rebuilds the identical iterations bit-for-bit.
+    * Spherical assignment: every vector joins its argmax-
     * cosine centroid's inverted list (exactly one list per vector).
     * A probe searches only its `nprobe` best lists, then exact-cosine
     * rerank + per-probe top-k.
@@ -155,7 +157,7 @@ object SimilaritySearch {
                     corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvf: nprobe must be <= nlist")
-    val cents = hashCentroids(corpus, idCol, vecCol, nlist)
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
     val probeLists = bestLists(probes, cents, probeIdCol, vecCol, nprobe)
@@ -170,14 +172,15 @@ object SimilaritySearch {
   }
 
   /** The deterministic IVF coarse quantizer on its own: every vector
-    * labeled with its nearest hash-sampled centroid — flat "k-means
-    * without the iterations" clustering for corpus structure analysis
-    * (per-cluster profiles, mixture balancing, shard assignment).
-    * Centroids broadcast; the corpus is scanned once and never
-    * shuffled. Returns (idCol, cluster_id, cent_cos). */
+    * labeled with its nearest k-means centroid (hash-seeded codebook
+    * refined by [[LloydIters]] Lloyd rounds) — flat clustering for
+    * corpus structure analysis (per-cluster profiles, mixture
+    * balancing, shard assignment). Centroids broadcast; the corpus is
+    * scanned once per round and never shuffled.
+    * Returns (idCol, cluster_id, cent_cos). */
   def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int = 16): DataFrame = {
-    val cents = hashCentroids(corpus, idCol, vecCol, nlist)
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv"))
       .crossJoin(broadcast(cents))
       .select(col("_mid"), col("_cent_id"),
@@ -189,10 +192,58 @@ object SimilaritySearch {
         col("_mcos").as("cent_cos"))
   }
 
+  /** Lloyd rounds the IVF codebook trains with by default. Two rounds
+    * capture most of the inertia drop (empirically the elbow on the
+    * fixture corpus) while keeping the oracle SQL unrolled and cheap. */
+  val LloydIters: Int = 2
+
+  /** k-means refinement of the hash-seeded codebook: `iters` Lloyd
+    * rounds, each ONE broadcast-centroid corpus scan (assignment by
+    * 6-dp rounded cosine, cent_id tiebreak) + ONE mergeable
+    * (1+d)-double-per-cluster moment aggregate (vecSumAgg — the sum()
+    * shuffle shape; the corpus itself is never shuffled). Only the
+    * nlist x d model crosses the driver boundary between rounds.
+    *
+    * Engine-portable by construction: new centroid components are
+    * rounded to 6 dp each round THROUGH SPARK'S OWN round (so the
+    * DuckDB oracle's `round(sum(v[i])/count(*), 6)` lands on the same
+    * grid), which re-anchors both engines every round — iteration
+    * divergence cannot accumulate. Empty clusters keep their previous
+    * centroid; centroid ids stay the seed vector ids throughout. */
+  private[graft] def lloydCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = dimOf(corpus, vecCol)
+    var cents: Seq[(Long, Seq[Double])] =
+      hashCentroids(corpus, idCol, vecCol, nlist)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val vecs = corpus.select(col(idCol).as("_vid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_vv"))
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toDF("_cent_id", "_cent_vec")
+      val assigned = vecs.crossJoin(broadcast(centsDf))
+        .select(col("_vid"), col("_vv"), col("_cent_id"),
+          round(cosine(col("_vv"), col("_cent_vec")), 6).as("_c"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("_vid")).orderBy(col("_c").desc, col("_cent_id"))))
+        .filter(col("_rk") === 1)
+      // slice is 1-based, [] is 0-based: _s = [n, s_0..s_{d-1}]
+      val sums = assigned.groupBy(col("_cent_id"))
+        .agg(org.apache.spark.sql.graft.GramianFunctions
+          .vecSumAgg(col("_vv"), d).as("_s"))
+        .select(col("_cent_id"),
+          expr(s"transform(slice(_s, 2, $d), x -> round(x / _s[0], 6))").as("_nv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, prev) => (cid, sums.getOrElse(cid, prev)) }
+    }
+    cents.toDF("_cent_id", "_cent_vec")
+  }
+
   /** Deterministic coarse-quantizer codebook: the nlist vectors with
     * the smallest md5(id) — an unbiased sample, stable across runs and
     * engines (the DuckDB oracle rebuilds it verbatim). */
-  private def hashCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def hashCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                             nlist: Int): DataFrame =
     corpus
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -221,7 +272,7 @@ object SimilaritySearch {
                           coarseK: Int = 12): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvfRerank: nprobe must be <= nlist")
     require(coarseK >= k, "topKCosineIvfRerank: coarseK must be >= k")
-    val cents = hashCentroids(corpus, idCol, vecCol, nlist)
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     // int8 reconstruction qv*qscale as a double array: the coarse store
     val recon = corpus.select(col(idCol).as("_mid"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("_fv"))

@@ -30,6 +30,83 @@ object GramianFunctions {
   /** Upper-triangle index of (i <= j) in a d-wide moment vector. */
   def triIndex(i: Int, j: Int, d: Int): Int =
     i * d - i * (i - 1) / 2 + (j - i)
+
+  /** First-moment vector [n, s_0..s_{d-1}] over an array<float|double>
+    * column — the per-cluster mean primitive k-means Lloyd rounds need:
+    * one fixed-size (1+d)-double buffer per group, partial-aggregated
+    * map-side, merged by elementwise add (the sum() shuffle shape, one
+    * row per cluster on the wire instead of d rows from a posexplode
+    * re-aggregation). */
+  def vecSumAgg(vec: Column, d: Int): Column =
+    ExpressionUtils.column(
+      VecSumAggExpr(ExpressionUtils.expression(vec), d).toAggregateExpression())
+}
+
+/** Mergeable [count, per-dimension sums] aggregate (see
+  * GramianFunctions.vecSumAgg). Rows whose vector is null or of a
+  * different length are ignored, mirroring GramianAggExpr. */
+case class VecSumAggExpr(child: Expression, d: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(d > 0 && d <= 65536, "vec_sum_agg: 1 <= d <= 65536")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_sum_agg"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](1 + d)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == d) {
+        buffer(0) += 1.0
+        var i = 0
+        while (i < d) {
+          buffer(1 + i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+          i += 1
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    new GenericArrayData(buffer.map(x => x: Any))
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecSumAggExpr =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecSumAggExpr =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): VecSumAggExpr =
+    copy(child = newChild)
 }
 
 case class GramianAggExpr(child: Expression, d: Int,

@@ -50,6 +50,42 @@ object Pipeline extends QueryModule {
 
   private[queries] val nearPairsSql = nearPairsSqlAt(0.5)
 
+  /** DuckDB CTE chain rebuilding SimilaritySearch.lloydCentroids over
+    * an existing `e(vec_id, v)` CTE: hash-seeded codebook + `iters`
+    * unrolled Lloyd rounds (assignment by 6-dp rounded cosine with
+    * cent_id tiebreaks; per-cluster per-dimension means rounded to the
+    * same 6-dp grid Spark rounds on — the per-round rounding is what
+    * keeps the two engines' iterations identical). Terminates in a CTE
+    * named `cents(cent_id, cv)`. */
+  private[queries] def lloydCentsSql(iters: Int, nlist: Int = 16, d: Int = 64): String = {
+    val seed =
+      s"""cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist)"""
+    val rounds = (1 to iters).map { r =>
+      val prev = s"cents${r - 1}"
+      s"""lac$r AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+              round(list_dot_product(e.v, c.cv) /
+                    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+            FROM e CROSS JOIN $prev c),
+          las$r AS (
+            SELECT vec_id, v, cent_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cent_id) rk
+              FROM lac$r) WHERE rk = 1),
+          lm$r AS (
+            SELECT cent_id, i, round(sum(v[i]) / count(*), 6) + 0.0 AS mv
+            FROM las$r CROSS JOIN generate_series(1, $d) g(i)
+            GROUP BY 1, 2),
+          lmv$r AS (SELECT cent_id, list(mv ORDER BY i) nv FROM lm$r GROUP BY 1),
+          cents$r AS (
+            SELECT p.cent_id, coalesce(n.nv, p.cv) cv
+            FROM $prev p LEFT JOIN lmv$r n ON p.cent_id = n.cent_id)"""
+    }
+    ((seed +: rounds) :+ s"cents AS (SELECT cent_id, cv FROM cents$iters)")
+      .mkString(",\n          ")
+  }
+
   /** SQL mirror of TextFunctions.langId: argmax of marker-word hits with
     * the fixed priority-order tiebreak, 'und' when nothing hits. */
   private val langIdSql: String = {
@@ -227,7 +263,8 @@ object Pipeline extends QueryModule {
       SimilaritySearch.topKCosineLsh(
         Tables(s, dir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
 
-    // IVF batch ANN: deterministic hash-sampled coarse quantizer ->
+    // IVF batch ANN: deterministic k-means coarse quantizer (hash
+    // seeds + 2 Lloyd rounds, every step 6-dp rounded) ->
     // inverted lists -> nprobe-list search + exact rerank. Fully
     // deterministic (rounded-cosine ranks, id tiebreaks), so unlike the
     // LSH path the DuckDB oracle rebuilds the identical index and the
@@ -294,10 +331,12 @@ object Pipeline extends QueryModule {
     }),
 
     // Flat clustering of the embedding corpus: the IVF coarse quantizer
-    // on its own — every vector assigned to its nearest hash-sampled
-    // centroid (broadcast; one corpus pass, no shuffle of the corpus),
-    // profiled per cluster. The corpus-structure / mixture-balancing
-    // view a pipeline wants before sampling decisions.
+    // on its own — every vector assigned to its nearest k-means
+    // centroid (hash-seeded codebook + 2 deterministic Lloyd rounds;
+    // centroids broadcast, one corpus pass per round, the corpus never
+    // shuffled), profiled per cluster. The corpus-structure /
+    // mixture-balancing view a pipeline wants before sampling
+    // decisions. The DuckDB oracle rebuilds the identical iterations.
     "embed_clusters" -> ((s, dir) =>
       SimilaritySearch.assignClusters(
           Tables(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16)
@@ -1191,9 +1230,8 @@ object Pipeline extends QueryModule {
            AND (bit_count(xor(b.bk0, p.pb0)) <= 2 OR bit_count(xor(b.bk1, p.pb1)) <= 2)
          ORDER BY cos DESC, vec_id LIMIT 10""",
     "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
          ac AS (
            SELECT e.vec_id, e.v, c.cent_id,
              round(list_dot_product(e.v, c.cv) /
@@ -1221,9 +1259,8 @@ object Pipeline extends QueryModule {
          SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
          ORDER BY probe_id, rk""",
     "ann_ivf_rerank" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
          q AS (SELECT vec_id, v,
                  CASE WHEN round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) = 0
                       THEN 1.0
@@ -1316,9 +1353,8 @@ object Pipeline extends QueryModule {
                                 for i in generate_series(1, len(v))]) / len(v)), 6) + 0.0 AS recon_rmse
          FROM q ORDER BY vec_id""",
     "embed_clusters" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
          ac AS (
            SELECT e.vec_id, c.cent_id,
              round(list_dot_product(e.v, c.cv) /

@@ -106,4 +106,45 @@ class AnnSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(ivf.toSeq == exact.toSeq, "full-probe IVF must equal the exact scan")
   }
+
+  test("Lloyd rounds tighten the codebook: quantization cosine and recall@1 never degrade") {
+    val df = clustered.cache()
+    // quantization quality: mean best-centroid cosine over the corpus,
+    // seed codebook vs the Lloyd-refined one. Lloyd's assign+mean
+    // rounds climb exactly this objective (spherical k-means), so the
+    // refined codebook must be at least as tight — on this clustered
+    // corpus, strictly tighter.
+    def meanBestCos(cents: org.apache.spark.sql.DataFrame): Double =
+      df.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(col("embedding"), col("_cent_vec")), 6).as("c"))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    val seed = SimilaritySearch.hashCentroids(df, "vec_id", "embedding", 16)
+    val lloyd = SimilaritySearch.lloydCentroids(df, "vec_id", "embedding", 16,
+      SimilaritySearch.LloydIters)
+    val (qSeed, qLloyd) = (meanBestCos(seed), meanBestCos(lloyd))
+    assert(qLloyd > qSeed,
+      f"Lloyd codebook no tighter than the seed: $qLloyd%.4f <= $qSeed%.4f")
+
+    // recall@1 at equal nprobe: cluster members probe for their true
+    // nearest neighbor (a cluster-mate); the refined codebook must not
+    // lose any probe the seed codebook found
+    val probes = df.filter(col("vec_id") < 3000)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val truth = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < 3000 && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("p"), col("b.vec_id").as("c"),
+        round(graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p")).orderBy(col("cos").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SimilaritySearch
+      .topKCosineIvf(probes, "probe_id", df, "vec_id", "embedding",
+        k = 1, nlist = 16, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id")).toMap
+    val recall = truth.count { case (p, t) => got.get(p).contains(t) }.toDouble / truth.size
+    assert(recall >= 0.9, f"Lloyd-IVF recall@1 $recall%.2f below contract")
+  }
 }
