@@ -38,6 +38,13 @@ object Bench {
     // local-iteration filter (comma-separated names); the driver never sets it
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // resource counters per query (spill/shuffle/peak-memory): regime
+    // effects measured alongside the wall-clock, summed over the
+    // `iters` timed runs of each query
+    val metrics = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    BenchMetrics.flush(spark) // drain warmup events before the first row
+    metrics.snapshotAndReset()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -51,16 +58,18 @@ object Bench {
           -1.0
         }
       }
+      BenchMetrics.flush(spark)
+      val res = metrics.snapshotAndReset()
       val sorted = times.sorted
       val median =
         if (sorted.exists(_ < 0)) -1.0
         else if (sorted.length % 2 == 1) sorted(sorted.length / 2)
         else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
-      (name, median, sorted.head, sorted.last)
+      (name, median, sorted.head, sorted.last, res)
     }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val medians = results.map { case (n, m, _, _) => (n, m) }
+    val medians = results.map { case (n, m, _, _, _) => (n, m) }
     val total = medians.map(_._2).filter(_ >= 0).sum
     val failed = medians.filter(_._2 < 0).map(_._1)
     // The driver keeps only the tail of stdout; a 122-query map at full
@@ -69,10 +78,17 @@ object Bench {
     // the complete per-query map to BENCH_FULL.json alongside.
     val slowest = medians.sortBy(-_._2).take(40).sortBy(_._1)
     val spread = results
-      .map { case (n, _, lo, hi) => "\"" + n + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]" }
+      .map { case (n, _, lo, hi, _) => "\"" + n + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]" }
+      .mkString("{", ",", "}")
+    // per-query resource rows, summed over the `iters` runs:
+    // [disk_spill_bytes, mem_spill_bytes, shuffle_write_bytes,
+    //  max_task_peak_exec_mem_bytes]
+    val resource = results
+      .map { case (n, _, _, _, (d, m, w, p)) =>
+        "\"" + n + s"""\":[$d,$m,$w,$p]""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"resource":$resource,"sf":"$sfDir"}"""
     // a filtered local-iteration run must not clobber the committed
     // full-surface snapshot (it did once — a 2-query map replaced the
     // 194-query one mid-round)
