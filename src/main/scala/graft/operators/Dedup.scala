@@ -48,6 +48,21 @@ object Dedup {
     * budget keeps them (the budget is a target, not a contract). */
   val AutoCutoffFloor: Long = 8L
 
+  /** Degenerate-distribution guard: if the budget-derived cutoff would
+    * drop more than this fraction of DISTINCT shingle keys, the df
+    * distribution has no separable hot head — the pair mass lives in
+    * the bulk, and cutting to budget would cut the SIGNAL (measured on
+    * the 30x fixed-vocabulary fixture: the budget cutoff df<=252
+    * removed 88% of keys and took the thresholded output from 7,669
+    * pairs to ZERO). Real corpora are Zipfian — boilerplate is a tiny
+    * key-count head carrying huge pair mass — so a genuine hot head
+    * always fits well under this fraction. When the guard trips the
+    * cutoff does NOT engage and the diagnostic says so: a corpus whose
+    * pair mass is irreducibly quadratic belongs on the MinHash-LSH
+    * path (measured flat across a decade of scale), not on a silently
+    * emptied exact join. */
+  val MaxAutoDropKeyFraction: Double = 0.10
+
   /** Largest doc frequency whose cumulative pair mass fits the budget.
     * `hist` is (df value → number of shingles at that df) — tiny
     * (distinct df values), safe to fold on the driver. */
@@ -77,10 +92,23 @@ object Dedup {
     * extra linear shuffles, which is the wrong trade for small inputs. */
   val PrefixPathMinDocs: Long = 50000L
 
-  /** Exact n-gram Jaccard near-dup pairs with a size-dispatched plan:
-    * the inverted-index join below [[PrefixPathMinDocs]] documents, the
-    * prefix-filtered All-Pairs join above it. Results are identical;
-    * composite pipelines (curation_keep, split_cluster_safe) call THIS
+  /** The prefix path only wins when the prefix bound actually prunes:
+    * each doc indexes `|x| - ceil(t|x|) + 1` shingles, ~(1-t) of its
+    * set — at t=0.8 that is ~20% of the index mass and the pair stage
+    * collapses onto rare keys (measured 1.6x faster than the exact
+    * join at the 10x fixture), but at t=0.5 it is ~51% and the
+    * per-candidate array_intersect verify costs more than the exact
+    * variant's counting shuffle (measured 3.7x SLOWER). Production
+    * near-dup thresholds sit at 0.7-0.9; below this the exact
+    * posting-list join (with the auto cutoff) stays the right plan. */
+  val PrefixPathMinThreshold: Double = 0.7
+
+  /** Exact n-gram Jaccard near-dup pairs with a dispatched plan: the
+    * prefix-filtered All-Pairs join above [[PrefixPathMinDocs]]
+    * documents AND [[PrefixPathMinThreshold]] (the regime where the
+    * prefix bound prunes, see above), the inverted-index join
+    * otherwise. Results are identical either way; composite pipelines
+    * (curation_keep, split_cluster_safe, the cluster family) call THIS
     * so they inherit the scale path without re-plumbing. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -88,7 +116,7 @@ object Dedup {
                    prefixGateDocs: Long = PrefixPathMinDocs,
                    autoGateDocs: Long = AutoCutoffMinDocs): DataFrame = {
     val nDocs = df.count()
-    if (nDocs >= prefixGateDocs)
+    if (nDocs >= prefixGateDocs && threshold >= PrefixPathMinThreshold)
       nearDupPairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq,
         autoGateDocs, docCount = nDocs)
     else
@@ -113,13 +141,27 @@ object Dedup {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val auto = autoDocFreqCutoff(hist, nDocs)
       val eff = if (userCutoff > 0) math.min(auto, userCutoff) else auto
+      val totalKeys = hist.map(_._2).sum
       val dropped = hist.collect { case (d, c) if d > eff => c }.sum
       val droppedMass = hist.collect { case (d, c) if d > eff =>
         c.toDouble * d.toDouble * (d - 1).toDouble / 2 }.sum
-      System.err.println(f"[graft-dedup] $tag: auto hot-shingle cutoff " +
-        f"df<=$eff engaged at $nDocs docs (dropped $dropped shingle " +
-        f"keys, ~$droppedMass%.3g candidate pairs)")
-      eff
+      if (totalKeys > 0 &&
+          dropped.toDouble / totalKeys > MaxAutoDropKeyFraction &&
+          eff < (if (userCutoff > 0) userCutoff else Long.MaxValue)) {
+        // no separable hot head: cutting to budget would cut the signal
+        System.err.println(f"[graft-dedup] $tag: auto cutoff REFUSED at " +
+          f"$nDocs docs — budget cutoff df<=$eff would drop $dropped of " +
+          f"$totalKeys distinct shingles (~$droppedMass%.3g candidate " +
+          "pairs); the pair mass lives in the bulk, not a hot head. " +
+          "Keeping the caller's cutoff; for corpora like this use the " +
+          "MinHash-LSH path (Dedup.nearDupPairsMinhash).")
+        userCutoff
+      } else {
+        System.err.println(f"[graft-dedup] $tag: auto hot-shingle cutoff " +
+          f"df<=$eff engaged at $nDocs docs (dropped $dropped of " +
+          f"$totalKeys shingle keys, ~$droppedMass%.3g candidate pairs)")
+        eff
+      }
     }
   }
 

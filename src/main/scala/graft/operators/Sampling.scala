@@ -165,6 +165,32 @@ object Sampling {
     * window over #sources rows — bounded by construction) broadcast
     * back onto the corpus; membership is a codegen'd scan-level filter.
     * Returns the kept rows with their columns unchanged. */
+  /** Weighted top-k sampling WITHOUT replacement per group — the
+    * Efraimidis-Spirakis A-ES scheme: each row draws u in (0,1) and
+    * ranks by u^(1/w); the k largest keys per group are a bona fide
+    * weighted sample without replacement. Engineered engine-portable
+    * like every sampler here: u is the key-stable salted md5 draw
+    * ((draw + 0.5)/65536 — the +0.5 keeps u strictly inside (0,1)),
+    * and the rank key is the MONOTONE-equivalent ln(u)/w (u^(1/w) at
+    * large w collapses onto 1.0 at any fixed rounding; the log form
+    * keeps 5+ significant digits), 9-dp rounded with the key column
+    * as tiebreak so both engines rank identically.
+    *
+    * Scale shape: one codegen'd projection + one per-group top-k
+    * window (WindowGroupLimit pushes the k filter into the sort) — no
+    * self-joins, no global sort, no driver state. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int,
+                   group: Column, salt: String = "wsamp:"): DataFrame = {
+    require(k > 0, "weightedTopK: k must be positive")
+    val draw = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4),
+      16, 10).cast("double")
+    val u = (draw + lit(0.5)) / lit(65536.0)
+    df.withColumn("wkey", round(log(u) / weight, 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(group).orderBy(col("wkey").desc, key)))
+      .filter(col("rk") <= k)
+  }
+
   def temperatureMix(df: DataFrame, key: Column, source: Column,
                      alpha: Double, targetFraction: Double): DataFrame = {
     val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))

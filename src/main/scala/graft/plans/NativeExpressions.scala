@@ -58,6 +58,10 @@ object NativeExpressions {
   def charEntropy(text: Column): Column =
     ExpressionUtils.column(CharEntropyExpr(ExpressionUtils.expression(text)))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinklerExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def signLshBucket(v: Column, planes: Array[Array[Double]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(
       ExpressionUtils.expression(v), planes.flatten, planes.length,
@@ -139,7 +143,10 @@ object NativeExpressions {
     "freq_estimate" -> (exprs => FreqEstimateExpr(exprs(0), exprs(1))),
     "freq_max_error" -> (exprs => FreqMaxErrorExpr(exprs.head)),
     "gramian_agg" -> (exprs => GramianAggExpr(exprs.head,
-      intLitArg(exprs, 1, "gramian_agg d", -1)).toAggregateExpression()))
+      intLitArg(exprs, 1, "gramian_agg d", -1)).toAggregateExpression()),
+    "vec_sum_agg" -> (exprs => VecSumAggExpr(exprs.head,
+      intLitArg(exprs, 1, "vec_sum_agg d", -1)).toAggregateExpression()),
+    "jaro_winkler" -> (exprs => JaroWinklerExpr(exprs(0), exprs(1))))
 
   /** Integer-literal argument at `pos`, or `dflt` when absent
     * (dflt < 0 means required). */
@@ -802,4 +809,71 @@ case class CharEntropyExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
     copy(child = newChild)
+}
+
+/** Jaro-Winkler similarity between two strings — the standard
+  * record-linkage comparator Spark lacks (it ships levenshtein only).
+  * Semantics pinned to DuckDB's `jaro_winkler_similarity` so linkage
+  * oracles compare digit-for-digit: code-point comparison, Jaro match
+  * window floor(max/2)-1, half-transposition count, Winkler prefix
+  * boost (<= 4 chars, scale 0.1) applied only when jaro > 0.7, and
+  * 0.0 when either side is empty (INCLUDING both-empty — DuckDB
+  * returns 0, not 1, there). One primitive pass, no regex, no boxing;
+  * NativeExprSpec pins literal DuckDB reference values. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val b = r.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatched = new Array[Boolean](la)
+    val bMatched = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var hit = false
+      while (j <= hi && !hit) {
+        if (!bMatched(j) && a(i) == b(j)) {
+          aMatched(i) = true; bMatched(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk both matched subsequences in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatched(i)) {
+        while (!bMatched(j)) j += 1
+        if (a(i) != b(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var p = 0
+      while (p < math.min(4, math.min(la, lb)) && a(p) == b(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -205,6 +205,40 @@ object Analytics extends QueryModule {
         .orderBy(col("cluster"))
     }),
 
+    // Sorted-neighborhood record linkage (the Hernandez-Stolfo merge/
+    // purge method) with Jaro-Winkler scoring — the OTHER classic name
+    // comparator next to fuzzy_match's edit distance, prefix-weighted
+    // the way human name typos are. Spark has no jaro_winkler; ours is
+    // a native expression pinned digit-for-digit to DuckDB's built-in
+    // (plans/NativeExpressions.scala JaroWinklerExpr). Blocking is the
+    // textbook sorted neighborhood: one global sort of the (vocabulary-
+    // sized) name set, then each name meets only its w=8 successors via
+    // a rank-band equi-join (explode of rk+1..rk+w) — O(n·w) pairs,
+    // codegen end to end, never names x names. Dirty variants are
+    // planted deterministically (chars 3/4 transposed) so the fixture
+    // has real matches to find.
+    "record_linkage" -> ((s, dir) => {
+      val w = 8
+      val names = Tables(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      val dirty = names.filter(col("name_id") % 3 === 0)
+        .select(concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1),
+            substring(col("p_name"), 3, 1), expr("substr(p_name, 5)")).as("p_name"),
+          (col("name_id") + 100000).as("name_id"))
+      val all = names.select(col("p_name"), col("name_id")).unionByName(dirty)
+      val ranked = all.withColumn("rk",
+        row_number().over(Window.orderBy(col("p_name"), col("name_id"))))
+      val band = ranked.select(col("p_name").as("name_a"), col("name_id").as("id_a"),
+        explode(sequence(col("rk") + 1, col("rk") + w)).as("rk"))
+      band.join(ranked.select(col("p_name").as("name_b"), col("name_id").as("id_b"),
+          col("rk")), "rk")
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          round(org.apache.spark.sql.graft.NativeExpressions
+            .jaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Per-segment OLS trend: value regressed on hours-since-Jan-1 —
     // drift detection over a metric stream as three associative
     // regression aggregates (one partial-agg shuffle, no windows).
@@ -406,6 +440,26 @@ object Analytics extends QueryModule {
                 count(*) AS n_names, CAST(sum(n.n_parts) AS BIGINT) AS n_parts
          FROM names n LEFT JOIN lab l ON n.name_id = l.u
          GROUP BY 1 ORDER BY 1""",
+    // identical sorted-neighborhood semantics; jaro_winkler_similarity
+    // is the DuckDB built-in our native expression is pinned to
+    "record_linkage" ->
+      """WITH names AS (SELECT p_name, min(p_partkey) AS name_id
+                        FROM part GROUP BY 1),
+         dirty AS (SELECT substr(p_name, 1, 2) || substr(p_name, 4, 1) ||
+                          substr(p_name, 3, 1) || substr(p_name, 5) AS p_name,
+                          name_id + 100000 AS name_id
+                   FROM names WHERE name_id % 3 = 0),
+         al AS (SELECT p_name, name_id FROM names
+                UNION ALL SELECT p_name, name_id FROM dirty),
+         ranked AS (SELECT p_name, name_id,
+                      row_number() OVER (ORDER BY p_name, name_id) rk FROM al),
+         pairs AS (
+           SELECT a.name_id id_a, b.name_id id_b,
+                  a.p_name name_a, b.p_name name_b,
+                  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) + 0.0 jw
+           FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk <= a.rk + 8)
+         SELECT id_a, id_b, name_a, name_b, jw
+         FROM pairs WHERE jw >= 0.9 ORDER BY id_a, id_b""",
     "ols_trend" ->
       """SELECT event_type, count(*) AS n,
            round(regr_slope(value, x), 6) + 0.0 AS slope,

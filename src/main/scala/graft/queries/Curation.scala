@@ -348,6 +348,65 @@ object Curation extends QueryModule {
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009): the standard RAG-stack combiner of a lexical arm (the
+    // bm25_search scorer, identical terms/constants) and a semantic
+    // arm (exact cosine against probe vector 0), each truncated to its
+    // top-100, fused by rrf = Σ 1/(60 + rank). Ranks are
+    // deterministic (rounded scores, id tiebreaks) and 1/(60+rank) is
+    // exact IEEE arithmetic, so the fused ordering is engine-portable
+    // with no extra rounding discipline. Docs missing from an arm
+    // (no query term / no embedding) contribute 0 from that arm — the
+    // full-outer-join semantics a production fusion needs. Scale
+    // shape: both arms are scan+broadcast+top-k (WindowGroupLimit);
+    // the fusion joins two 100-row frames.
+    "hybrid_rrf" -> ((s, dir) => {
+      val qTerms = Seq("dup", "join", "vector")
+      val k1 = 1.2; val b = 0.75
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val perDoc = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("double").as("dl"),
+        qTerms.map(t => sum(when(col("t") === t, 1L).otherwise(0L))
+          .cast("double").as(s"tf_$t")): _*)
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl") +:
+          qTerms.map(t => sum(when(col(s"tf_$t") > 0.0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$t")): _*)
+      def idf(t: String) =
+        round(log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0), 6)
+      def wgt(t: String) =
+        when(col(s"tf_$t") > 0.0,
+          idf(t) * col(s"tf_$t") * (k1 + 1.0) /
+            (col(s"tf_$t") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      val lex = perDoc.crossJoin(broadcast(stats))
+        .filter(qTerms.map(t => col(s"tf_$t") > 0.0).reduce(_ || _))
+        .select(col("doc_id"), round(qTerms.map(wgt).reduce(_ + _), 6).as("bm25"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rb") <= 100)
+      val emb = Tables(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("pv")), 6).as("cos"))
+        .withColumn("rc", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("rc") <= 100)
+      lex.select(col("doc_id"), col("rb"))
+        .join(sem.select(col("doc_id"), col("rc")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rc")), lit(0.0)), 6).as("rrf"),
+          coalesce(col("rb"), lit(0)).as("bm25_rank"),
+          coalesce(col("rc"), lit(0)).as("cos_rank"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Web-curation domain histogram: extract every URL from the text,
     // reduce to its host, count mentions per domain — the shape behind
     // domain allowlists/blocklists and per-site quotas. The synthetic
@@ -1165,6 +1224,47 @@ object Curation extends QueryModule {
                  coalesce(sum(CASE WHEN t = 'join' THEN w END), 0) +
                  coalesce(sum(CASE WHEN t = 'vector' THEN w END), 0), 6) + 0.0 AS bm25
          FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id""",
+    // both arms rebuilt verbatim (bm25 CTE shared with bm25_search's
+    // oracle; cosine arm via list_dot_product), fused with the same
+    // exact-IEEE 1/(60+rank) sums
+    "hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) t
+                       FROM documents),
+         tk AS (SELECT * FROM toks WHERE t <> ''),
+         dlen AS (SELECT doc_id, CAST(count(*) AS DOUBLE) dl FROM tk GROUP BY doc_id),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(dl) avgdl FROM dlen),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) tf FROM tk
+                WHERE t IN ('dup', 'join', 'vector') GROUP BY doc_id, t),
+         dft AS (SELECT t, CAST(count(*) AS DOUBLE) dfreq FROM tf GROUP BY t),
+         w AS (SELECT tf.doc_id, tf.t,
+                 round(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6) *
+                   tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+               FROM tf JOIN dft USING (t) JOIN dlen USING (doc_id) CROSS JOIN stats),
+         bm AS (SELECT doc_id,
+                  round(coalesce(sum(CASE WHEN t = 'dup' THEN w END), 0) +
+                        coalesce(sum(CASE WHEN t = 'join' THEN w END), 0) +
+                        coalesce(sum(CASE WHEN t = 'vector' THEN w END), 0), 6) + 0.0 AS bm25
+                FROM w GROUP BY doc_id),
+         lex AS (SELECT doc_id, rb FROM (
+                   SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) rb
+                   FROM bm) WHERE rb <= 100),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         p AS (SELECT v pv FROM e WHERE vec_id = 0),
+         sem AS (SELECT doc_id, rc FROM (
+                   SELECT e.vec_id doc_id,
+                     row_number() OVER (ORDER BY
+                       round(list_dot_product(e.v, p.pv) /
+                             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) DESC,
+                       e.vec_id) rc
+                   FROM e CROSS JOIN p WHERE e.vec_id <> 0) WHERE rc <= 100)
+         SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60.0 + rb), 0.0) +
+                 coalesce(1.0 / (60.0 + rc), 0.0), 6) + 0.0 AS rrf,
+           CAST(coalesce(rb, 0) AS INT) AS bm25_rank,
+           CAST(coalesce(rc, 0) AS INT) AS cos_rank
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "url_domains" ->
       """WITH a AS (SELECT doc_id,
                       text || ' see https://site-' || CAST(doc_id % 7 AS VARCHAR) ||

@@ -105,6 +105,20 @@ object Scale extends QueryModule {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Weighted sampling WITHOUT replacement, exactly k per group
+    // (Efraimidis-Spirakis A-ES): rank by ln(u)/w with the key-stable
+    // salted md5 draw — `sample_weighted` gives Bernoulli rate*w
+    // inclusion with a RANDOM total; this gives a fixed-size quota
+    // where long documents win proportionally to n_chars. One
+    // projection + one per-source top-k window (WindowGroupLimit);
+    // DuckDB reproduces draw, log-key and ranking digit-for-digit.
+    "sample_topk_weighted" -> ((s, dir) =>
+      Sampling.weightedTopK(Tables(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 10, group = col("source"))
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+          (col("wkey") + lit(0.0)).as("wkey"))
+        .orderBy(col("source"), col("rk"))),
+
     // Temperature-scaled source mixing (T5/mT5-style size^alpha
     // flattening at alpha=0.7, 30% target corpus): per-source rates
     // derived deterministically (6-dp-rounded pow, prefix-sum fold in
@@ -371,6 +385,18 @@ object Scale extends QueryModule {
       s"""SELECT doc_id, lang, n_chars FROM documents
          WHERE ${md5DrawSql("doc_id")} < least(1.0, 0.001 * n_chars) * 65536.0
          ORDER BY doc_id""",
+    "sample_topk_weighted" ->
+      s"""WITH d AS (
+            SELECT source, doc_id, n_chars,
+              round(ln((${md5DrawSql("'wsamp:' || CAST(doc_id AS VARCHAR)")} + 0.5)
+                       / 65536.0) / n_chars, 9) + 0.0 AS wkey
+            FROM documents),
+          r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                             ORDER BY wkey DESC, doc_id) rk
+                FROM d)
+          SELECT source, rk, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 wkey + 0.0 AS wkey
+          FROM r WHERE rk <= 10 ORDER BY source, rk""",
     // rates recomputed with the identical op order: 6-dp pow, ordered
     // prefix-sum fold for the weight total, 6-dp rate, integer threshold
     "mix_temperature" ->

@@ -34,6 +34,51 @@ object Training extends QueryModule {
 
   val queries: Map[String, Q] = Map(
 
+    // Quantile discretization (the ML-prep bucketizer): l_quantity and
+    // l_extendedprice cut into deciles per return flag via ntile over
+    // a DETERMINISTIC total order (value, orderkey, linenumber — the
+    // unique-key tiebreak every ranking here carries), then per-bucket
+    // count/min/max — the binning table a feature pipeline freezes and
+    // reuses at serving time. One window pass per feature; the bucket
+    // rollup is a tiny keyed aggregate.
+    "feature_buckets" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def deciles(c: String) = li
+        .select(col("l_returnflag"), col(c).as("v"),
+          ntile(10).over(Window.partitionBy(col("l_returnflag"))
+            .orderBy(col(c), col("l_orderkey"), col("l_linenumber"))).as("bucket"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (round(min(col("v")), 2) + lit(0.0)).as("lo"),
+          (round(max(col("v")), 2) + lit(0.0)).as("hi"))
+        .select(lit(c).as("feature"), col("l_returnflag"), col("bucket"),
+          col("n"), col("lo"), col("hi"))
+      deciles("l_quantity").unionByName(deciles("l_extendedprice"))
+        .orderBy(col("feature"), col("l_returnflag"), col("bucket"))
+    }),
+
+    // Smoothed target encoding (the high-cardinality categorical
+    // encoder): each part brand's mean extended price shrunk toward
+    // the global mean with pseudo-count m=50 — enc = (sum + m*mu) /
+    // (n + m) — so rare categories don't memorize noise. The exact
+    // leakage-prone naive mean rides alongside for comparison. One
+    // keyed aggregate + one broadcast scalar; at 100 TB the category
+    // table is vocabulary-sized.
+    "target_encode" -> ((s, dir) => {
+      val joined = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_extendedprice").as("y"))
+      val global = joined.agg(avg(col("y")).as("mu"))
+      joined.groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("sy"),
+          avg(col("y")).as("naive"))
+        .crossJoin(broadcast(global))
+        .select(col("p_brand"), col("n"),
+          (round((col("sy") + lit(50.0) * col("mu")) / (col("n") + lit(50.0)), 4) + lit(0.0)).as("enc_smoothed"),
+          (round(col("naive"), 4) + lit(0.0)).as("enc_naive"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Context-window chunking with overlap: every document is cut into
     // 50-token windows on a 40-token stride (10-token overlap), the
     // standard shape for long-document training and for RAG indexing.
@@ -367,6 +412,29 @@ object Training extends QueryModule {
     }))
 
   val oracle: Map[String, String] = Map(
+    "feature_buckets" ->
+      """WITH q AS (SELECT 'l_quantity' AS feature, l_returnflag,
+                      ntile(10) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_quantity, l_orderkey, l_linenumber) AS bucket,
+                      l_quantity AS v
+                    FROM lineitem),
+          p AS (SELECT 'l_extendedprice' AS feature, l_returnflag,
+                  ntile(10) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket,
+                  l_extendedprice AS v
+                FROM lineitem),
+          u AS (SELECT * FROM q UNION ALL SELECT * FROM p)
+          SELECT feature, l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n,
+            round(min(v), 2) + 0.0 AS lo, round(max(v), 2) + 0.0 AS hi
+          FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "target_encode" ->
+      """WITH j AS (SELECT p_brand, l_extendedprice AS y
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          g AS (SELECT avg(y) AS mu FROM j)
+          SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+            round((sum(y) + 50.0 * mu) / (count(*) + 50.0), 4) + 0.0 AS enc_smoothed,
+            round(avg(y), 4) + 0.0 AS enc_naive
+          FROM j CROSS JOIN g GROUP BY p_brand, mu ORDER BY p_brand""",
     "bpe_merges" -> BpeTrainer.learnSql("documents", "text", numMerges = 12),
     "bpe_encode" ->
       """WITH w AS (SELECT doc_id,

@@ -104,6 +104,44 @@ class DedupSpec extends SparkSpecBase {
     assert(autoPfx == uncut)
   }
 
+  test("auto cutoff drops a separable boilerplate head but keeps rare-shingle recall") {
+    // Zipf-like shape: every doc carries the same boilerplate sentence
+    // (hot head, df = 60) plus unique content (df = 1); docs 100/101
+    // additionally share a long RARE passage (df = 2) that makes them
+    // a true near-dup pair. The pair-mass budget at 60 docs cannot
+    // afford the boilerplate band, so the auto cutoff drops exactly
+    // that head — and must still find (100, 101) through the rare
+    // shingles.
+    val boiler = "this document is provided under the standard public license agreement of the corporation"
+    val rare = (1 to 30).map(i => s"rareword$i").mkString(" ")
+    val docs = ((1 to 58).map(i =>
+        (i.toLong, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d")) ++
+      Seq((100L, s"$boiler $rare edit one"), (101L, s"$boiler $rare edit two")))
+      .toDF("doc_id", "text")
+    val auto = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        threshold = 0.4, autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == Set((100L, 101L)), auto.toString)
+  }
+
+  test("auto cutoff refuses a degenerate distribution instead of emptying the output") {
+    // every doc identical: ALL pair mass lives in the bulk (every
+    // shingle df = 30, far over budget at 30 docs) — the 30x scale run
+    // showed the budget cutoff takes such corpora to ZERO output
+    // pairs. The guard must refuse to engage and return the caller's
+    // (uncut) result.
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    // 28 shingles x C(60,2) pair mass >> the 12k budget, and every
+    // shingle is in the "head" -> the guard must refuse, not cut
+    val auto = Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = Dedup.nearDupPairsExact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == uncut && auto.size == 60 * 59 / 2, s"${auto.size} pairs")
+  }
+
   test("nearDupPairs dispatches by corpus size; both routes agree") {
     val viaExact = Dedup.nearDupPairs(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -213,6 +213,33 @@ class NativeExprSpec extends SparkSpecBase {
       s"only $realigned of ${rows("a").size - 1} tail chunks realigned")
   }
 
+  test("jaro_winkler matches DuckDB's jaro_winkler_similarity digit for digit") {
+    import spark.implicits._
+    // reference values read from DuckDB jaro_winkler_similarity —
+    // incl. its edge semantics: empty (and both-empty) -> 0.0, the
+    // 0.7 boost threshold, half-transposition counting
+    val want = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("small ring", "small rign", 0.98),
+      ("red widget", "red widgte", 0.98),
+      ("blue bolt", "hot gear", 0.32407407407407407),
+      ("a", "b", 0.0),
+      ("ab", "ba", 0.0),
+      ("abcdefgh", "bacdefgh", 0.9583333333333334))
+    val got = want.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"), org.apache.spark.sql.graft.NativeExpressions
+        .jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    want.foreach { case (a, b, v) =>
+      assert(got((a, b)) == v, s"jw('$a','$b') = ${got((a, b))}, want $v")
+    }
+  }
+
   test("cdc_chunks keeps sub-window documents as one whole chunk") {
     import spark.implicits._
     // shorter than the w=4 hash window: no boundary can fire, but the
