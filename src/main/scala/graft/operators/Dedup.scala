@@ -534,6 +534,58 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Banded minhash signatures for a persistent signature STORE:
+    * (idCol, bands) where bands is the k/r-wide array of band hashes.
+    * Write this once per corpus shard; incremental dedup then band-joins
+    * new documents against the STORED rows ([[nearDupsAgainstStore]])
+    * without ever re-tokenizing or re-shingling the corpus — at 100 TB
+    * the store is a few hundred bytes per document and the corpus text
+    * is only re-read for verified CANDIDATES. */
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 64, r: Int = 4): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .repartition(col("doc_id"))
+      .withColumn("hsh", shingleHashes(col("sh")))
+      .withColumn("sig", NativeExpressions.minhashSignature(col("hsh"), k))
+      .select(col("doc_id").as(idCol), minhashBands(col("sig"), k, r).as("bands"))
+
+  /** Incremental near-dup against a STORED signature table: the
+    * increment's bands join the store's bands ((band position, hash)
+    * bucket keys — increment-sized work, corpus never re-shingled),
+    * then the exact Jaccard rerank re-shingles ONLY the candidate
+    * corpus rows (semi-join pushdown before the tokenizer). Returns
+    * (new_id, corpus_id, jac) at `threshold`, same contract as
+    * [[nearDupsAgainstCorpus]]. */
+  def nearDupsAgainstStore(inc: DataFrame, incIdCol: String, incTextCol: String,
+                           store: DataFrame, corpus: DataFrame,
+                           corpusIdCol: String, corpusTextCol: String,
+                           n: Int = 3, k: Int = 64, r: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
+    val pb = bandSignatures(inc, incIdCol, incTextCol, n, k, r)
+      .select(col(incIdCol).as("_pid"), posexplode_outer(col("bands")).as(Seq("p", "bk")))
+      .filter(col("bk").isNotNull)
+    val cb = store
+      .select(col(corpusIdCol).as("_cid"), posexplode_outer(col("bands")).as(Seq("p", "bk")))
+      .filter(col("bk").isNotNull)
+    val cand = pb.join(cb, Seq("p", "bk"))
+      .select(col("_pid"), col("_cid")).distinct()
+    val incSh = shingleSets(inc, incIdCol, incTextCol, n)
+      .select(col("doc_id").as("_pid"), col("sh").as("sha"))
+    // candidate ids first, tokenizer second: only candidate corpus rows
+    // pay the shingle cost
+    val candCorpus = corpus.join(
+      cand.select(col("_cid").as(corpusIdCol)).distinct(), corpusIdCol, "left_semi")
+    val corSh = shingleSets(candCorpus, corpusIdCol, corpusTextCol, n)
+      .select(col("doc_id").as("_cid"), col("sh").as("shb"))
+    cand.join(incSh, "_pid").join(corSh, "_cid")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("_pid").as("new_id"), col("_cid").as("corpus_id"),
+        round(col("jac"), 6).as("jac"))
+  }
+
   /** Duplicate-group KEEP POLICY: one surviving row per normalized
     * fingerprint, chosen by `qualityCol` DESC (longest/cleanest copy
     * wins) with id ASC as the deterministic tiebreak — the real-world

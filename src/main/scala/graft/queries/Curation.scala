@@ -450,6 +450,30 @@ object Curation extends QueryModule {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // The OPERATIONAL form of incremental dedup: the corpus's banded
+    // minhash signatures are MATERIALIZED once (a few hundred bytes
+    // per doc) and the increment band-joins the stored rows — the
+    // corpus is never re-tokenized; its text is re-read only for the
+    // candidate ids the bands surface (semi-join before the
+    // tokenizer). Same planted increment and same exact-Jaccard
+    // contract as dedup_incremental, so the two queries pin the
+    // stored-signature path against the recompute path through one
+    // oracle.
+    "dedup_signature_store" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val increment = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zzqx")).as("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_sigstore")
+        .toString + "/sigs"
+      Dedup.bandSignatures(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      Dedup.nearDupsAgainstStore(increment, "doc_id", "text",
+          s.read.parquet(path), docs.select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // Per-group z-score normalization (feature scaling): tiny stats
     // aggregate broadcast back over the fact scan — no second shuffle of
     // the big side. mu/sd are ROUNDED before standardizing so both
@@ -1099,6 +1123,33 @@ object Curation extends QueryModule {
   private def toksOf(textExpr: String): String =
     s"""string_split(lower(trim(regexp_replace($textExpr, '\\s+', ' ', 'g'))), ' ')"""
 
+  /** Cross-set exact-Jaccard oracle for the planted increment — shared
+    * by dedup_incremental (recompute path) and dedup_signature_store
+    * (stored-bands path): one contract, two execution strategies. */
+  private lazy val incrementalOracleSql: String =
+    s"""WITH n_t AS (
+          SELECT doc_id + 20000 id, ${toksOf("concat(text, ' zzqx')")} toks
+          FROM documents WHERE doc_id < 30),
+        c_t AS (SELECT doc_id id, ${Pipeline.toksSql} toks FROM documents),
+        n_sh AS (
+          SELECT id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                           for i in generate_series(1, len(toks) - 2)])) s
+          FROM n_t WHERE len(toks) >= 3),
+        c_sh AS (
+          SELECT id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                           for i in generate_series(1, len(toks) - 2)])) s
+          FROM c_t WHERE len(toks) >= 3),
+        n_sz AS (SELECT id, count(*) n FROM n_sh GROUP BY 1),
+        c_sz AS (SELECT id, count(*) n FROM c_sh GROUP BY 1),
+        p AS (
+          SELECT a.id ni, b.id ci, count(*) c
+          FROM n_sh a JOIN c_sh b ON a.s = b.s GROUP BY 1, 2)
+        SELECT ni AS new_id, ci AS corpus_id,
+          round(c::DOUBLE / (na.n + nb.n - c), 6) + 0.0 AS jac
+        FROM p JOIN n_sz na ON na.id = p.ni JOIN c_sz nb ON nb.id = p.ci
+        WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5
+        ORDER BY new_id, corpus_id"""
+
   /** DuckDB integer md5 draw in [0, 65536): first 4 hex chars of
     * md5(key) as a number (the Sampling membership convention). */
   private def md5DrawOf(keySql: String): String =
@@ -1344,29 +1395,10 @@ object Curation extends QueryModule {
            FROM fps)
          SELECT fp, doc_id, CAST(quality AS INT) AS quality, n_copies
          FROM ranked WHERE rn = 1 AND n_copies > 1 ORDER BY fp""",
-    "dedup_incremental" ->
-      s"""WITH n_t AS (
-            SELECT doc_id + 20000 id, ${toksOf("concat(text, ' zzqx')")} toks
-            FROM documents WHERE doc_id < 30),
-          c_t AS (SELECT doc_id id, ${Pipeline.toksSql} toks FROM documents),
-          n_sh AS (
-            SELECT id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-                                             for i in generate_series(1, len(toks) - 2)])) s
-            FROM n_t WHERE len(toks) >= 3),
-          c_sh AS (
-            SELECT id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-                                             for i in generate_series(1, len(toks) - 2)])) s
-            FROM c_t WHERE len(toks) >= 3),
-          n_sz AS (SELECT id, count(*) n FROM n_sh GROUP BY 1),
-          c_sz AS (SELECT id, count(*) n FROM c_sh GROUP BY 1),
-          p AS (
-            SELECT a.id ni, b.id ci, count(*) c
-            FROM n_sh a JOIN c_sh b ON a.s = b.s GROUP BY 1, 2)
-          SELECT ni AS new_id, ci AS corpus_id,
-            round(c::DOUBLE / (na.n + nb.n - c), 6) + 0.0 AS jac
-          FROM p JOIN n_sz na ON na.id = p.ni JOIN c_sz nb ON nb.id = p.ci
-          WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.5
-          ORDER BY new_id, corpus_id""",
+    "dedup_incremental" -> incrementalOracleSql,
+    // identical contract through the stored-signature path: one oracle
+    // pins both execution strategies
+    "dedup_signature_store" -> incrementalOracleSql,
     "zscore_norm" ->
       """WITH st AS (
            SELECT l_returnflag, round(avg(l_quantity), 6) mu,

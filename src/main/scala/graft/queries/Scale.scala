@@ -167,6 +167,34 @@ object Scale extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental view maintenance — the don't-rescan-the-base shape a
+    // 100 TB rollup lives by: the historical partial aggregate is
+    // MATERIALIZED once (count/sum per key are mergeable partials —
+    // the same algebra as every sketch here), the new-data delta
+    // aggregates alone, and the refreshed view is a union + one
+    // re-aggregation of partials. The payload is the merged view; the
+    // oracle recomputes the FULL aggregate from scratch, so any merge
+    // error (lost partial, double count, non-mergeable statistic)
+    // hash-mismatches. Base/delta split on a fixed calendar cutoff;
+    // empty sides degrade gracefully to the full recompute.
+    "ivm_merge" -> ((s, dir) => {
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"), col("ts"))
+      def partials(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("long").as("pn"), sum(col("value")).as("psum"))
+      val store = Files.createTempDirectory("graft_ivm").toString + "/base_view"
+      partials(ev.filter(col("ts") < cut)).write.mode("overwrite").parquet(store)
+      ParquetSource.load(s, store)
+        .unionByName(partials(ev.filter(col("ts") >= cut)))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("pn")).cast("long").as("n_events"),
+          (round(sum(col("psum")), 2) + lit(0.0)).as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Declarative data-quality audit across the star schema: row
     // predicates evaluate in ONE scan per table (N rules = N
     // conditional sums in the same partial agg), uniqueness is one
@@ -385,6 +413,13 @@ object Scale extends QueryModule {
       s"""SELECT doc_id, lang, n_chars FROM documents
          WHERE ${md5DrawSql("doc_id")} < least(1.0, 0.001 * n_chars) * 65536.0
          ORDER BY doc_id""",
+    // the oracle is the from-scratch recompute: the merged partials
+    // must equal it exactly
+    "ivm_merge" ->
+      """SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) + 0.0 AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "sample_topk_weighted" ->
       s"""WITH d AS (
             SELECT source, doc_id, n_chars,

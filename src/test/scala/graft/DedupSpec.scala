@@ -166,6 +166,21 @@ class DedupSpec extends SparkSpecBase {
     assert(hits.forall(_._1 >= 101L))
   }
 
+  test("stored-signature incremental dedup equals the recompute path") {
+    val increment = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs far away home again"),
+      (102L, "entirely novel content no corpus document resembles in any way at all")
+    ).toDF("doc_id", "text")
+    val store = Dedup.bandSignatures(corpus, "doc_id", "text")
+    val viaStore = Dedup.nearDupsAgainstStore(increment, "doc_id", "text",
+        store, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recompute = Dedup.nearDupsAgainstCorpus(increment, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore == recompute, s"store=$viaStore recompute=$recompute")
+    assert(viaStore.nonEmpty)
+  }
+
   test("dupPassages finds chunk-aligned verbatim passages, ignores unique text") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique tail one"),
