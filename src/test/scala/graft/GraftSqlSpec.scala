@@ -47,6 +47,18 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("jaro_winkler and vec_sum_agg are callable from SQL") {
+    NativeExpressions.registerSql(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0)
+    assert(r.getDouble(0) == 0.9611111111111111) // DuckDB reference value
+    spark.range(4).createOrReplaceTempView("vs_ids")
+    val v = spark.sql(
+      """SELECT vec_sum_agg(array(CAST(id AS DOUBLE), 1.0D), 2) AS s
+         FROM vs_ids""").collect()(0).getSeq[Double](0)
+    assert(v == Seq(4.0, 6.0, 4.0)) // [n, sum(id), sum(1)]
+  }
+
   test("the mergeable sketch family is callable from SQL") {
     NativeExpressions.registerSql(spark)
     spark.range(3000).createOrReplaceTempView("sq_ids")
