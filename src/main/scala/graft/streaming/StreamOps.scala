@@ -366,6 +366,55 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming CURATION sink — the arriving-corpus face of the batch
+    * `curation_keep` contract: each micro-batch of documents is
+    * quality-gated (token count >= minTokens, stopword density <=
+    * maxStopRatio) and near-dup-filtered against BOTH the static
+    * corpus and the batch itself (drop the higher id of an intra-batch
+    * pair — the curation_keep rule), and the KEPT documents land as a
+    * batchId-keyed parquet shard, idempotently (a replayed batch
+    * overwrites its own shard). foreachBatch for the same reason as
+    * [[nearDupSink]]: the candidate stage needs batch-only operators,
+    * and per-batch semantics ARE the meaning — each increment is
+    * curated as a unit against everything already accepted.
+    * StreamingSpec pins kept-set equality with the batch operators run
+    * by hand on the same increments. */
+  def curationSink(newDocs: DataFrame, corpus: DataFrame, outDir: String,
+                   checkpointDir: String, idCol: String, textCol: String,
+                   threshold: Double = 0.5, minTokens: Int = 20,
+                   maxStopRatio: Double = 0.5) =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.functions.TextFunctions
+        val t = TextFunctions.tokens(col(textCol))
+        val quality = batch
+          .withColumn("n_tokens", size(t))
+          .withColumn("stop_ratio",
+            round(TextFunctions.wordHits(t, TextFunctions.Stopwords)
+              .cast("double") / size(t), 6))
+          .filter(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopRatio)
+          .drop("n_tokens", "stop_ratio")
+        val vsCorpus = quality.join(
+          graft.operators.Dedup.nearDupsAgainstCorpus(quality, corpus,
+              idCol, textCol, threshold = threshold)
+            .select(col("new_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        val kept = vsCorpus.join(
+          graft.operators.Dedup.nearDupPairsExact(vsCorpus, idCol, textCol,
+              threshold = threshold,
+              maxDocFreq = graft.operators.Dedup.HotShingleCutoff)
+            .select(col("j").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** Everything the curation sink has accepted so far. */
+  def readCurated(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+
   /** NDV estimates per key over every batch `sketchPartialSink` has
     * landed so far. */
   def readSketchProfile(spark: SparkSession, outDir: String,

@@ -359,6 +359,44 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("curationSink quality-gates and dedups each batch; kept set equals the batch operators") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and then runs all the way home tonight"))
+      .toDF("doc_id", "text")
+    val longUnique = (1 to 25).map(i => s"uniqueword$i").mkString(" ")
+    val longUnique2 = (1 to 25).map(i => s"otherterm$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.curationSink(ms.toDF().toDF("doc_id", "text"), corpus,
+      s"$tmp/kept", s"$tmp/ckpt", "doc_id", "text", minTokens = 10)
+    try {
+      ms.addData(
+        // near-dup of corpus doc 100 (one word changed; the pair the
+        // nearDupSink test pins as band-matched) -> dropped
+        (1L, "the quick brown fox jumps over the lazy dog and then runs all the way home today"),
+        // quality-fail: too short -> dropped
+        (2L, "tiny document"),
+        // clean keeps
+        (3L, longUnique),
+        (4L, longUnique2),
+        // intra-batch near-dup of 3 (one token changed) -> higher id dropped
+        (5L, longUnique.replace("uniqueword25", "changedword")))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/kept")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(3L, 4L), kept.toString)
+      // idempotency surface: a second batch lands in its own shard
+      ms.addData((6L, (1 to 30).map(i => s"fresh$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/kept").collect().map(_.getLong(0)).toSet
+        == Set(3L, 4L, 6L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("stream/batch parity: merged stream partials equal SketchProfile.direct") {
     // the exactly-once evidence the older sinks have: HLL register
     // merge is associative+commutative, so the union of per-batch
