@@ -62,6 +62,12 @@ object NativeExpressions {
     ExpressionUtils.column(JaroWinklerExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(text)))
+
+  def stripAccents(text: Column): Column =
+    ExpressionUtils.column(StripAccentsExpr(ExpressionUtils.expression(text)))
+
   def signLshBucket(v: Column, planes: Array[Array[Double]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(
       ExpressionUtils.expression(v), planes.flatten, planes.length,
@@ -146,7 +152,9 @@ object NativeExpressions {
       intLitArg(exprs, 1, "gramian_agg d", -1)).toAggregateExpression()),
     "vec_sum_agg" -> (exprs => VecSumAggExpr(exprs.head,
       intLitArg(exprs, 1, "vec_sum_agg d", -1)).toAggregateExpression()),
-    "jaro_winkler" -> (exprs => JaroWinklerExpr(exprs(0), exprs(1))))
+    "jaro_winkler" -> (exprs => JaroWinklerExpr(exprs(0), exprs(1))),
+    "nfc_normalize" -> (exprs => NfcNormalizeExpr(exprs.head)),
+    "strip_accents" -> (exprs => StripAccentsExpr(exprs.head)))
 
   /** Integer-literal argument at `pos`, or `dflt` when absent
     * (dflt < 0 means required). */
@@ -876,4 +884,56 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unicode NFC normalization (java.text.Normalizer) — the
+  * canonicalization pass multilingual corpora need before any
+  * hash/dedup/fingerprint step treats visually-identical strings as
+  * equal (é composed vs e+combining-accent hash differently raw).
+  * Parity with DuckDB's `nfc_normalize` (both implement Unicode NFC). */
+case class NfcNormalizeExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Accent stripping: NFD-decompose, drop non-spacing combining marks,
+  * NFC-recompose — 'café'→'cafe', 'Łódź'→'Łodz' (the stroke is part of
+  * the base letter, not a mark, and survives — matching DuckDB's
+  * `strip_accents`, verified on the reference set in NativeExprSpec).
+  * The text-canonicalization companion of [[NfcNormalizeExpr]] for
+  * dedup/linkage keys over multilingual text. */
+case class StripAccentsExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any = {
+    val nfd = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFD)
+    val b = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) b.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      b.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccentsExpr =
+    copy(child = newChild)
 }

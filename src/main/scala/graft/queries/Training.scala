@@ -32,7 +32,42 @@ object Training extends QueryModule {
     BpeTrainer.Merge(5, "i", "n", 0), BpeTrainer.Merge(6, "e", "r", 0),
     BpeTrainer.Merge(7, "o", "u", 0), BpeTrainer.Merge(8, "r", "e", 0))
 
+  /** Accented phrases planted deterministically for text_normalize —
+    * unicode escapes so the source stays ASCII; the SAME constant is
+    * spliced into the DuckDB oracle, so both engines normalize
+    * byte-identical inputs. Chosen to cover composed accents (é ü ñ),
+    * base-letter modifications that must SURVIVE stripping (Ł Ø ß),
+    * and the NFC/NFD boundary (verified against DuckDB's
+    * strip_accents/nfc_normalize in NativeExprSpec). */
+  private[queries] val AccentPhrases = Seq(
+    "caf\u00e9 m\u00fcnchen", "\u00f1and\u00fa cr\u00e8me",
+    "\u0141\u00f3d\u017a \u00d8rsted", "stra\u00dfe na\u00efve",
+    "se\u00f1or Z\u00fcrich")
+
   val queries: Map[String, Q] = Map(
+
+    // Unicode canonicalization — the pass multilingual corpora need
+    // before any hash/dedup/fingerprint treats visually-identical
+    // strings as equal: NFC normalization + accent stripping as native
+    // expressions (Spark has neither; DuckDB has both built in, which
+    // is the oracle). The fixture text is ASCII, so accented phrases
+    // are PLANTED per doc from doc_id arithmetic (the url_domains
+    // trick); the payload is the md5 fingerprint of the normalized
+    // text — any divergence in normalization semantics flips it.
+    "text_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.NativeExpressions
+      val arr = array(AccentPhrases.map(lit): _*)
+      val withAcc = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(arr, (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("t"))
+      withAcc
+        .select(col("doc_id"),
+          NativeExpressions.stripAccents(
+            NativeExpressions.nfcNormalize(col("t"))).as("norm"), col("t"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_fp"),
+          (col("norm") =!= col("t")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Quantile discretization (the ML-prep bucketizer): l_quantity and
     // l_extendedprice cut into deciles per return flag via ntile over
@@ -412,6 +447,16 @@ object Training extends QueryModule {
     }))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's built-in strip_accents/nfc_normalize ARE the reference
+    // implementation here; the planted phrases splice from the same
+    // Scala constant so both engines see identical bytes
+    "text_normalize" ->
+      s"""WITH a AS (SELECT doc_id,
+            text || ' ' || ['${AccentPhrases.mkString("','")}'][CAST(doc_id % 5 AS INT) + 1] AS t
+          FROM documents)
+          SELECT doc_id, md5(strip_accents(nfc_normalize(t))) AS norm_fp,
+            strip_accents(nfc_normalize(t)) <> t AS changed
+          FROM a ORDER BY doc_id""",
     "feature_buckets" ->
       """WITH q AS (SELECT 'l_quantity' AS feature, l_returnflag,
                       ntile(10) OVER (PARTITION BY l_returnflag

@@ -166,7 +166,7 @@ class NativeExprSpec extends SparkSpecBase {
       "aaaa",                       // single symbol -> entropy 0
       "abab",                       // two symbols, uniform -> ln 2
       "the quick brown fox",        // mixed ascii incl. spaces
-      "héllo wörld éé",   // non-ascii spill path
+      "h\u00e9llo w\u00f6rld \u00e9\u00e9",   // non-ascii spill path
       "x").toDF("t").filter(length(col("t")) > 0)
     // reference: the former shuffle-based shape, term-for-term the
     // same formula the DuckDB oracle runs
@@ -204,7 +204,7 @@ class NativeExprSpec extends SparkSpecBase {
     assert(rows("a").mkString(" ") == base)
     assert(rows("b").mkString(" ") == shifted)
     // content-defined: all chunks of `a` except possibly the first
-    // reappear verbatim in `b` despite the 4-token prefix shift —
+    // reappear verbatim in `b` despite the 4-token prefix shift \u2014
     // the property fixed-width chunking cannot have
     val bSet = rows("b").toSet
     val realigned = rows("a").tail.count(bSet.contains)
@@ -213,9 +213,39 @@ class NativeExprSpec extends SparkSpecBase {
       s"only $realigned of ${rows("a").size - 1} tail chunks realigned")
   }
 
+  test("strip_accents/nfc_normalize match DuckDB's built-ins on the reference set") {
+    import spark.implicits._
+    // expected values read from DuckDB strip_accents: combining marks
+    // go, base-letter modifications (stroke/slash/sharp-s) survive
+    val want = Seq(
+      ("caf\u00e9", "cafe"),
+      ("m\u00fcnchen", "munchen"),
+      ("\u00f1and\u00fa", "nandu"),
+      ("cr\u00e8me", "creme"),
+      ("\u0141\u00f3d\u017a", "\u0141odz"),   // \u0141 survives, \u00f3 \u017a stripped
+      ("\u00d8rsted", "\u00d8rsted"),         // \u00d8 survives untouched
+      ("stra\u00dfe", "stra\u00dfe"),         // \u00df survives untouched
+      ("na\u00efve", "naive"),
+      ("se\u00f1or", "senor"),
+      ("Z\u00fcrich", "Zurich"))
+    val got = want.map(_._1).toDF("s")
+      .select(col("s"),
+        org.apache.spark.sql.graft.NativeExpressions.stripAccents(
+          org.apache.spark.sql.graft.NativeExpressions.nfcNormalize(col("s"))).as("x"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    want.foreach { case (in, out) =>
+      assert(got(in) == out, s"strip('$in') = '${got(in)}', want '$out'")
+    }
+    // NFC: decomposed e + combining-acute composes to single-codepoint e-acute
+    val nfc = Seq("e\u0301").toDF("s")
+      .select(org.apache.spark.sql.graft.NativeExpressions.nfcNormalize(col("s")))
+      .collect()(0).getString(0)
+    assert(nfc == "\u00e9")
+  }
+
   test("jaro_winkler matches DuckDB's jaro_winkler_similarity digit for digit") {
     import spark.implicits._
-    // reference values read from DuckDB jaro_winkler_similarity —
+    // reference values read from DuckDB jaro_winkler_similarity \u2014
     // incl. its edge semantics: empty (and both-empty) -> 0.0, the
     // 0.7 boost threshold, half-transposition counting
     val want = Seq(

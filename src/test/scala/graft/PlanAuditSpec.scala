@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkSpecBase {
         n == "ann_ivf_rerank" || n == "split_cluster_safe" ||
         n == "dedup_attrition" || n == "shard_rebalance" ||
         n == "bpe_fertility" || n == "pack_efficiency" ||
-        n == "curation_pipeline_v2"
+        n == "curation_pipeline_v2" || n == "record_linkage" ||
+        n == "hybrid_rrf" || n == "ivm_merge" || n == "target_encode" ||
+        n == "feature_buckets" || n == "sample_topk_weighted" ||
+        n == "dedup_signature_store"
     }.toSeq.sorted
     assert(names.size >= 40, s"sweep unexpectedly small: $names")
     val dirty = names.filterNot { n =>
