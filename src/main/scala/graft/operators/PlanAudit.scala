@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
@@ -26,6 +28,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   - `unfiltered_wide_scans` — scans with neither pushed filters nor
   *     partition filters (full-table reads; fine for full aggregations,
   *     fatal when a predicate existed and stayed above the scan).
+  *   - `single_partition_windows` — WindowExec with an EMPTY
+  *     partitionSpec over input the plan cannot prove bounded: Spark
+  *     moves every row into ONE partition and sorts it on one core
+  *     (the "No Partition Defined for Window operation" warning) — the
+  *     one plan shape in this repo that dies at 100x. A window is
+  *     counted only when its child subtree contains neither a
+  *     GlobalLimit / TakeOrderedAndProject / CollectLimit (the
+  *     rank-the-top-k-survivors pattern, e.g. vocab_topk) nor an
+  *     aggregate grouped solely on a `__pid` column (the
+  *     partition-count-bounded offsets frame of the distributed
+  *     prefix-sum/rank construction, Sampling.takeWhileBudget /
+  *     Ranks.globalRowNumber). Windows over an aggregate of a
+  *     SMALL-DOMAIN key (a 10-row decile cumsum, a per-source fold)
+  *     are bounded in fact but not in the plan — they count, and the
+  *     caller whitelists them by name with the domain argument spelled
+  *     out (PlanAuditSpec does exactly this for the query surface).
   *   - `codegen_nodes` / `non_codegen_nodes` — operators inside vs
   *     outside WholeStageCodegen spans (interpreted rows pay virtual
   *     calls per row).
@@ -81,6 +99,10 @@ object PlanAudit {
         s.relation.dataSchema.fields.length > 2
     }
 
+    val spWindows = nodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+    }
+
     val codegenNodes = nodes.collect { case w: WholeStageCodegenExec => w }
       .map(w => spanNodes(w.child)).sum
     val planNodes = nodes.count(n =>
@@ -105,6 +127,10 @@ object PlanAudit {
           .map(_.getName).getOrElse("?")).mkString(",")),
       row("unfiltered_wide_scans", "info", unfiltered.length,
         "scans with no pushed or partition filters (fine for full aggregation)"),
+      row("single_partition_windows", if (spWindows.nonEmpty) "warn" else "ok",
+        spWindows.length,
+        spWindows.map(_.orderSpec.map(_.child.sql).mkString("(", ",", ")"))
+          .mkString(";")),
       row("non_codegen_nodes", "info",
         math.max(0, planNodes - codegenNodes).toLong,
         s"$codegenNodes of $planNodes physical operators inside WholeStageCodegen"))
@@ -121,6 +147,31 @@ object PlanAudit {
   /** True when the plan is free of `fail`-severity findings. */
   def clean(df: DataFrame): Boolean =
     !audit(df).collect().exists(_.getString(1) == "fail")
+
+  /** True when the subplan's output is provably bounded for window
+    * purposes: a limit node (GlobalLimit / TakeOrderedAndProject /
+    * CollectLimit) anywhere below, or an aggregate grouped ONLY on
+    * `__pid` columns — spark_partition_id() grouping, output rows =
+    * partition count (the distributed prefix-sum offsets frame). An
+    * aggregate on an arbitrary key does NOT bound anything (a groupBy
+    * over a vocabulary-sized key is still corpus-scale). */
+  private def boundedBelow(p: SparkPlan): Boolean =
+    collectAll(p).exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        pidGrouped(a.groupingExpressions)
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        pidGrouped(a.groupingExpressions)
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        pidGrouped(a.groupingExpressions)
+      case _ => false
+    }
+
+  private def pidGrouped(g: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Boolean =
+    g.nonEmpty && g.forall {
+      case a: AttributeReference => a.name == "__pid"
+      case _ => false
+    }
 
   /** True when the subplan provably yields at most one row: a global
     * aggregate (no grouping expressions) somewhere at its root, under

@@ -211,12 +211,14 @@ object Analytics extends QueryModule {
     // the way human name typos are. Spark has no jaro_winkler; ours is
     // a native expression pinned digit-for-digit to DuckDB's built-in
     // (plans/NativeExpressions.scala JaroWinklerExpr). Blocking is the
-    // textbook sorted neighborhood: one global sort of the (vocabulary-
-    // sized) name set, then each name meets only its w=8 successors via
-    // a rank-band equi-join (explode of rk+1..rk+w) — O(n·w) pairs,
-    // codegen end to end, never names x names. Dirty variants are
-    // planted deterministically (chars 3/4 transposed) so the fixture
-    // has real matches to find.
+    // textbook sorted neighborhood: a DISTRIBUTED global rank of the
+    // (vocabulary-sized) name set (Ranks.globalRowNumber: range
+    // partition + per-partition row_number + broadcast offsets — no
+    // single-partition WindowExec), then each name meets only its w=8
+    // successors via a rank-band equi-join (explode of rk+1..rk+w) —
+    // O(n·w) pairs, codegen end to end, never names x names. Dirty
+    // variants are planted deterministically (chars 3/4 transposed) so
+    // the fixture has real matches to find.
     "record_linkage" -> ((s, dir) => {
       val w = 8
       val names = Tables(s, dir, "part").groupBy(col("p_name"))
@@ -226,8 +228,8 @@ object Analytics extends QueryModule {
             substring(col("p_name"), 3, 1), expr("substr(p_name, 5)")).as("p_name"),
           (col("name_id") + 100000).as("name_id"))
       val all = names.select(col("p_name"), col("name_id")).unionByName(dirty)
-      val ranked = all.withColumn("rk",
-        row_number().over(Window.orderBy(col("p_name"), col("name_id"))))
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        all, Seq(col("p_name"), col("name_id")), "rk")
       val band = ranked.select(col("p_name").as("name_a"), col("name_id").as("id_a"),
         explode(sequence(col("rk") + 1, col("rk") + w)).as("rk"))
       band.join(ranked.select(col("p_name").as("name_b"), col("name_id").as("id_b"),

@@ -358,8 +358,11 @@ object Curation extends QueryModule {
     // with no extra rounding discipline. Docs missing from an arm
     // (no query term / no embedding) contribute 0 from that arm — the
     // full-outer-join semantics a production fusion needs. Scale
-    // shape: both arms are scan+broadcast+top-k (WindowGroupLimit);
-    // the fusion joins two 100-row frames.
+    // shape: both arms are scan+broadcast then a DISTRIBUTED top-100
+    // (orderBy+limit = TakeOrderedAndProject: per-partition heaps,
+    // driver merge of 100-row candidates) — ranks are assigned by a
+    // window only over the 100 survivors, never over corpus-scale
+    // input; the fusion joins two 100-row frames.
     "hybrid_rrf" -> ((s, dir) => {
       val qTerms = Seq("dup", "join", "vector")
       val k1 = 1.2; val b = 0.75
@@ -385,17 +388,17 @@ object Curation extends QueryModule {
       val lex = perDoc.crossJoin(broadcast(stats))
         .filter(qTerms.map(t => col(s"tf_$t") > 0.0).reduce(_ || _))
         .select(col("doc_id"), round(qTerms.map(wgt).reduce(_ + _), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
         .withColumn("rb", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
-        .filter(col("rb") <= 100)
       val emb = Tables(s, dir, "embeddings")
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
       val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
         .select(col("vec_id").as("doc_id"),
           round(VectorFunctions.cosine(col("embedding"), col("pv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
         .withColumn("rc", row_number().over(
           Window.orderBy(col("cos").desc, col("doc_id"))))
-        .filter(col("rc") <= 100)
       lex.select(col("doc_id"), col("rb"))
         .join(sem.select(col("doc_id"), col("rc")), Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

@@ -105,6 +105,48 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(dirty.isEmpty, s"cartesian-product plans: $dirty")
   }
 
+  test("unpartitioned corpus-scale windows are flagged; bounded shapes are not") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    // the scale-killer shape: a global rank over unbounded input
+    val bad = docs.select(col("doc_id"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+    val flagged = find(bad, "single_partition_windows")
+    assert(flagged.getString(1) == "warn" && flagged.getLong(2) >= 1L)
+    // rank-the-survivors: a limit below the window bounds it
+    val limited = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(100)
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(find(limited, "single_partition_windows").getLong(2) == 0L)
+    // the distributed-rank construction: its one unpartitioned window
+    // sits over the __pid-grouped offsets frame — recognized as bounded
+    val ranked = graft.operators.Ranks.globalRowNumber(
+      docs.select(col("doc_id")), Seq(col("doc_id")))
+    assert(find(ranked, "single_partition_windows").getLong(2) == 0L)
+    // an aggregate on an ARBITRARY key does not bound anything — this is
+    // exactly the pre-fix record_linkage shape (rank over a groupBy of a
+    // vocabulary-sized key) and must stay flagged
+    val aggBad = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("source"))))
+    assert(find(aggBad, "single_partition_windows").getLong(2) >= 1L)
+  }
+
+  test("the full query surface is free of unproven single-partition windows") {
+    // Bounded in fact but not provable in the plan — each whitelisted
+    // window runs over an aggregate of a SMALL-DOMAIN key:
+    //  - vocab_growth: cumsum over 10 decile rows (floor(x*10/n) in 0..10)
+    //  - mix_temperature / curation_pipeline_v2: temperatureMix's
+    //    deterministic prefix-sum fold over the per-SOURCE frame (the
+    //    source column's domain is the handful of corpus sources; the
+    //    ordered fold is deliberate — float summation order pins rates)
+    val whitelist = Set("vocab_growth", "mix_temperature", "curation_pipeline_v2")
+    val dirty = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val r = find(SparkEntry.queries(n)(spark, dir), "single_partition_windows")
+      if (r.getLong(2) > 0 && !whitelist.contains(n)) Some(s"$n${r.getString(3)}")
+      else None
+    }
+    assert(dirty.isEmpty, s"unbounded single-partition windows: $dirty")
+  }
+
   test("shuffle and join counters reflect the plan shape") {
     // big-big equi-join: at least one shuffled join or (under AQE
     // stats) a broadcast join; either way no cartesian and >= 1

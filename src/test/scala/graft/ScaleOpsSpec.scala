@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BloomPrune, Sampling, ZOrder}
+import graft.operators.{BloomPrune, Ranks, Sampling, ZOrder}
 import org.apache.spark.sql.functions._
 
 /** Contracts for the scan-side scale operators: bloom-prefiltered
@@ -43,6 +43,25 @@ class ScaleOpsSpec extends SparkSpecBase {
     val joinIdx = plan.indexOf("Join")
     assert(filterIdx > joinIdx, // executedPlan prints top-down: join first, filter beneath it
       s"might_contain should sit under the join on the probe branch:\n$plan")
+  }
+
+  test("globalRowNumber equals the single-partition row_number, at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    // keys deliberately collide on the first order column so the
+    // name_id tiebreak and range-partition boundary placement both get
+    // exercised; hash-ish ordering decorrelates key from insert order
+    val df = (1L to 500L)
+      .map(i => (s"k${i % 97}", i, s"v$i")).toDF("k", "id", "v")
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy($"k", $"id")).cast("long"))
+      .select($"k", $"id", $"rk")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 2, 7)) {
+      val got = Ranks.globalRowNumber(df, Seq($"k", $"id"), "rk", partitions = parts)
+        .select($"k", $"id", $"rk")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"distributed rank diverged at partitions=$parts")
+    }
   }
 
   test("weightedSample keeps rows in proportion to weight, deterministically") {
