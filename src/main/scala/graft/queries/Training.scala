@@ -92,6 +92,80 @@ object Training extends QueryModule {
         .orderBy(col("feature"), col("l_returnflag"), col("bucket"))
     }),
 
+    // KLL-boundary bucketing — the 100 TB escalation of
+    // feature_buckets. ntile's bucketer caps parallelism at the
+    // partition-key domain (3 return flags => 18M rows sorted in 3
+    // window partitions at 30x, measured dead-linear in SCALING.md);
+    // here the decile CUT POINTS come from the mergeable KLL sketch
+    // (one partial-agg shuffle of ~3 KB buffers) and bucket assignment
+    // is a broadcast range lookup (filter+size over the 9-element
+    // boundary array) — a pure scan with full parallelism, no global
+    // sort anywhere. Semantics differ from ntile ON PURPOSE
+    // (value-threshold buckets vs equal-count tie-splitting), so both
+    // queries stay registered. Hash gate (the profile_quantiles
+    // pattern): the oracle-checkable payload is the group count + the
+    // EXACT decile edges (percentile <-> quantile_cont parity); the
+    // randomized KLL boundaries are rank-audited in-plan (observed
+    // lt/le rank of each cut inside the published error envelope), and
+    // the broadcast assignment is pinned by an EXACT identity —
+    // cumulative bucket counts must equal the boundary's le-rank
+    // digit-for-digit, ties and duplicate boundaries included. A
+    // sketch, quantile-extraction, or lookup regression flips a
+    // boolean and hash-mismatches.
+    "feature_buckets_kll" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.KllFunctions
+      val li = Tables(s, dir, "lineitem")
+      val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
+      val cuts = (1 to 9).map(_ / 10.0)
+      def forFeature(c: String) = {
+        val grp = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          KllFunctions.kllQuantiles(
+            KllFunctions.kllSketchAgg(col(c).cast("double")), cuts).as("bnds"),
+          expr(s"percentile(CAST($c AS DOUBLE), array(${(1 to 10).map(i => i / 10.0).mkString(", ")}))").as("eq"))
+        val withB = li.select(col("l_returnflag").as("rf"), col(c).cast("double").as("v"))
+          .join(broadcast(grp.select(col("l_returnflag").as("rf"), col("bnds"))), Seq("rf"))
+        // observed lt/le ranks of every cut: 18 codegen'd conditional
+        // sums in ONE pass — no explode, no row blow-up
+        val rankAggs = (1 to 9).flatMap(k => Seq(
+          sum(when(col("v") < element_at(col("bnds"), k), 1L).otherwise(0L)).as(s"lt$k"),
+          sum(when(col("v") <= element_at(col("bnds"), k), 1L).otherwise(0L)).as(s"le$k")))
+        val ranks = withB.groupBy(col("rf"))
+          .agg(rankAggs.head, rankAggs.tail: _*)
+          .select(col("rf"),
+            array((1 to 9).map(k => col(s"lt$k")): _*).as("lts"),
+            array((1 to 9).map(k => col(s"le$k")): _*).as("les"))
+        // the serving-time path under audit: broadcast range lookup
+        val nb = withB
+          .select(col("rf"),
+            (size(filter(col("bnds"), b => col("v") > b)) + 1).as("bk"))
+          .groupBy(col("rf"), col("bk")).agg(count(lit(1)).as("nb"))
+        val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+        val perBucket = grp
+          .select(col("l_returnflag"), col("n"), col("eq"),
+            explode(sequence(lit(1), lit(10))).as("bucket"))
+          .join(nb, col("l_returnflag") === col("rf") && col("bucket") === col("bk"), "left")
+          .drop("rf", "bk")
+          .withColumn("cum", sum(coalesce(col("nb"), lit(0L))).over(cumW))
+        val tol = ceil(col("n") * lit(2.0 * eps)) + lit(2.0)
+        perBucket
+          .join(broadcast(ranks), col("l_returnflag") === col("rf"))
+          .select(lit(c).as("feature"), col("l_returnflag"), col("bucket"), col("n"),
+            (round(element_at(col("eq"), col("bucket")), 6) + lit(0.0)).as("hi_exact"),
+            when(col("bucket") <= 9,
+              (element_at(col("lts"), col("bucket")) <=
+                ceil(col("n") * col("bucket") / lit(10.0)) + tol) &&
+              (element_at(col("les"), col("bucket")) >=
+                floor(col("n") * col("bucket") / lit(10.0)) - tol))
+              .otherwise(lit(true)).as("bound_ok"),
+            when(col("bucket") <= 9,
+              col("cum") === element_at(col("les"), col("bucket")))
+              .otherwise(col("cum") === col("n")).as("assign_ok"))
+      }
+      forFeature("l_quantity").unionByName(forFeature("l_extendedprice"))
+        .orderBy(col("feature"), col("l_returnflag"), col("bucket"))
+    }),
+
     // Smoothed target encoding (the high-cardinality categorical
     // encoder): each part brand's mean extended price shrunk toward
     // the global mean with pseudo-count m=50 — enc = (sum + m*mu) /
@@ -472,6 +546,25 @@ object Training extends QueryModule {
           SELECT feature, l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n,
             round(min(v), 2) + 0.0 AS lo, round(max(v), 2) + 0.0 AS hi
           FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // Exact decile-edge payload (percentile <-> quantile_cont parity);
+    // the KLL rank-bound and assignment-identity booleans are literal
+    // TRUE here and computed for real on the Spark side.
+    "feature_buckets_kll" ->
+      """WITH gq AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       quantile_cont(CAST(l_quantity AS DOUBLE),
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS eq
+                     FROM lineitem GROUP BY 1),
+          gp AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS eq
+                 FROM lineitem GROUP BY 1),
+          u AS (SELECT 'l_quantity' AS feature, * FROM gq
+                UNION ALL SELECT 'l_extendedprice' AS feature, * FROM gp)
+          SELECT feature, l_returnflag, CAST(b.bucket AS INT) AS bucket, n,
+            round(eq[CAST(b.bucket AS INT)], 6) + 0.0 AS hi_exact,
+            TRUE AS bound_ok, TRUE AS assign_ok
+          FROM u CROSS JOIN generate_series(1, 10) b(bucket)
+          ORDER BY 1, 2, 3""",
     "target_encode" ->
       """WITH j AS (SELECT p_brand, l_extendedprice AS y
                     FROM lineitem JOIN part ON l_partkey = p_partkey),
