@@ -181,15 +181,11 @@ object SimilaritySearch {
   def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int = 16): DataFrame = {
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv"))
-      .crossJoin(broadcast(cents))
-      .select(col("_mid"), col("_cent_id"),
-        round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))))
-      .filter(col("_rk") === 1)
-      .select(col("_mid").as(idCol), col("_cent_id").as("cluster_id"),
-        col("_mcos").as("cent_cos"))
+      .select(col("_mid"), argmaxCent(col("_mv"), cents).as("_best"))
+      .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"),
+        col("_best")("c").as("cent_cos"))
   }
 
   /** Lloyd rounds the IVF codebook trains with by default. Two rounds
@@ -221,15 +217,15 @@ object SimilaritySearch {
     val vecs = corpus.select(col(idCol).as("_vid"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("_vv"))
     for (_ <- 1 to iters) {
-      val centsDf = cents.toDF("_cent_id", "_cent_vec")
-      val assigned = vecs.crossJoin(broadcast(centsDf))
-        .select(col("_vid"), col("_vv"), col("_cent_id"),
-          round(cosine(col("_vv"), col("_cent_vec")), 6).as("_c"))
-        .withColumn("_rk", row_number().over(
-          Window.partitionBy(col("_vid")).orderBy(col("_c").desc, col("_cent_id"))))
-        .filter(col("_rk") === 1)
-      // slice is 1-based, [] is 0-based: _s = [n, s_0..s_{d-1}]
-      val sums = assigned.groupBy(col("_cent_id"))
+      // assignment + moments in ONE corpus scan: the argmax centroid is
+      // a per-row fold over the nlist literal centroids (argmaxCent) —
+      // no nlist x corpus crossJoin, no per-vector window shuffle; the
+      // only exchange is the partial-agg merge of nlist (1+d)-double
+      // moment buffers. slice is 1-based, [] is 0-based:
+      // _s = [n, s_0..s_{d-1}]
+      val sums = vecs
+        .select((-argmaxCent(col("_vv"), cents)("negid")).as("_cent_id"), col("_vv"))
+        .groupBy(col("_cent_id"))
         .agg(org.apache.spark.sql.graft.GramianFunctions
           .vecSumAgg(col("_vv"), d).as("_s"))
         .select(col("_cent_id"),
@@ -239,6 +235,19 @@ object SimilaritySearch {
     }
     cents.toDF("_cent_id", "_cent_vec")
   }
+
+  /** Per-row nearest centroid as a FOLD over literal centroids: the
+    * max of an array of (6-dp rounded cosine, -cent_id) structs —
+    * Spark's struct ordering is lexicographic, so the max is the
+    * highest cosine with ties going to the SMALLEST cent_id, exactly
+    * the `orderBy(_c desc, _cent_id)` + rk=1 contract of the window
+    * formulation it replaces. No crossJoin row blow-up, no per-row
+    * window shuffle — a pure codegen scan; callers extract `("c")`
+    * (the winning cosine) and `-("negid")` (the winning id). */
+  private def argmaxCent(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_max(array(cents.map { case (cid, v) =>
+      struct(round(cosine(vec, typedLit(v)), 6).as("c"), lit(-cid).as("negid"))
+    }: _*))
 
   /** Deterministic coarse-quantizer codebook: the nlist vectors with
     * the smallest md5(id) — an unbiased sample, stable across runs and
@@ -312,14 +321,27 @@ object SimilaritySearch {
     * cosines, id tiebreaks — deterministic). */
   private def bestLists(df: DataFrame, cents: DataFrame,
                         id: String, vec: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
-    df.select(col(id).as("_mid"), col(vec).as("_mv"))
-      .crossJoin(broadcast(cents))
-      .select(col("_mid"), col("_mv"), col("_cent_id"),
-        round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= n)
-      .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
+    if (n == 1) {
+      // corpus-side list assignment: the argmaxCent fold — one codegen
+      // scan, no crossJoin blow-up, no per-vector window shuffle.
+      // cents is a LocalRelation built from the driver-side Lloyd
+      // model, so this collect is free and model-sized (nlist x d).
+      val cs = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      df.select(col(id).as("_mid"), col(vec).as("_mv"))
+        .select(col("_mid"), col("_mv"),
+          (-argmaxCent(col("_mv"), cs)("negid")).as("_list"))
+    } else {
+      // probe side (top-nprobe lists per probe): probes are few, the
+      // window is partitioned per probe — keep the ranked formulation
+      val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
+      df.select(col(id).as("_mid"), col(vec).as("_mv"))
+        .crossJoin(broadcast(cents))
+        .select(col("_mid"), col("_mv"), col("_cent_id"),
+          round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= n)
+        .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
+    }
   }
 
   /** Embedding dimensionality, from the first row (driver-side, one
