@@ -43,7 +43,38 @@ object Bench {
     // `iters` timed runs of each query
     val metrics = new BenchMetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    BenchMetrics.flush(spark) // drain warmup events before the first row
+
+    // Fixed calibration probes, run first-and-last: a pure-CPU pass and
+    // a pure-shuffle pass over synthetic ranges whose cost is CONSTANT
+    // across rounds (no testdata dependency, no query-code dependency).
+    // Cross-round per-query deltas can then self-diagnose: if the probe
+    // pair shifted the same +10-20% as untouched queries, the drift is
+    // run context (page cache, CPU contention, thermal state), not a
+    // regression — the r9->r10 comparison needed exactly this and had
+    // to argue it from zero-diff files instead. Median-of-3 like the
+    // queries; ~1 s each, so the probes cost ~12 s of a ~170 s run.
+    import org.apache.spark.sql.functions._
+    def timedMedian(run: () => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    def probeCpu(): Double = timedMedian(() =>
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        // % before the sum: 8M values bounded by 2^20 cannot overflow
+        // the long accumulator under ANSI mode
+        .select(sum(xxhash64(md5(org.apache.spark.sql.functions.col("id").cast("string"))) % 1048576L).as("h"))
+        .write.format("noop").mode("overwrite").save())
+    def probeShuffle(): Double = timedMedian(() =>
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        .repartition(2 * cpus.toInt, org.apache.spark.sql.functions.col("id"))
+        .write.format("noop").mode("overwrite").save())
+    val (cpuFirst, shufFirst) = (probeCpu(), probeShuffle())
+
+    BenchMetrics.flush(spark) // drain warmup+probe events before the first row
     metrics.snapshotAndReset()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -87,8 +118,10 @@ object Bench {
       .map { case (n, _, _, _, (d, m, w, p)) =>
         "\"" + n + s"""\":[$d,$m,$w,$p]""" }
       .mkString("{", ",", "}")
+    val (cpuLast, shufLast) = (probeCpu(), probeShuffle())
+    val probes = f"""{"cpu_first":$cpuFirst%.3f,"cpu_last":$cpuLast%.3f,"shuffle_first":$shufFirst%.3f,"shuffle_last":$shufLast%.3f}"""
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"resource":$resource,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"resource":$resource,"probes":$probes,"sf":"$sfDir"}"""
     // a filtered local-iteration run must not clobber the committed
     // full-surface snapshot (it did once — a 2-query map replaced the
     // 194-query one mid-round)
