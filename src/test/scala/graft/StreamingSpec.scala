@@ -397,6 +397,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("curationSink survives kill-and-restart from checkpoint: kept-set parity holds") {
+    // the idempotent-shard claim under its REAL failure mode: stop the
+    // query after batch 0 commits, let batch 1 arrive while the query
+    // is DOWN, restart from the same checkpoint dir, and require the
+    // accepted set to be exactly what an uninterrupted run would keep —
+    // no lost batch, no replayed duplicates
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation_ckpt").toString
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and then runs all the way home tonight"))
+      .toDF("doc_id", "text")
+    val longUnique = (1 to 25).map(i => s"restartword$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    def start() = StreamOps.curationSink(ms.toDF().toDF("doc_id", "text"), corpus,
+      s"$tmp/kept", s"$tmp/ckpt", "doc_id", "text", minTokens = 10)
+    val q1 = start()
+    try {
+      ms.addData(
+        // corpus near-dup -> dropped
+        (1L, "the quick brown fox jumps over the lazy dog and then runs all the way home today"),
+        (3L, longUnique))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/kept")
+        .collect().map(_.getLong(0)).toSet == Set(3L))
+    } finally q1.stop()
+    ms.addData((6L, (1 to 30).map(i => s"restartfresh$i").mkString(" ")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/kept").collect().map(_.getLong(0))
+      assert(kept.toSet == Set(3L, 6L), kept.toSeq.toString)
+      // and exactly once each: a replayed shard overwrites, never appends
+      assert(kept.length == 2, s"duplicated rows after restart: ${kept.toSeq}")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("stream/batch parity: merged stream partials equal SketchProfile.direct") {
     // the exactly-once evidence the older sinks have: HLL register
     // merge is associative+commutative, so the union of per-batch
