@@ -586,6 +586,47 @@ object Dedup {
         round(col("jac"), 6).as("jac"))
   }
 
+  /** Signature-store lifecycle: COMPACTION + GC. Operationally the
+    * store only ever GROWS — each increment appends its band rows, a
+    * replayed shard appends exact-duplicate rows, and deletions never
+    * reach it. This rewrites the store down to exactly the live set:
+    *   - rows whose id misses `liveIds` are dropped (GC of deleted
+    *     docs) via a semi-join — at 100 TB `liveIds` is an id
+    *     projection, usually broadcast-sized after deletion batching;
+    *   - exact-duplicate rows from replayed shards collapse to one
+    *     (whole-row distinct — identical text yields identical bands,
+    *     so any surviving row is THE row);
+    *   - survivors land as size-targeted parquet re-bucketed by id
+    *     hash, so the incremental band join scans a balanced store
+    *     instead of one shattered by a thousand tiny appends.
+    * Returns (filesBefore, filesAfter). DedupSpec pins that the
+    * compacted store equals [[bandSignatures]] recomputed from the
+    * live corpus, row for row, and that [[nearDupsAgainstStore]] over
+    * it still equals the recompute path. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, outDir: String,
+                            liveIds: DataFrame, idCol: String,
+                            targetBytes: Long = 128L << 20): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(conf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path) =
+      Option(fs.listStatus(p)).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(root)
+    require(before.nonEmpty, s"compactSignatureStore: no parquet files under $storeDir")
+    // pre-filter bytes are an upper bound on post-filter size, so the
+    // file count can only land finer than the target, never coarser
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(storeDir)
+      .join(liveIds.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .distinct()
+      .repartition(nOut, col(idCol))
+      .write.mode("overwrite").parquet(outDir)
+    (before.length, parquetFiles(new org.apache.hadoop.fs.Path(outDir)).length)
+  }
+
   /** Duplicate-group KEEP POLICY: one surviving row per normalized
     * fingerprint, chosen by `qualityCol` DESC (longest/cleanest copy
     * wins) with id ASC as the deterministic tiebreak — the real-world

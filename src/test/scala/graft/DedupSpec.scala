@@ -181,6 +181,48 @@ class DedupSpec extends SparkSpecBase {
     assert(viaStore.nonEmpty)
   }
 
+  test("compactSignatureStore: the GC'd store equals a recompute from the live corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_gc").toString
+    try {
+      // accrete the store the way production does: two shards appended,
+      // the second one REPLAYED (duplicate rows), then doc 2 deleted
+      val shard1 = corpus.filter(col("doc_id") <= 2)
+      val shard2 = corpus.filter(col("doc_id") > 2)
+      Dedup.bandSignatures(shard1, "doc_id", "text")
+        .write.mode("append").parquet(s"$tmp/store")
+      Dedup.bandSignatures(shard2, "doc_id", "text")
+        .write.mode("append").parquet(s"$tmp/store")
+      Dedup.bandSignatures(shard2, "doc_id", "text")
+        .write.mode("append").parquet(s"$tmp/store")
+      val live = corpus.filter(col("doc_id") =!= 2L)
+      val (nBefore, nAfter) =
+        Dedup.compactSignatureStore(spark, s"$tmp/store", s"$tmp/compacted",
+          live.select(col("doc_id")), "doc_id")
+      assert(nBefore > nAfter, s"$nBefore -> $nAfter")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      val compacted = rows(spark.read.parquet(s"$tmp/compacted"))
+      val recomputed = rows(Dedup.bandSignatures(live, "doc_id", "text"))
+      assert(compacted == recomputed,
+        s"compacted=${compacted.map(_._1)} recomputed=${recomputed.map(_._1)}")
+      // and the operational read path still works against the compacted
+      // store: increment dedup equals the full-recompute contract on
+      // the LIVE corpus
+      val increment = Seq(
+        (101L, "the quick brown fox jumps over the lazy dog and runs far away home again")
+      ).toDF("doc_id", "text")
+      val viaStore = Dedup.nearDupsAgainstStore(increment, "doc_id", "text",
+          spark.read.parquet(s"$tmp/compacted"), live, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val recompute = Dedup.nearDupsAgainstCorpus(increment, live, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaStore == recompute && viaStore.nonEmpty,
+        s"store=$viaStore recompute=$recompute")
+      assert(viaStore.forall(_._2 != 2L), "a GC'd doc resurfaced as a pair")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("dupPassages finds chunk-aligned verbatim passages, ignores unique text") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique tail one"),
