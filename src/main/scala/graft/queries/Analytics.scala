@@ -258,14 +258,27 @@ object Analytics extends QueryModule {
     // Spearman rank correlation: monotone association between value
     // and event time per type. Ranks are deterministic row_numbers
     // (event_id tiebreak), so the only FP is the final Pearson over
-    // integer ranks — rounded like corr_stats.
+    // integer ranks — rounded like corr_stats. Scale shape: the ranks
+    // come from Ranks.groupRowNumber, NOT a per-type window — a window
+    // partitioned by the handful of event types sorts each type's
+    // entire corpus slice in ONE partition (the feature_buckets ntile
+    // trap); the distributed construction range-partitions on
+    // (type, order key), ranks per partition, and adds broadcast
+    // prefix offsets, so both rankings use every core. The two rank
+    // frames rejoin on event_id (each carries identical ranks to the
+    // window formulation, so the oracle is unchanged).
     "spearman_rank" -> ((s, dir) => {
-      val byValue = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      val byTime = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-      Tables(s, dir, "events")
+      val ev = Tables(s, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"), col("ts"))
-        .withColumn("rv", row_number().over(byValue).cast("double"))
-        .withColumn("rt", row_number().over(byTime).cast("double"))
+      val rv = graft.operators.Ranks.groupRowNumber(
+          ev.select(col("event_type"), col("event_id"), col("value")),
+          Seq("event_type"), Seq(col("value"), col("event_id")), "rv")
+        .select(col("event_type"), col("event_id"), col("rv").cast("double").as("rv"))
+      val rt = graft.operators.Ranks.groupRowNumber(
+          ev.select(col("event_type"), col("event_id"), col("ts")),
+          Seq("event_type"), Seq(col("ts"), col("event_id")), "rt")
+        .select(col("event_id"), col("rt").cast("double").as("rt"))
+      rv.join(rt, "event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           (round(corr(col("rv"), col("rt")), 6) + lit(0.0)).as("spearman"))

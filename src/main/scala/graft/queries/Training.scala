@@ -218,15 +218,18 @@ object Training extends QueryModule {
     // into fixed-length training rows. One window shuffle per shard;
     // shard count scales the parallelism (the per-shard sort is the
     // honest sequential dependency of packing).
+    // The running sum is Ranks.groupRunningSum, not a per-shard window:
+    // a window partitioned by the 4 shards caps the sort at 4 cores no
+    // matter the cluster; the distributed prefix sum (range partition
+    // on (shard, md5 order) + per-partition sums + broadcast offsets)
+    // is BIT-equal for integer token counts, so the oracle is unchanged.
     "seq_pack" -> ((s, dir) => {
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, dir, "documents")
+      val tokd = Tables(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
           size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("cum"))
+      graft.operators.Ranks.groupRunningSum(tokd, Seq("shard"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          col("n_tokens"), "cum")
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           floor(col("cum") / PackBudget).as("pack_id"),
           (col("cum") % PackBudget).as("pack_offset"))

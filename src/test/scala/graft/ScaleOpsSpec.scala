@@ -64,6 +64,41 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("groupRowNumber equals the per-group window row_number, at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    // few groups x many rows per group — exactly the regime the
+    // operator exists for; value collisions exercise the id tiebreak
+    val df = (1L to 600L)
+      .map(i => (s"g${i % 4}", (i * 31 % 50).toDouble, i)).toDF("g", "v", "id")
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"v", $"id")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Ranks.groupRowNumber(df, Seq("g"), Seq($"v", $"id"), "rk",
+          partitions = parts)
+        .select($"g", $"id", $"rk")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"distributed group rank diverged at partitions=$parts")
+    }
+  }
+
+  test("groupRunningSum equals the per-group exclusive window sum, at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 600L)
+      .map(i => (s"g${i % 4}", i, (i * 13 % 97) + 1)).toDF("g", "id", "w")
+    val win = Window.partitionBy($"g").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum($"w").over(win), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Ranks.groupRunningSum(df, Seq("g"), Seq($"id"), $"w", "cum",
+          partitions = parts)
+        .select($"g", $"id", $"cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"distributed group prefix sum diverged at partitions=$parts")
+    }
+  }
+
   test("weightedSample keeps rows in proportion to weight, deterministically") {
     val df = (1L to 20000L).map(i => (i, if (i % 2 == 0) 400L else 100L))
       .toDF("id", "w")
