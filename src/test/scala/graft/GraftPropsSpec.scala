@@ -67,6 +67,61 @@ object GraftPropsSpec extends Properties("graft.ops") {
       s1.subsetOf(s2)
     }
 
+  // Distributed rank/prefix-sum algebra: for ANY rows and ANY partition
+  // count, the two-pass constructions must equal their single-partition
+  // window formulations exactly (the whole point of the operators is
+  // that partition-boundary placement is unobservable).
+  private val rankRowsGen: Gen[(List[(Long, Long)], Int)] =
+    Gen.zip(
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 60L)))),
+      Gen.choose(1, 9))
+
+  property("globalRowNumber equals the sequential rank at any partition count") =
+    forAll(rankRowsGen) { case (rows, parts) =>
+      import spark.implicits._
+      // (g, x) pairs may collide: rank on the full tuple via a distinct
+      // synthetic id so the order is total
+      val d = rows.zipWithIndex.map { case ((g, x), i) => (g, x, i.toLong) }
+        .toDF("g", "x", "id")
+      val want = d.orderBy($"x", $"id").collect()
+        .map(r => (r.getLong(2))).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val got = graft.operators.Ranks.globalRowNumber(d, Seq($"x", $"id"), "rk", parts)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      got == want
+    }
+
+  property("groupRowNumber equals the per-group window rank at any partition count") =
+    forAll(rankRowsGen) { case (rows, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = rows.zipWithIndex.map { case ((g, x), i) => (g, x, i.toLong) }
+        .toDF("g", "x", "id")
+      val want = d.withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"x", $"id")).cast("long"))
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      val got = graft.operators.Ranks
+        .groupRowNumber(d, Seq("g"), Seq($"x", $"id"), "rk", parts)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      got == want
+    }
+
+  property("groupRunningSum equals the per-group exclusive window sum at any partition count") =
+    forAll(rankRowsGen) { case (rows, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = rows.zipWithIndex.map { case ((g, w), i) => (g, w, i.toLong) }
+        .toDF("g", "w", "id")
+      val win = Window.partitionBy($"g").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = d.withColumn("cum", coalesce(sum($"w").over(win), lit(0L)))
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      val got = graft.operators.Ranks
+        .groupRunningSum(d, Seq("g"), Seq($"id"), $"w", "cum", parts)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      got == want
+    }
+
   property("connected components is idempotent: CC of the label graph is the label graph") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))) { edges =>
       import spark.implicits._
