@@ -319,29 +319,26 @@ object SimilaritySearch {
 
   /** Each row of `df` with its `n` highest-cosine centroids (rounded
     * cosines, id tiebreaks — deterministic). */
+  /** Kept as the crossJoin + WindowGroupLimit formulation on BOTH
+    * sides, by measurement: folding the corpus-side argmax into the
+    * scan (argmaxCent, as lloydCentroids/assignClusters do) fuses the
+    * assignment with the probe join and per-pair rerank cosines into
+    * one scan-bound stage and measured 2.3x SLOWER at sf0.1 and 30x
+    * (ann_ivf_rerank 1.9s -> 4.5s) — the window's exchange is what
+    * re-spreads the pair-cosine work across cores, and WindowGroupLimit
+    * already prunes the 16x candidate rows before the final sort. The
+    * fold wins only when nothing heavy follows the assignment
+    * (embed_clusters: 3x faster at 30x). */
   private def bestLists(df: DataFrame, cents: DataFrame,
                         id: String, vec: String, n: Int): DataFrame = {
-    if (n == 1) {
-      // corpus-side list assignment: the argmaxCent fold — one codegen
-      // scan, no crossJoin blow-up, no per-vector window shuffle.
-      // cents is a LocalRelation built from the driver-side Lloyd
-      // model, so this collect is free and model-sized (nlist x d).
-      val cs = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      df.select(col(id).as("_mid"), col(vec).as("_mv"))
-        .select(col("_mid"), col("_mv"),
-          (-argmaxCent(col("_mv"), cs)("negid")).as("_list"))
-    } else {
-      // probe side (top-nprobe lists per probe): probes are few, the
-      // window is partitioned per probe — keep the ranked formulation
-      val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
-      df.select(col(id).as("_mid"), col(vec).as("_mv"))
-        .crossJoin(broadcast(cents))
-        .select(col("_mid"), col("_mv"), col("_cent_id"),
-          round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= n)
-        .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
-    }
+    val w = Window.partitionBy(col("_mid")).orderBy(col("_mcos").desc, col("_cent_id"))
+    df.select(col(id).as("_mid"), col(vec).as("_mv"))
+      .crossJoin(broadcast(cents))
+      .select(col("_mid"), col("_mv"), col("_cent_id"),
+        round(cosine(col("_mv"), col("_cent_vec")), 6).as("_mcos"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .select(col("_mid"), col("_mv"), col("_cent_id").as("_list"))
   }
 
   /** Embedding dimensionality, from the first row (driver-side, one
