@@ -754,6 +754,69 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** C4-style duplicate-span REMOVAL with document rewrite — the step
+    * AFTER [[dupPassages]]'s removal list: C4 (Raffel et al. 2020 §2.2)
+    * drops every repeated three-sentence span except one occurrence and
+    * keeps the rest of the page; Lee et al. 2022 (ExactSubstr) do the
+    * same at the token-span level. Documents are cut into the same
+    * NON-OVERLAPPING `chunkTokens`-token spans as [[dupPassages]]; a
+    * span duplicated anywhere in the corpus survives only at its
+    * globally FIRST occurrence (doc_id asc, then position asc) and each
+    * document's text is reassembled from its surviving spans in
+    * original order — the sub-chunk tail (the last `len mod n` tokens,
+    * never a full span) is always kept. Emits
+    * (doc_id, n_spans, n_dropped, kept_text) for EVERY input document,
+    * including those shorter than one span (n_spans = 0, text kept).
+    *
+    * Scale shape: one scan + explode + ONE shuffle on the span value
+    * (keep-first rank is a window partitioned BY SPAN — corpus-scale
+    * key cardinality, full parallelism, bounded partitions because df
+    * per span is small after [[dupPassages]]-style hot-span realities)
+    * + one shuffle back on doc_id for reassembly. The tail rides the
+    * document frame and rejoins by doc_id, so the text is scanned once.
+    * At 100 TB the span STRING in the first shuffle key becomes its
+    * 128-bit hash exactly as noted on [[dupPassages]], with the span
+    * text re-attached only on the surviving rows. */
+  def rewriteDupSpans(df: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = chunkTokens
+    val base = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("nc", floor(size(col("toks")).cast("double") / n).cast("int"))
+      // tail = tokens past the last full span; length <= n-1 so slice's
+      // `n` bound is never the limiter, and start nc*n+1 is always >= 1.
+      .withColumn("tail_txt",
+        concat_ws(" ", slice(col("toks"), col("nc") * n + 1, lit(n))))
+    val chunks = base.filter(col("nc") >= 1) // keeps sequence() ascending
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nc") - 1),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i * n + 1, lit(n))).as("passage")))).as("ch"))
+      .select(col("doc_id"), col("ch.pos").as("pos"), col("ch.passage").as("passage"))
+    val wFirst = Window.partitionBy(col("passage"))
+      .orderBy(col("doc_id"), col("pos"))
+    val body = chunks
+      .withColumn("rk", row_number().over(wFirst))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the when()'s nulls (dropped spans); the
+        // struct sort restores original order by pos before the join
+        // back into text.
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rk") === 1,
+            struct(col("pos"), col("passage"))))),
+          x => x.getField("passage"))).as("body"))
+    base.select(col("doc_id"), col("tail_txt"))
+      .join(body, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        concat_ws(" ", filter(array(coalesce(col("body"), lit("")), col("tail_txt")),
+          x => length(x) > 0)).as("kept_text"))
+  }
+
   /** Benchmark-contamination scan (train/eval decontamination — the
     * standard n-gram-overlap check a training-data pipeline runs before
     * every release): for each training document, the fraction of its

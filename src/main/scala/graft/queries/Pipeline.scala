@@ -50,6 +50,14 @@ object Pipeline extends QueryModule {
 
   private[queries] val nearPairsSql = nearPairsSqlAt(0.5)
 
+  /** nDCG@10 discount table 1/log2(i+1), i = 1..10, computed ONCE here
+    * and spliced as a literal into BOTH engines (Spark typedLit, DuckDB
+    * list literal via Double.toString round-trip) — engine log2() ulp
+    * differences never enter the metric. */
+  private val NdcgDiscounts: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val Idcg10: Double = NdcgDiscounts.sum
+
   /** DuckDB CTE chain rebuilding SimilaritySearch.lloydCentroids over
     * an existing `e(vec_id, v)` CTE: hash-seeded codebook + `iters`
     * unrolled Lloyd rounds (assignment by 6-dp rounded cosine with
@@ -292,6 +300,50 @@ object Pipeline extends QueryModule {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Retrieval-quality eval of the IVF index: the nprobe=4 list (k=10)
+    // scored against the exact brute-force top-10 — recall@10, MRR and
+    // nDCG@10 per probe, the accept/reject gate a pipeline runs before
+    // trusting an ANN index at corpus scale. Both arms are the
+    // registered queries' deterministic plans (broadcast probes, the
+    // corpus scanned but never shuffled); the metric join keys on
+    // (probe, vec) and the nDCG discounts are a shared literal table
+    // (see NdcgDiscounts), so every metric is hash-checked end to end.
+    "ann_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val ivf = SimilaritySearch.topKCosineIvf(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+        .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
+      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(pb))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("erk", row_number().over(w))
+        .filter(col("erk") <= 10)
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(
+          sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          (sum(when(col("ark").isNotNull, 1L).otherwise(0L)).cast("double") /
+            lit(10.0)).as("recall_at_10"),
+          coalesce(max(when(col("erk") === 1, lit(1.0) / col("ark"))), lit(0.0))
+            .as("mrr"),
+          // the isNotNull guard is LOAD-BEARING: Spark's element_at
+          // over a literal array with a NULL index does not return
+          // NULL (codegen leaves the slot's default/garbage value —
+          // observed disc[10] inside sum()); guard before indexing.
+          (round(coalesce(sum(when(col("ark").isNotNull,
+            element_at(typedLit(NdcgDiscounts), col("ark")))),
+            lit(0.0)) / lit(Idcg10), 6) + lit(0.0)).as("ndcg_at_10"))
+        .orderBy(col("probe_id"))
+    }),
+
     // Embedding-cosine near-dup pairs via bucketed sign-LSH + exact
     // rerank. The corpus has no natural near-identical vectors (max
     // pairwise cos ~0.51), so the query plants them deterministically: a
@@ -454,6 +506,15 @@ object Pipeline extends QueryModule {
     "passage_dedup" -> ((s, dir) =>
       Dedup.dupPassages(Tables(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
         .orderBy(col("passage"))),
+
+    // C4-style duplicate-span REMOVAL: every 10-token span duplicated
+    // across the corpus survives only at its globally first occurrence
+    // and documents are rewritten from the surviving spans (sub-chunk
+    // tails always kept) — the rewrite step passage_dedup's removal
+    // list feeds. See Dedup.rewriteDupSpans for the scale shape.
+    "span_rewrite" -> ((s, dir) =>
+      Dedup.rewriteDupSpans(Tables(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
+        .orderBy(col("doc_id"))),
 
     // Content-defined chunking dedup: boundaries from a rolling
     // window hash (pure function of local content), so chunks realign
@@ -1199,6 +1260,40 @@ object Pipeline extends QueryModule {
             min(doc_id) AS first_doc
           FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
           ORDER BY passage""",
+    "span_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+          b AS (SELECT doc_id, toks,
+                       CAST(floor(len(toks) / 10) AS BIGINT) AS nc FROM t),
+          c0 AS (
+            SELECT doc_id,
+                   unnest([{'pos': i,
+                            'passage': array_to_string(toks[i*10+1:i*10+10], ' ')}
+                           for i in generate_series(0, nc - 1)]) AS ch
+            FROM b WHERE nc >= 1),
+          c AS (SELECT doc_id, ch.pos AS pos, ch.passage AS passage FROM c0),
+          k AS (SELECT doc_id, pos, passage,
+                       row_number() OVER (PARTITION BY passage
+                                          ORDER BY doc_id, pos) AS rk
+                FROM c),
+          body AS (
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dropped,
+                   string_agg(CASE WHEN rk = 1 THEN passage END, ' '
+                              ORDER BY pos) AS body
+            FROM k GROUP BY doc_id),
+          tl AS (SELECT doc_id,
+                        array_to_string(toks[nc*10+1:len(toks)], ' ') AS tail_txt
+                 FROM b)
+          SELECT tl.doc_id,
+            CAST(coalesce(body.n_spans, 0) AS BIGINT) AS n_spans,
+            CAST(coalesce(body.n_dropped, 0) AS BIGINT) AS n_dropped,
+            trim(concat(coalesce(body.body, ''),
+                        CASE WHEN coalesce(body.body, '') <> ''
+                              AND tail_txt <> '' THEN ' ' ELSE '' END,
+                        tail_txt)) AS kept_text
+          FROM tl LEFT JOIN body ON tl.doc_id = body.doc_id
+          ORDER BY tl.doc_id""",
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
           sh AS (
@@ -1258,6 +1353,55 @@ object Pipeline extends QueryModule {
                                             ORDER BY cos DESC, vec_id) rk FROM cand)
          SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
          ORDER BY probe_id, rk""",
+    "ann_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
+         ac AS (
+           SELECT e.vec_id, e.v, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, v, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM ac)
+           WHERE rk = 1),
+         plists AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk
+             FROM ac WHERE vec_id < 5)
+           WHERE rk <= 4),
+         cand AS (
+           SELECT p.probe_id, a.vec_id,
+             round(list_dot_product(a.v, p.pv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) cos
+           FROM plists p JOIN assigned a ON p.cent_id = a.cent_id
+           WHERE a.vec_id <> p.probe_id),
+         ivf AS (SELECT probe_id, vec_id, rk AS ark FROM (
+                   SELECT *, row_number() OVER (PARTITION BY probe_id
+                                                ORDER BY cos DESC, vec_id) rk FROM cand)
+                 WHERE rk <= 10),
+         p2 AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         xc AS (SELECT probe_id, e.vec_id,
+                  round(list_dot_product(e.v, pv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv, pv))), 6) cos
+                FROM e CROSS JOIN p2 WHERE e.vec_id <> probe_id),
+         ex AS (SELECT probe_id, vec_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos DESC, vec_id) erk
+                FROM xc),
+         j AS (SELECT ex.probe_id, ex.erk, ivf.ark
+               FROM ex LEFT JOIN ivf ON ex.probe_id = ivf.probe_id
+                                    AND ex.vec_id = ivf.vec_id
+               WHERE ex.erk <= 10),
+         d AS (SELECT ${NdcgDiscounts.mkString("[", ", ", "]")}::DOUBLE[] AS disc)
+         SELECT probe_id,
+           CAST(sum(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           sum(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10.0 AS recall_at_10,
+           coalesce(max(CASE WHEN erk = 1 THEN 1.0 / ark END), 0.0) AS mrr,
+           round(coalesce(sum(disc[ark]), 0.0) / ${Idcg10}, 6) + 0.0 AS ndcg_at_10
+         FROM j CROSS JOIN d GROUP BY probe_id ORDER BY probe_id""",
     "ann_ivf_rerank" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
           ${lloydCentsSql(2)},

@@ -188,6 +188,43 @@ object Training extends QueryModule {
         .orderBy(col("p_brand"))
     }),
 
+    // Trainable quality classifier: binary logistic regression (is this
+    // an English page?) on two exact-arithmetic document features —
+    // scaled length and distinct-token ratio — via 3 full-batch GD
+    // rounds, each ONE mergeable aggregate; weights re-anchored at 6 dp
+    // per round so DuckDB replays the identical iterations as unrolled
+    // CTEs (the lloydCentroids discipline). The synthetic labels make
+    // the MODEL near-chance; what the oracle pins is the mechanism:
+    // gradient aggregation, the update chain, and the final
+    // literal-weight confusion matrix (prediction = margin >= 0 needs
+    // no exp, so it is exactly deterministic given the weights).
+    "quality_logreg" -> ((s, dir) => {
+      // x1/x2 are exactly-rounded IEEE divisions of integer counts —
+      // bit-identical cross-engine with no rounding step needed.
+      val f = Tables(s, dir, "documents")
+        .select(col("n_chars"), col("lang"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(
+          (col("n_chars").cast("double") / lit(500.0)).as("x1"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("x2"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val wts = graft.operators.LogisticRegression.fit(f, Seq("x1", "x2"), "y")
+      val z = graft.operators.LogisticRegression.margin(wts, Seq("x1", "x2"))
+      f.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(z >= 0 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(z >= 0 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(z < 0 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(z < 0 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+        .select(
+          lit(wts.w(0) + 0.0).as("w_len"), lit(wts.w(1) + 0.0).as("w_ttr"),
+          lit(wts.b + 0.0).as("bias"),
+          col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          (round((col("tp") + col("tn")).cast("double") / col("n"), 6) + lit(0.0))
+            .as("accuracy"))
+    }),
+
     // Context-window chunking with overlap: every document is cut into
     // 50-token windows on a 40-token stride (10-token overlap), the
     // standard shape for long-document training and for RAG indexing.
@@ -576,6 +613,52 @@ object Training extends QueryModule {
             round((sum(y) + 50.0 * mu) / (count(*) + 50.0), 4) + 0.0 AS enc_smoothed,
             round(avg(y), 4) + 0.0 AS enc_naive
           FROM j CROSS JOIN g GROUP BY p_brand, mu ORDER BY p_brand""",
+    "quality_logreg" ->
+      s"""WITH f AS (
+            SELECT CAST(n_chars AS DOUBLE) / 500.0 AS x1,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS x2,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM (SELECT lang, n_chars, ${Pipeline.toksSql} AS toks FROM documents)
+            WHERE len(toks) > 0),
+          w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+          g1 AS (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM f CROSS JOIN w0),
+          w1t AS (SELECT w0.w1 - g1.d1 AS w1, w0.w2 - g1.d2 AS w2,
+                         w0.b - g1.db AS b FROM w0 CROSS JOIN g1),
+          g2 AS (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM f CROSS JOIN w1t),
+          w2t AS (SELECT w1t.w1 - g2.d1 AS w1, w1t.w2 - g2.d2 AS w2,
+                         w1t.b - g2.db AS b FROM w1t CROSS JOIN g2),
+          g3 AS (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM f CROSS JOIN w2t),
+          w3t AS (SELECT w2t.w1 - g3.d1 AS w1, w2t.w2 - g3.d2 AS w2,
+                         w2t.b - g3.db AS b FROM w2t CROSS JOIN g3),
+          cm AS (SELECT
+              any_value(w1) + 0.0 AS w_len, any_value(w2) + 0.0 AS w_ttr,
+              any_value(b) + 0.0 AS bias,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN x1*w1 + x2*w2 + b >= 0 AND y = 1.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN x1*w1 + x2*w2 + b >= 0 AND y = 0.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN x1*w1 + x2*w2 + b < 0 AND y = 1.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN x1*w1 + x2*w2 + b < 0 AND y = 0.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM f CROSS JOIN w3t)
+          SELECT w_len, w_ttr, bias, n, tp, fp, fn, tn,
+            round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS accuracy
+          FROM cm""",
     "bpe_merges" -> BpeTrainer.learnSql("documents", "text", numMerges = 12),
     "bpe_encode" ->
       """WITH w AS (SELECT doc_id,

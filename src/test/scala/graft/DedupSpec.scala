@@ -271,4 +271,35 @@ class DedupSpec extends SparkSpecBase {
     assert(got((1L, 2L)) == (3L, 10L), s"1-2: ${got((1L, 2L))}")
     assert(got((4L, 5L)) == (2L, 8L), s"4-5: ${got((4L, 5L))}")
   }
+
+  test("rewriteDupSpans keeps first occurrences, tails, and short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // chunks [a b c][d e f], tail "g h"
+      (2L, "a b c x y z q"),         // [a b c] dup of doc1 pos0 -> dropped
+      (3L, "d e f d e f"),           // both occurrences lose to doc1 pos1
+      (4L, "zz yy"),                 // shorter than one span: kept whole
+      (5L, "m n o m n o tail1")      // intra-doc dup: pos0 survives, pos1 drops
+    ).toDF("doc_id", "text")
+    val got = Dedup.rewriteDupSpans(docs, "doc_id", "text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dropped"),
+         r.getAs[String]("kept_text"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), got.toString)
+    assert(got(1L) == (2L, 0L, "a b c d e f g h"), s"1: ${got(1L)}")
+    assert(got(2L) == (2L, 1L, "x y z q"), s"2: ${got(2L)}")
+    assert(got(3L) == (2L, 2L, ""), s"3: ${got(3L)}")
+    assert(got(4L) == (0L, 0L, "zz yy"), s"4: ${got(4L)}")
+    assert(got(5L) == (2L, 1L, "m n o tail1"), s"5: ${got(5L)}")
+  }
+
+  test("rewriteDupSpans leaves a duplicate-free corpus byte-identical") {
+    val docs = Seq(
+      (10L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val got = Dedup.rewriteDupSpans(docs, "doc_id", "text", chunkTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("kept_text")).toMap
+    assert(got(10L) == "one two three four five six seven eight nine ten eleven twelve thirteen")
+    assert(got(11L) == "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")
+  }
 }
