@@ -134,4 +134,46 @@ object GraftPropsSpec extends Properties("graft.ops") {
       // every node now maps straight to its cluster id; clusters map to themselves
       onceMap.forall { case (n, c) => twice(n) == c && twice.get(c).forall(_ == c) }
     }
+
+  // random corpora over a 4-token alphabet: duplicate spans are common,
+  // so keep-first actually fires; the invariants must hold regardless.
+  private val corpusGen: Gen[List[String]] =
+    Gen.choose(1, 6).flatMap(nDocs => Gen.listOfN(nDocs,
+      Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))))
+
+  property("rewriteDupSpans conserves tokens: kept + n*dropped == input") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val n = 3
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.rewriteDupSpans(d, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_dropped"), r.getAs[String]("kept_text"))).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val inToks = t.trim.split("\\s+").filter(_.nonEmpty).length
+        val (dropped, kept) = got(i.toLong)
+        val keptToks = kept.split(" ").count(_.nonEmpty)
+        keptToks + n * dropped == inToks
+      }
+    }
+
+  property("rewriteDupSpans keeps every distinct span at least once") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val n = 3
+      def spans(toks: Array[String]): Seq[String] =
+        (0 until toks.length / n).map(i => toks.slice(i * n, i * n + n).mkString(" "))
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val keptTexts = graft.operators.Dedup.rewriteDupSpans(d, "doc_id", "text", n)
+        .collect().map(r => r.getAs[String]("kept_text"))
+      val inSpans = texts.flatMap(t =>
+        spans(t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))).toSet
+      // every distinct input span's text survives SOMEWHERE in the kept
+      // corpus (as a substring: reassembly may shift chunk boundaries)
+      val keptBlob = keptTexts.mkString(" | ")
+      inSpans.forall(s => keptBlob.contains(s))
+    }
 }
