@@ -301,29 +301,29 @@ object Analytics extends QueryModule {
         .agg(round(sum(col("value")), 2).as("v"))
       val sparse = grid.join(hourly, Seq("user_id", "h"), "left")
         .withColumn("hs", col("h").cast("long")) // epoch seconds, exact
-      // O(n) last-known propagation, NOT ignore-null last()/first() over
-      // running frames (Spark evaluates those by re-scanning the frame
-      // per row — O(n²) per partition, 34s vs ~2s here at sf0.1).
-      // Running non-null COUNTS are incremental; they carve each
-      // partition into [observed row + trailing gap] groups (inclusive
-      // count) and [gap + next observed row] groups (exclusive count),
-      // and a whole-partition max inside each group broadcasts the
-      // neighbor's value — every window here is O(n), and the group
-      // windows reuse the same user_id exchange (subset partitioning).
-      val wRun = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      // O(n) last-known propagation in BOTH directions via incremental
+      // running last(ignoreNulls) frames. Direction matters for the
+      // frame kind: [unboundedPreceding, 0] is Spark's incremental
+      // frame (one buffer update per row), while the tempting
+      // first()/[0, unboundedFollowing] backward formulation re-scans
+      // the frame per row — O(n²) per partition, measured 34s vs ~2s at
+      // sf0.1 — so the backward pass is a SECOND running-forward window
+      // over the DESCENDING sort: same user_id hash exchange (reused),
+      // one extra in-partition sort, no O(n²) frame anywhere. Replaces
+      // the earlier running-count + group-max construction (3 window
+      // exchanges): measured 1.6 vs 2.0 s warm at sf0.1 and 9.6 vs
+      // 10.2 s warm at 30× — and without the earlier plan's cold-run
+      // instability (its first 30× pass swung 17-58s; this one holds
+      // 9-12s).
+      val wF = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val wRunX = Window.partitionBy(col("user_id")).orderBy(col("h"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withGroups = sparse
-        .withColumn("nn", count(col("v")).over(wRun))
-        .withColumn("nne", count(col("v")).over(wRunX))
-      val wPrevG = Window.partitionBy(col("user_id"), col("nn"))
-      val wNextG = Window.partitionBy(col("user_id"), col("nne"))
-      withGroups
-        .withColumn("pv", max(col("v")).over(wPrevG))
-        .withColumn("ph", max(when(col("v").isNotNull, col("hs"))).over(wPrevG))
-        .withColumn("nv", max(col("v")).over(wNextG))
-        .withColumn("nh", max(when(col("v").isNotNull, col("hs"))).over(wNextG))
+      val wB = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      sparse
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wF))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(wF))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wB))
+        .withColumn("nh", last(when(col("v").isNotNull, col("hs")), ignoreNulls = true).over(wB))
         .select(col("user_id"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("v").as("observed"),
