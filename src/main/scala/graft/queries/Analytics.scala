@@ -352,6 +352,40 @@ object Analytics extends QueryModule {
           round(sum(col("o_totalprice")), 2).as("bin_total"))
         .withColumn("bin_lo", col("bin") * 25000L)
         .orderBy(col("bin")))
+        ,
+
+    // Ingest-volume anomaly detection: hourly arrival counts per
+    // event_type scored against the trailing-24h mean/stddev (rows with
+    // < 12 prior hours are withheld — no stable baseline), flagging
+    // |n - mu| > 3*sd spikes and droughts — the monitor a pipeline runs
+    // on every arriving corpus shard. Scale shape: the heavy groupBy is
+    // fully parallel over raw events; the trailing window then runs
+    // over the AGGREGATED (type, hour) frame — hours x types rows, tiny
+    // at any corpus size, so the low-cardinality partition key is
+    // harmless here (the window input is bounded by the calendar, not
+    // the corpus). The anomaly boolean compares against 6-dp ROUNDED
+    // mu/sd so both engines branch on identical doubles.
+    "ingest_anomaly" -> ((s, dir) => {
+      val counts = Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      val mu = round(avg(col("n")).over(w), 6) + lit(0.0)
+      val sd = round(stddev_samp(col("n")).over(w), 6) + lit(0.0)
+      counts
+        .withColumn("mu24", mu)
+        .withColumn("sd24", sd)
+        .withColumn("n_prior", count(col("n")).over(w))
+        .filter(col("n_prior") >= 12)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"),
+          col("mu24"), col("sd24"),
+          (col("n") > col("mu24") + lit(3.0) * col("sd24") ||
+            col("n") < col("mu24") - lit(3.0) * col("sd24")).as("anomaly"))
+        .orderBy(col("event_type"), col("hour"))
+    })
   )
 
   private val edgesSql: String =
@@ -528,6 +562,23 @@ object Analytics extends QueryModule {
            bin * 25000 AS bin_lo
          FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, o_totalprice
                FROM orders)
-         GROUP BY bin ORDER BY bin"""
+         GROUP BY bin ORDER BY bin""",
+    "ingest_anomaly" ->
+      """WITH c AS (
+           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) h,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, h, n,
+             round(avg(n) OVER win, 6) + 0.0 AS mu24,
+             round(stddev_samp(n) OVER win, 6) + 0.0 AS sd24,
+             count(n) OVER win AS np
+           FROM c
+           WINDOW win AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n, mu24, sd24,
+           (n > mu24 + 3.0 * sd24 OR n < mu24 - 3.0 * sd24) AS anomaly
+         FROM w WHERE np >= 12 ORDER BY event_type, hour"""
   )
 }
