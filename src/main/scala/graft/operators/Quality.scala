@@ -63,4 +63,37 @@ object Quality {
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("__v"))
       .select(report(lit(s"$scope.${fk}_in_$pk"), col("__n"), col("__v")): _*)
+
+  /** Trailing-window volume anomaly flags over an hourly (key, hour,
+    * count) frame: each hour scored against the mean/stddev of its
+    * `trailing` predecessors, hours with fewer than `minPrior` prior
+    * observations withheld (no stable baseline), `sigma`-band
+    * spike/drought flags out. SHARED by the batch `ingest_anomaly`
+    * query and [[graft.streaming.StreamOps.anomalySink]], so stream and
+    * batch verdicts are identical by construction. The comparison uses
+    * 6-dp ROUNDED stats so any two engines (or replays) branch on
+    * identical doubles. The input frame is calendar-bounded (hours x
+    * keys — the heavy per-event aggregation happens BEFORE this
+    * function), so the low-cardinality window partition key never caps
+    * corpus-scale parallelism. */
+  def volumeAnomalies(counts: DataFrame, keyCol: String = "event_type",
+                      hourCol: String = "h", nCol: String = "n",
+                      trailing: Int = 24, sigma: Double = 3.0,
+                      minPrior: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(hourCol))
+      .rowsBetween(-trailing, -1)
+    val mu = round(avg(col(nCol)).over(w), 6) + lit(0.0)
+    val sd = round(stddev_samp(col(nCol)).over(w), 6) + lit(0.0)
+    counts
+      .withColumn("mu24", mu)
+      .withColumn("sd24", sd)
+      .withColumn("n_prior", count(col(nCol)).over(w))
+      .filter(col("n_prior") >= minPrior)
+      .select(col(keyCol),
+        date_format(col(hourCol), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col(nCol).as("n"), col("mu24"), col("sd24"),
+        (col(nCol) > col("mu24") + lit(sigma) * col("sd24") ||
+          col(nCol) < col("mu24") - lit(sigma) * col("sd24")).as("anomaly"))
+  }
 }

@@ -363,29 +363,15 @@ object Analytics extends QueryModule {
     // over the AGGREGATED (type, hour) frame — hours x types rows, tiny
     // at any corpus size, so the low-cardinality partition key is
     // harmless here (the window input is bounded by the calendar, not
-    // the corpus). The anomaly boolean compares against 6-dp ROUNDED
-    // mu/sd so both engines branch on identical doubles.
-    "ingest_anomaly" -> ((s, dir) => {
-      val counts = Tables(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        .rowsBetween(-24, -1)
-      val mu = round(avg(col("n")).over(w), 6) + lit(0.0)
-      val sd = round(stddev_samp(col("n")).over(w), 6) + lit(0.0)
-      counts
-        .withColumn("mu24", mu)
-        .withColumn("sd24", sd)
-        .withColumn("n_prior", count(col("n")).over(w))
-        .filter(col("n_prior") >= 12)
-        .select(col("event_type"),
-          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("n"),
-          col("mu24"), col("sd24"),
-          (col("n") > col("mu24") + lit(3.0) * col("sd24") ||
-            col("n") < col("mu24") - lit(3.0) * col("sd24")).as("anomaly"))
-        .orderBy(col("event_type"), col("hour"))
-    })
+    // the corpus). Scoring lives in Quality.volumeAnomalies, SHARED
+    // with StreamOps.anomalySink so stream and batch verdicts are
+    // identical by construction.
+    "ingest_anomaly" -> ((s, dir) =>
+      graft.operators.Quality.volumeAnomalies(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("event_type"), col("hour")))
   )
 
   private val edgesSql: String =

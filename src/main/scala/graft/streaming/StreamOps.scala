@@ -415,6 +415,42 @@ object StreamOps {
   def readCurated(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
+  /** Streaming ingest-anomaly monitor — the operational face of the
+    * batch `ingest_anomaly` query: watermarked hourly counts per
+    * event_type finalize in append mode and land as batchId-keyed
+    * parquet shards; each batch then re-scores the WHOLE accumulated
+    * count frame with [[graft.operators.Quality.volumeAnomalies]] and
+    * overwrites the flags table. Recompute-per-batch is the right call
+    * because the stats frame is calendar-bounded (hours × types), not
+    * corpus-bounded — the per-EVENT aggregation is the incremental,
+    * watermark-finalized part, and it never replays. Verdicts are
+    * identical to the batch query by construction (same scorer, same
+    * finalized counts); idempotent under replay (a replayed batch
+    * overwrites its own count shard, and the flags table is a pure
+    * function of the accumulated counts). */
+  def anomalySink(events: DataFrame, outDir: String, checkpointDir: String,
+                  watermark: String = "2 hours") =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("h"), col("n"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/counts/batch=$batchId")
+        val spark = batch.sparkSession
+        graft.operators.Quality
+          .volumeAnomalies(spark.read.parquet(s"$outDir/counts"))
+          .write.mode("overwrite").parquet(s"$outDir/flags")
+      }
+      .start()
+
+  /** Latest anomaly verdicts the sink has materialized. */
+  def readAnomalies(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/flags")
+
   /** NDV estimates per key over every batch `sketchPartialSink` has
     * landed so far. */
   def readSketchProfile(spark: SparkSession, outDir: String,

@@ -635,4 +635,45 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.toSeq == Seq(("view", 3L, 1), ("click", 2L, 2)), got.mkString(","))
     } finally q.stop()
   }
+
+  test("anomalySink reproduces the batch ingest_anomaly verdicts on finalized hours") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val out = java.nio.file.Files.createTempDirectory("anom-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("anom-ck").toString
+    val q = StreamOps.anomalySink(
+      ms.toDF().withColumnRenamed("eventType", "event_type"), out, ck)
+    try {
+      // 16 hours of steady 2-events/hour traffic, then a 20-event spike
+      // at hour 15 (>= 12 prior hours, so it is scoreable and anomalous)
+      var id = 0L
+      val evs = for {
+        h <- 0 to 15
+        i <- 1 to (if (h == 15) 20 else 2)
+      } yield {
+        id += 1
+        Event(id, ts(f"2024-01-01 $h%02d:${i % 60}%02d:00"), i.toLong, "view", 1.0)
+      }
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past the
+      // real hours, the second flushes the windows it finalized
+      ms.addData(Event(9999, ts("2024-01-03 00:00:00"), 1, "sentinel", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(10000, ts("2024-01-03 06:00:00"), 1, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = StreamOps.readAnomalies(spark, out)
+        .select("event_type", "hour", "n", "mu24", "sd24", "anomaly")
+        .collect().map(_.toSeq).toSet
+      import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+      val batchCounts = evs.toDF().withColumnRenamed("eventType", "event_type")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val want = graft.operators.Quality.volumeAnomalies(batchCounts)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"stream/batch mismatch:\n got=$got\nwant=$want")
+      assert(want.exists(_(5) == true), "the planted spike must be flagged")
+      assert(want.exists(_(5) == false), "steady hours must not be flagged")
+    } finally q.stop()
+  }
 }
