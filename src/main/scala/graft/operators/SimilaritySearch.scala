@@ -317,6 +317,150 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
   }
 
+  /** IVF-PQ batch ANN — the memory-COMPRESSED production path next to
+    * [[topKCosineIvfRerank]]'s int8 store (public design: Faiss IVFPQ;
+    * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"). Vectors are unit-normalized (6-dp re-anchored, so
+    * cos(q, x) becomes a plain dot product) and split into `m`
+    * subspaces; each subspace trains a `ks`-entry codebook —
+    * hash-ordered seeds + `pqIters` L2 Lloyd rounds through the same
+    * mergeable moment aggregate as the coarse quantizer
+    * ([[lloydL2]]). A vector's PQ code is its m argmin sub-centroid
+    * positions: m·log2(ks) bits ≈ 1.5 B/vector at the defaults vs
+    * 256 B float32. Candidates come from the coarse IVF lists exactly
+    * as in [[topKCosineIvf]]; they are scored by ASYMMETRIC DISTANCE
+    * COMPUTATION — approx cos(q, x) = Σ_s round(dot(q̂_s,
+    * cb_s[code_s]), 6), a literal-codebook lookup per subspace, no
+    * decompression — and only the ADC top-`coarseK` rows are
+    * exact-cosine reranked against full precision.
+    *
+    * Scale shape: one corpus scan computes assignment AND codes (pure
+    * projection over broadcast centroids/codebooks — the corpus is
+    * never shuffled); probes broadcast; the ADC stage reads only the
+    * code columns, which is the point — at 100 TB the m code bytes are
+    * what stays hot while float vectors live cold until the rerank. At
+    * production scale the coded frame is materialized once and reused
+    * across probe batches (here it is recomputed per call, like the
+    * ann_ivf index).
+    *
+    * Deterministic end to end (rounded distances/dots, position
+    * tiebreaks), so the DuckDB oracle rebuilds codebooks, codes, ADC
+    * and rerank and the result is hash-checked like ann_ivf. */
+  def topKCosineIvfPq(probes: DataFrame, probeIdCol: String,
+                      corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nlist: Int = 16, nprobe: Int = 4,
+                      m: Int = 4, ks: Int = 8, pqIters: Int = 1,
+                      coarseK: Int = 12): DataFrame = {
+    require(nprobe <= nlist, "topKCosineIvfPq: nprobe must be <= nlist")
+    require(coarseK >= k, "topKCosineIvfPq: coarseK must be >= k")
+    val d = dimOf(corpus, vecCol)
+    require(d % m == 0, s"topKCosineIvfPq: dim $d must split into $m subspaces")
+    val sub = d / m
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+    val corpusD = corpus.select(col(idCol).as("_id0"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_v0"))
+    // unit-normalized, 6-dp re-anchored working vectors
+    val ncorp = corpusD
+      .withColumn("_nrm", sqrt(dotd(col("_v0"), col("_v0"))))
+      .select(col("_id0"), expr("transform(_v0, x -> round(x / _nrm, 6))").as("_nv"))
+    // per-subspace codebooks, sorted by cent_id so POSITION order ==
+    // cent_id order (the argmin position tiebreak equals the oracle's
+    // ORDER BY dist, cent_id)
+    val cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+      lloydL2(ncorp.select(col("_id0"),
+        slice(col("_nv"), s * sub + 1, sub).as("_sv")), "_id0", "_sv", ks, pqIters)
+    }
+    // one corpus scan: coarse list + normalized vector + m PQ codes
+    val assigned = bestLists(corpusD, cents, "_id0", "_v0", 1)
+      .select(col("_mid").as("_cid"), col("_mv").as("_cfv"), col("_list"))
+      .withColumn("_nrm", sqrt(dotd(col("_cfv"), col("_cfv"))))
+      .withColumn("_xnv", expr("transform(_cfv, x -> round(x / _nrm, 6))"))
+    val coded = assigned.select(
+      Seq(col("_cid"), col("_cfv"), col("_list")) ++ (0 until m).map(s =>
+        argminCodeL2(slice(col("_xnv"), s * sub + 1, sub), cbs(s)).as(s"_k$s")): _*)
+    val probeD = probes.select(col(probeIdCol).as("_pid0"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_pv0"))
+    val probeLists = bestLists(probeD, cents, "_pid0", "_pv0", nprobe)
+      .select(col("_mid").as("_pid"), col("_mv").as("_pfv"), col("_list"))
+      .withColumn("_pnrm", sqrt(dotd(col("_pfv"), col("_pfv"))))
+      .withColumn("_qnv", expr("transform(_pfv, x -> round(x / _pnrm, 6))"))
+      .select(col("_pid"), col("_list"), col("_qnv"))
+    // ADC: fixed s = 0..m-1 summation order; the codebook lookup index
+    // (_k<s>) is never NULL, so element_at's NULL-index codegen hazard
+    // (see ann_eval) cannot fire here
+    val adc = (0 until m).map { s =>
+      round(dotd(slice(col("_qnv"), s * sub + 1, sub),
+        element_at(typedLit(cbs(s).map(_._2)), col(s"_k$s"))), 6)
+    }.reduce(_ + _)
+    val coarse = coded.join(broadcast(probeLists), "_list")
+      .filter(col("_pid") =!= col("_cid"))
+      .select(col("_pid"), col("_cid"), col("_cfv"), round(adc, 6).as("_adc"))
+      .withColumn("_crk", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col("_adc").desc, col("_cid"))))
+      .filter(col("_crk") <= coarseK)
+    // exact re-rank: only coarseK x probes rows touch full precision
+    coarse
+      .join(broadcast(probeD), col("_pid") === col("_pid0"))
+      .select(col("_pid").as("probe_id"), col("_cid").as("vec_id"),
+        round(cosine(col("_cfv"), col("_pv0")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** L2 k-means codebook for one PQ subspace: hash-ordered seeds +
+    * `iters` Lloyd rounds — mean updates through the same mergeable
+    * vecSumAgg moment pass as [[lloydCentroids]], assignment by ARGMIN
+    * squared L2 distance (6-dp rounded, cent-id tiebreak; dist² is
+    * evaluated as x·x − 2·x·c + c·c so both engines run the identical
+    * IEEE expression). Returns the driver-side codebook SORTED by
+    * cent_id. */
+  private[graft] def lloydL2(corpus: DataFrame, idCol: String, vecCol: String,
+                             ks: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val d = dimOf(corpus, vecCol)
+    var cents: Seq[(Long, Seq[Double])] =
+      hashCentroids(corpus, idCol, vecCol, ks)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val vecs = corpus.select(col(idCol).as("_vid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_vv"))
+    for (_ <- 1 to iters) {
+      val sums = vecs
+        .select(argminCentL2(col("_vv"), cents)("cid").as("_cent_id"), col("_vv"))
+        .groupBy(col("_cent_id"))
+        .agg(org.apache.spark.sql.graft.GramianFunctions
+          .vecSumAgg(col("_vv"), d).as("_s"))
+        .select(col("_cent_id"),
+          expr(s"transform(slice(_s, 2, $d), x -> round(x / _s[0], 6))").as("_nv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, prev) => (cid, sums.getOrElse(cid, prev)) }
+    }
+    cents.sortBy(_._1)
+  }
+
+  /** Squared L2 distance to a literal centroid, 6-dp rounded — the
+    * x·x − 2·x·c + c·c form both engines evaluate identically (c·c is
+    * a driver-side left-to-right fold, the same order DuckDB's
+    * list_dot_product runs). */
+  private def distL2(vec: Column, v: Seq[Double]): Column = {
+    val cv = typedLit(v)
+    round(dotd(vec, vec) - lit(2.0) * dotd(vec, cv) +
+      lit(v.foldLeft(0.0)((a, x) => a + x * x)), 6)
+  }
+
+  /** Nearest sub-centroid ID (Lloyd's internal keying). */
+  private def argminCentL2(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, v) =>
+      struct(distL2(vec, v).as("d"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Nearest sub-centroid POSITION (1-based, over a cent_id-sorted
+    * codebook): the stored PQ code. Position tiebreak == cent_id
+    * tiebreak because the codebook is sorted. */
+  private def argminCodeL2(vec: Column, sorted: Seq[(Long, Seq[Double])]): Column =
+    array_min(array(sorted.zipWithIndex.map { case ((_, v), i) =>
+      struct(distL2(vec, v).as("d"), lit(i + 1).as("pos"))
+    }: _*))("pos")
+
   /** Each row of `df` with its `n` highest-cosine centroids (rounded
     * cosines, id tiebreaks — deterministic). */
   /** Kept as the crossJoin + WindowGroupLimit formulation on BOTH

@@ -94,6 +94,54 @@ object Pipeline extends QueryModule {
       .mkString(",\n          ")
   }
 
+  /** DuckDB CTE block rebuilding ONE PQ subspace over the
+    * normalized-vector CTE `en(vec_id, nv)`: hash-ordered seeds +
+    * `iters` L2 Lloyd rounds (the lloydCentsSql discipline at subspace
+    * width; dist² in the same x·x − 2·x·c + c·c form Spark's distL2
+    * evaluates), ending in pq{s}_cb(cent_id, cv) and
+    * pq{s}_code(vec_id, cent_id). */
+  private def pqSubSql(s: Int, iters: Int, ks: Int, sub: Int): String = {
+    val a = s * sub + 1
+    val b = (s + 1) * sub
+    def dist(t: String, c: String) =
+      s"round(list_dot_product($t.sv, $t.sv) - 2*list_dot_product($t.sv, $c.cv) + list_dot_product($c.cv, $c.cv), 6)"
+    val seed =
+      s"""pq${s}_v AS (SELECT vec_id, nv[$a:$b] sv FROM en),
+          pq${s}_c0 AS (SELECT vec_id AS cent_id, sv AS cv FROM pq${s}_v
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ks)"""
+    val rounds = (1 to iters).map { r =>
+      val prev = s"pq${s}_c${r - 1}"
+      s"""pq${s}_a$r AS (
+            SELECT t.vec_id, t.sv, c.cent_id, ${dist("t", "c")} dd
+            FROM pq${s}_v t CROSS JOIN $prev c),
+          pq${s}_s$r AS (
+            SELECT vec_id, sv, cent_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dd, cent_id) rk
+              FROM pq${s}_a$r) WHERE rk = 1),
+          pq${s}_m$r AS (
+            SELECT cent_id, i, round(sum(sv[i]) / count(*), 6) + 0.0 AS mv
+            FROM pq${s}_s$r CROSS JOIN generate_series(1, $sub) g(i)
+            GROUP BY 1, 2),
+          pq${s}_mv$r AS (SELECT cent_id, list(mv ORDER BY i) nv
+                          FROM pq${s}_m$r GROUP BY 1),
+          pq${s}_c$r AS (
+            SELECT p.cent_id, coalesce(n.nv, p.cv) cv
+            FROM $prev p LEFT JOIN pq${s}_mv$r n ON p.cent_id = n.cent_id)"""
+    }
+    val fin =
+      s"""pq${s}_cb AS (SELECT cent_id, cv FROM pq${s}_c$iters),
+          pq${s}_code AS (
+            SELECT vec_id, cent_id FROM (
+              SELECT t.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY t.vec_id
+                                   ORDER BY ${dist("t", "c")}, c.cent_id) rk
+              FROM pq${s}_v t CROSS JOIN pq${s}_cb c) WHERE rk = 1),
+          pqq$s AS (SELECT vec_id AS probe_id, nv[$a:$b] qs FROM en
+                    WHERE vec_id < 5)"""
+    ((seed +: rounds) :+ fin).mkString(",\n          ")
+  }
+
   /** SQL mirror of TextFunctions.langId: argmax of marker-word hits with
     * the fixed priority-order tiebreak, 'und' when nothing hits. */
   private val langIdSql: String = {
@@ -297,6 +345,21 @@ object Pipeline extends QueryModule {
         .select(col("vec_id").as("probe_id"), col("embedding"))
       SimilaritySearch.topKCosineIvfRerank(probes, "probe_id",
           emb, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4, coarseK = 12)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // IVF-PQ: the memory-compressed ANN path — product-quantization
+    // codes (m=4 subspaces x 8 sub-centroids over unit-normalized
+    // vectors) score the coarse candidates by asymmetric distance
+    // computation, exact rerank of the ADC top-12 only. Deterministic
+    // like ann_ivf, so the oracle rebuilds codebooks, codes, ADC and
+    // rerank end to end. See SimilaritySearch.topKCosineIvfPq.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      SimilaritySearch.topKCosineIvfPq(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
         .orderBy(col("probe_id"), col("rk"))
     }),
 
@@ -1402,6 +1465,63 @@ object Pipeline extends QueryModule {
            coalesce(max(CASE WHEN erk = 1 THEN 1.0 / ark END), 0.0) AS mrr,
            round(coalesce(sum(disc[ark]), 0.0) / ${Idcg10}, 6) + 0.0 AS ndcg_at_10
          FROM j CROSS JOIN d GROUP BY probe_id ORDER BY probe_id""",
+    "ann_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
+         ac AS (
+           SELECT e.vec_id, e.v, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, v, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM ac)
+           WHERE rk = 1),
+         plists AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk
+             FROM ac WHERE vec_id < 5)
+           WHERE rk <= 4),
+         cand AS (
+           SELECT p.probe_id, a.vec_id
+           FROM plists p JOIN assigned a ON p.cent_id = a.cent_id
+           WHERE a.vec_id <> p.probe_id),
+         en AS (SELECT vec_id,
+                  list_transform(v, x -> round(x / sqrt(list_dot_product(v, v)), 6)) nv
+                FROM e),
+          ${pqSubSql(0, 1, 8, 16)},
+          ${pqSubSql(1, 1, 8, 16)},
+          ${pqSubSql(2, 1, 8, 16)},
+          ${pqSubSql(3, 1, 8, 16)},
+         pqadc AS (
+           SELECT c.probe_id, c.vec_id,
+             round(round(list_dot_product(q0.qs, b0.cv), 6) + round(list_dot_product(q1.qs, b1.cv), 6) + round(list_dot_product(q2.qs, b2.cv), 6) + round(list_dot_product(q3.qs, b3.cv), 6), 6) adc
+           FROM cand c
+           JOIN pq0_code k0 ON k0.vec_id = c.vec_id JOIN pq0_cb b0 ON b0.cent_id = k0.cent_id
+           JOIN pq1_code k1 ON k1.vec_id = c.vec_id JOIN pq1_cb b1 ON b1.cent_id = k1.cent_id
+           JOIN pq2_code k2 ON k2.vec_id = c.vec_id JOIN pq2_cb b2 ON b2.cent_id = k2.cent_id
+           JOIN pq3_code k3 ON k3.vec_id = c.vec_id JOIN pq3_cb b3 ON b3.cent_id = k3.cent_id
+           JOIN pqq0 q0 ON q0.probe_id = c.probe_id
+           JOIN pqq1 q1 ON q1.probe_id = c.probe_id
+           JOIN pqq2 q2 ON q2.probe_id = c.probe_id
+           JOIN pqq3 q3 ON q3.probe_id = c.probe_id),
+         ck AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY probe_id
+                                               ORDER BY adc DESC, vec_id) crk
+                  FROM pqadc) WHERE crk <= 12),
+         rr AS (
+           SELECT ck.probe_id, ck.vec_id,
+             round(list_dot_product(e.v, p.pv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) + 0.0 AS cos
+           FROM ck JOIN e ON e.vec_id = ck.vec_id
+                   JOIN (SELECT vec_id AS probe_id, v AS pv FROM e
+                         WHERE vec_id < 5) p ON p.probe_id = ck.probe_id),
+         fr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                             ORDER BY cos DESC, vec_id) rk FROM rr)
+         SELECT probe_id, vec_id, cos, rk FROM fr WHERE rk <= 3
+         ORDER BY probe_id, rk""",
     "ann_ivf_rerank" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
           ${lloydCentsSql(2)},

@@ -147,4 +147,42 @@ class AnnSpec extends SparkSpecBase {
     val recall = truth.count { case (p, t) => got.get(p).contains(t) }.toDouble / truth.size
     assert(recall >= 0.9, f"Lloyd-IVF recall@1 $recall%.2f below contract")
   }
+
+  test("IVF-PQ: ADC keeps true cluster-mates in the rerank set") {
+    val df = clustered.cache()
+    // one probe per planted cluster; cluster-mates sit at cos ~0.999,
+    // everything else at ~0.3 — ADC over 4x8 codebooks preserves that
+    // separation easily, so all k results must be same-cluster ids
+    val probes = df.filter(col("vec_id").isin(0L, 1000L, 2000L))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val got = SimilaritySearch
+      .topKCosineIvfPq(probes, "probe_id", df, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    assert(got.length == 9, s"3 probes x k=3 expected, got ${got.length}")
+    got.foreach { case (p, id, cos) =>
+      assert(id / 1000 == p / 1000, s"probe $p retrieved cross-cluster $id")
+      assert(cos > 0.95, s"probe $p -> $id cos $cos not a cluster-mate")
+    }
+  }
+
+  test("IVF-PQ twin retrieval: identical vectors share codes and rerank to rk=1") {
+    val df = clustered.cache()
+    // exact copies share the coarse list AND every PQ code; a wide ADC
+    // cut (coarseK >= cluster size) keeps the twin past the shared-code
+    // ADC ties (identical ADC scores tiebreak by id, and the twins'
+    // planted ids are larger than their cluster-mates'), and the exact
+    // rerank must then place it at rk=1 with cos = 1
+    val twins = df.filter(col("vec_id") < 2000)
+      .select((col("vec_id") + 50000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twins)
+    val got = SimilaritySearch
+      .topKCosineIvfPq(twins, "vec_id", corpus, "vec_id", "embedding",
+        k = 1, nlist = 16, nprobe = 1, coarseK = 60)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(got.size == twins.count(), "every twin probe retrieves something")
+    assert(got.forall { case (p, id) => id == p - 50000 },
+      "rk=1 hit must be the planted twin (cos = 1)")
+  }
 }
