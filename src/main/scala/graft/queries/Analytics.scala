@@ -90,6 +90,26 @@ object Analytics extends QueryModule {
       PageRank.ranks(pagerankEdges(s, dir), iters = 5, assumeDistinct = true)
         .orderBy(col("rank_scaled").desc, col("node"))),
 
+    // k-core of the supplier-customer graph: iteratively peel nodes of
+    // degree < 40 until stable — the dense-head/sparse-tail separation
+    // a crawl-graph curation pass runs. Converges in 2 peel rounds on
+    // this graph (measured at sf0.01 AND sf0.1); the oracle unrolls 6
+    // rounds (extra rounds past the fixpoint are no-ops, so the margin
+    // is free). See operators/KCore.scala for the per-round shape and
+    // the monotone-count convergence proof.
+    "graph_kcore" -> ((s, dir) => {
+      val p = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .distinct()
+      val edges = p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.KCore.kCore(edges, "src", "dst", k = 40)
+        .orderBy(col("node"))
+    }),
+
     // Degree distribution of the same trade graph: the first diagnostic
     // run on any production graph (hubs, dangling mass, skew — the
     // numbers that decide salting and partitioning strategy before an
@@ -414,6 +434,34 @@ object Analytics extends QueryModule {
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src)
          SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""",
+    "graph_kcore" ->
+      """WITH p AS (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                  'c' || CAST(o_custkey AS VARCHAR) AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b, a FROM p),
+         n1 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 40),
+         e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+                  JOIN n1 a ON e.src = a.src JOIN n1 b ON e.dst = b.src),
+         n2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 40),
+         e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+                  JOIN n2 a ON e.src = a.src JOIN n2 b ON e.dst = b.src),
+         n3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 40),
+         e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+                  JOIN n3 a ON e.src = a.src JOIN n3 b ON e.dst = b.src),
+         n4 AS (SELECT src FROM e3 GROUP BY 1 HAVING count(*) >= 40),
+         e4 AS MATERIALIZED (SELECT e.src, e.dst FROM e3 e
+                  JOIN n4 a ON e.src = a.src JOIN n4 b ON e.dst = b.src),
+         n5 AS (SELECT src FROM e4 GROUP BY 1 HAVING count(*) >= 40),
+         e5 AS MATERIALIZED (SELECT e.src, e.dst FROM e4 e
+                  JOIN n5 a ON e.src = a.src JOIN n5 b ON e.dst = b.src),
+         n6 AS (SELECT src FROM e5 GROUP BY 1 HAVING count(*) >= 40),
+         e6 AS MATERIALIZED (SELECT e.src, e.dst FROM e5 e
+                  JOIN n6 a ON e.src = a.src JOIN n6 b ON e.dst = b.src),
+         core AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+                  FROM e6 GROUP BY 1)
+         SELECT node, core_deg FROM core ORDER BY node""",
     "interval_union" ->
       """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
                epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS e FROM events),

@@ -248,4 +248,39 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       .collect()
     assert(got.isEmpty)
   }
+
+  // --- k-core --------------------------------------------------------
+
+  /** Both directions of every undirected edge (the repo convention). */
+  private def undirected(pairs: Seq[(String, String)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("kCore peels a pendant chain through CASCADING rounds, keeps the clique") {
+    // 4-clique (every node deg 3) with a 4-node tail hanging off node a:
+    // at k=2 the tail peels one node per round (leaf first — genuine
+    // multi-round cascade), the clique survives intact
+    val clique = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x < y
+    } yield (x, y)
+    val tail = Seq(("a", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val got = graft.operators.KCore
+      .kCore(undirected(clique ++ tail), "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), got.toString)
+  }
+
+  test("kCore of a pure chain at k=2 is empty (everything peels)") {
+    val chain = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"))
+    val got = graft.operators.KCore
+      .kCore(undirected(chain), "src", "dst", k = 2).collect()
+    assert(got.isEmpty, got.mkString(","))
+  }
+
+  test("kCore at k=1 keeps every non-isolated node with its full degree") {
+    val edges = Seq(("x", "y"), ("y", "z"))
+    val got = graft.operators.KCore
+      .kCore(undirected(edges), "src", "dst", k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 1L, "y" -> 2L, "z" -> 1L), got.toString)
+  }
 }
