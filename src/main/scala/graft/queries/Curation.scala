@@ -857,6 +857,50 @@ object Curation extends QueryModule {
         .orderBy(col("split"), col("source"))
     }),
 
+    // The round-11 composition — curation by REPAIR where v2 curates by
+    // SELECTION: (1) C4-style span REWRITE (duplicated spans removed at
+    // all but their first occurrence, documents kept); (2) a TRAINED
+    // quality gate — logistic regression fit to the post-rewrite corpus
+    // (the lloydCentroids 6-dp discipline), keeping docs at or above
+    // the corpus-average margin; (3) exact dedup of the rewritten texts
+    // (keep-first per md5 fingerprint — rewriting collapses formerly
+    // near-identical docs into byte-identical ones, so exact dedup now
+    // catches what needed Jaccard before); (4) leakage-safe hash split.
+    // One declarative plan end to end plus the classifier's three
+    // model-sized driver crossings.
+    "curation_pipeline_v3" -> ((s, dir) => {
+      import graft.operators.LogisticRegression
+      val rew = Dedup.rewriteDupSpans(Tables(s, dir, "documents"), "doc_id", "text")
+      val base = rew
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .filter(col("kept_text") =!= "")
+        .select(col("doc_id"), col("lang"), col("n_dropped"), col("kept_text"),
+          tokens(col("kept_text")).as("toks"))
+      val feat = base
+        .withColumn("x1", size(col("toks")).cast("double") / lit(60.0))
+        .withColumn("x2", size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"))
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      val wts = LogisticRegression.fit(
+        feat.select(col("x1"), col("x2"), col("y")), Seq("x1", "x2"), "y")
+      val z = LogisticRegression.margin(wts, Seq("x1", "x2"))
+      val zbar = feat.agg((round(avg(z), 6) + lit(0.0)).as("zb")).head().getDouble(0)
+      val gated = feat.filter(z >= lit(zbar)).withColumn("margin", z)
+      val wf = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = gated.withColumn("fp", md5(col("kept_text")))
+        .withColumn("rk", row_number().over(wf)).filter(col("rk") === 1)
+      val sp = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+      deduped
+        .withColumn("split",
+          when(sp < "cccc", "train").when(sp < "e666", "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("n_toks"),
+          sum(col("n_dropped")).cast("long").as("n_spans_dropped"),
+          (round(avg(col("margin")), 6) + lit(0.0)).as("avg_margin"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // Corpus-lineage diagnostic: pairwise 8-gram Jaccard BETWEEN
     // SOURCES — which crawl shards are re-serving each other's content.
     // Scale shape: distinct (source, shingle) pairs, then a
@@ -1692,6 +1736,62 @@ object Curation extends QueryModule {
             round(avg(dsir), 6) + 0.0 AS avg_dsir,
             min(doc_id) AS min_doc
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    "curation_pipeline_v3" ->
+      s"""WITH ${Pipeline.spanRewriteCte},
+          v3b AS (
+            SELECT r.doc_id, d.lang, r.n_dropped, r.kept_text,
+                   string_split(lower(trim(regexp_replace(r.kept_text, '\\s+', ' ', 'g'))), ' ') AS toks
+            FROM rewritten r JOIN documents d ON r.doc_id = d.doc_id
+            WHERE r.kept_text <> ''),
+          v3f AS (
+            SELECT doc_id, lang, n_dropped, kept_text,
+              CAST(len(toks) AS DOUBLE) / 60.0 AS x1,
+              CAST(len(list_distinct(toks)) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS x2,
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+              CAST(len(toks) AS BIGINT) AS ntoks
+            FROM v3b),
+          v3w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+          v3g1 AS (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM v3f CROSS JOIN v3w0),
+          v3w1 AS (SELECT v3w0.w1 - v3g1.d1 AS w1, v3w0.w2 - v3g1.d2 AS w2,
+                          v3w0.b - v3g1.db AS b FROM v3w0 CROSS JOIN v3g1),
+          v3g2 AS (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM v3f CROSS JOIN v3w1),
+          v3w2 AS (SELECT v3w1.w1 - v3g2.d1 AS w1, v3w1.w2 - v3g2.d2 AS w2,
+                          v3w1.b - v3g2.db AS b FROM v3w1 CROSS JOIN v3g2),
+          v3g3 AS (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM v3f CROSS JOIN v3w2),
+          v3w3 AS (SELECT v3w2.w1 - v3g3.d1 AS w1, v3w2.w2 - v3g3.d2 AS w2,
+                          v3w2.b - v3g3.db AS b FROM v3w2 CROSS JOIN v3g3),
+          v3zb AS (SELECT round(avg(x1*w1 + x2*w2 + b), 6) + 0.0 AS zb
+                   FROM v3f CROSS JOIN v3w3),
+          v3gated AS (
+            SELECT v3f.*, x1*w1 + x2*w2 + b AS margin
+            FROM v3f CROSS JOIN v3w3 CROSS JOIN v3zb
+            WHERE x1*w1 + x2*w2 + b >= zb),
+          v3dd AS (SELECT *, row_number() OVER (PARTITION BY md5(kept_text)
+                                                ORDER BY doc_id) AS rk
+                   FROM v3gated),
+          v3sp AS (SELECT *,
+                     CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                          WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM v3dd WHERE rk = 1)
+          SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ntoks) AS BIGINT) AS n_toks,
+            CAST(sum(n_dropped) AS BIGINT) AS n_spans_dropped,
+            round(avg(margin), 6) + 0.0 AS avg_margin
+          FROM v3sp GROUP BY 1, 2 ORDER BY 1, 2""",
     "pmi_bigrams" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          f AS (SELECT * FROM s WHERE len(w) >= 2),

@@ -50,6 +50,45 @@ object Pipeline extends QueryModule {
 
   private[queries] val nearPairsSql = nearPairsSqlAt(0.5)
 
+  /** Shared CTE chain for the C4-style duplicate-span rewrite
+    * (mirrors Dedup.rewriteDupSpans at chunkTokens = 10): ends in
+    * `rewritten(doc_id, n_spans, n_dropped, kept_text)`. Used by the
+    * span_rewrite oracle and by Curation's composed pipeline v3. */
+  private[queries] lazy val spanRewriteCte: String =
+    s"""srt AS (SELECT doc_id, $toksSql toks FROM documents),
+          srb AS (SELECT doc_id, toks,
+                       CAST(floor(len(toks) / 10) AS BIGINT) AS nc FROM srt),
+          src0 AS (
+            SELECT doc_id,
+                   unnest([{'pos': i,
+                            'passage': array_to_string(toks[i*10+1:i*10+10], ' ')}
+                           for i in generate_series(0, nc - 1)]) AS ch
+            FROM srb WHERE nc >= 1),
+          src AS (SELECT doc_id, ch.pos AS pos, ch.passage AS passage FROM src0),
+          srk AS (SELECT doc_id, pos, passage,
+                       row_number() OVER (PARTITION BY passage
+                                          ORDER BY doc_id, pos) AS rk
+                FROM src),
+          srbody AS (
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dropped,
+                   string_agg(CASE WHEN rk = 1 THEN passage END, ' '
+                              ORDER BY pos) AS body
+            FROM srk GROUP BY doc_id),
+          srtl AS (SELECT doc_id,
+                        array_to_string(toks[nc*10+1:len(toks)], ' ') AS tail_txt
+                 FROM srb),
+          rewritten AS (
+            SELECT srtl.doc_id,
+              CAST(coalesce(srbody.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(coalesce(srbody.n_dropped, 0) AS BIGINT) AS n_dropped,
+              trim(concat(coalesce(srbody.body, ''),
+                          CASE WHEN coalesce(srbody.body, '') <> ''
+                                AND tail_txt <> '' THEN ' ' ELSE '' END,
+                          tail_txt)) AS kept_text
+            FROM srtl LEFT JOIN srbody ON srtl.doc_id = srbody.doc_id)"""
+
   /** nDCG@10 discount table 1/log2(i+1), i = 1..10, computed ONCE here
     * and spliced as a literal into BOTH engines (Spark typedLit, DuckDB
     * list literal via Double.toString round-trip) — engine log2() ulp
@@ -1324,39 +1363,9 @@ object Pipeline extends QueryModule {
           FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
           ORDER BY passage""",
     "span_rewrite" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
-          b AS (SELECT doc_id, toks,
-                       CAST(floor(len(toks) / 10) AS BIGINT) AS nc FROM t),
-          c0 AS (
-            SELECT doc_id,
-                   unnest([{'pos': i,
-                            'passage': array_to_string(toks[i*10+1:i*10+10], ' ')}
-                           for i in generate_series(0, nc - 1)]) AS ch
-            FROM b WHERE nc >= 1),
-          c AS (SELECT doc_id, ch.pos AS pos, ch.passage AS passage FROM c0),
-          k AS (SELECT doc_id, pos, passage,
-                       row_number() OVER (PARTITION BY passage
-                                          ORDER BY doc_id, pos) AS rk
-                FROM c),
-          body AS (
-            SELECT doc_id,
-                   count(*) AS n_spans,
-                   sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dropped,
-                   string_agg(CASE WHEN rk = 1 THEN passage END, ' '
-                              ORDER BY pos) AS body
-            FROM k GROUP BY doc_id),
-          tl AS (SELECT doc_id,
-                        array_to_string(toks[nc*10+1:len(toks)], ' ') AS tail_txt
-                 FROM b)
-          SELECT tl.doc_id,
-            CAST(coalesce(body.n_spans, 0) AS BIGINT) AS n_spans,
-            CAST(coalesce(body.n_dropped, 0) AS BIGINT) AS n_dropped,
-            trim(concat(coalesce(body.body, ''),
-                        CASE WHEN coalesce(body.body, '') <> ''
-                              AND tail_txt <> '' THEN ' ' ELSE '' END,
-                        tail_txt)) AS kept_text
-          FROM tl LEFT JOIN body ON tl.doc_id = body.doc_id
-          ORDER BY tl.doc_id""",
+      s"""WITH $spanRewriteCte
+          SELECT doc_id, n_spans, n_dropped, kept_text
+          FROM rewritten ORDER BY doc_id""",
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
           sh AS (
