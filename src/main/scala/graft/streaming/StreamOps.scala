@@ -451,6 +451,32 @@ object StreamOps {
   def readAnomalies(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/flags")
 
+  /** Streaming retrieval sink — the online face of
+    * [[graft.operators.SimilaritySearch.topKCosineIvf]]: each
+    * micro-batch of probe vectors is ANN-searched against the STATIC
+    * corpus (probes broadcast, corpus scanned once per batch, never
+    * shuffled — cost scales with the batch) and the per-probe top-k
+    * lands as a batchId-keyed parquet shard, idempotently (a replayed
+    * batch overwrites its own shard). foreachBatch for the
+    * [[nearDupSink]] reason: the search needs batch-only operators and
+    * per-batch semantics ARE the meaning. The IVF index is rebuilt per
+    * batch here; a production deployment freezes the codebook and coded
+    * corpus once (the ann_ivf_pq store shape) and only the probe side
+    * streams. StreamingSpec pins shard parity with the batch operator
+    * run on the same probes. */
+  def retrievalSink(probes: DataFrame, corpus: DataFrame, outDir: String,
+                    checkpointDir: String, probeIdCol: String, idCol: String,
+                    vecCol: String, k: Int = 3) =
+    probes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SimilaritySearch
+          .topKCosineIvf(batch, probeIdCol, corpus, idCol, vecCol, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** NDV estimates per key over every batch `sketchPartialSink` has
     * landed so far. */
   def readSketchProfile(spark: SparkSession, outDir: String,

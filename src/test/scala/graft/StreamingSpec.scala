@@ -676,4 +676,31 @@ class StreamingSpec extends SparkSpecBase {
       assert(want.exists(_(5) == false), "steady hours must not be flagged")
     } finally q.stop()
   }
+
+  test("retrievalSink shards equal the batch IVF operator per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 64L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("retr-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("retr-ck").toString
+    val q = StreamOps.retrievalSink(
+      ms.toDF().toDF("probe_id", "embedding"),
+      corpus, out, ck, "probe_id", "vec_id", "embedding", k = 3)
+    try {
+      val probes = (100L to 102L).map(i => (i, vec()))
+      ms.addData(probes: _*)
+      q.processAllAvailable()
+      def asSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "vec_id", "cos", "rk")
+        .collect().map(_.toSeq).toSet
+      val got = asSet(spark.read.parquet(s"$out/batch=0"))
+      val want = asSet(graft.operators.SimilaritySearch.topKCosineIvf(
+        probes.toDF("probe_id", "embedding"), "probe_id",
+        corpus, "vec_id", "embedding", k = 3))
+      assert(got == want, s"stream/batch mismatch:\n got=$got\nwant=$want")
+      assert(got.size == 9, s"3 probes x k=3 expected, got ${got.size}")
+    } finally q.stop()
+  }
 }
