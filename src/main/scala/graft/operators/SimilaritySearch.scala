@@ -350,11 +350,32 @@ object SimilaritySearch {
                       corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, nlist: Int = 16, nprobe: Int = 4,
                       m: Int = 4, ks: Int = 8, pqIters: Int = 1,
-                      coarseK: Int = 12): DataFrame = {
-    require(nprobe <= nlist, "topKCosineIvfPq: nprobe must be <= nlist")
-    require(coarseK >= k, "topKCosineIvfPq: coarseK must be >= k")
+                      coarseK: Int = 12): DataFrame =
+    searchPqIndex(probes, probeIdCol, corpus, idCol, vecCol,
+      buildPqIndex(corpus, idCol, vecCol, nlist, m, ks, pqIters),
+      k, nprobe, coarseK)
+
+  /** The frozen IVF-PQ index — everything the search path needs except
+    * the full-precision vectors (those stay with the corpus table and
+    * are read only by the rerank): coarse centroids, per-subspace
+    * codebooks (sorted by cent_id — POSITION order == cent_id order,
+    * so stored codes tiebreak like the oracle's ORDER BY dist,
+    * cent_id), and the coded corpus (one row per vector: coarse list +
+    * m small code ints, NO floats — the hot store). */
+  case class PqIndex(cents: DataFrame,
+                     codebooks: Seq[Seq[(Long, Seq[Double])]],
+                     coded: DataFrame, m: Int, sub: Int)
+
+  /** Train the coarse quantizer + per-subspace PQ codebooks and encode
+    * the corpus in ONE scan (assignment and all m codes are projections
+    * over broadcast centroids/codebooks — the corpus is never
+    * shuffled). Persist with [[writePqIndex]]; at 100 TB this runs once
+    * per corpus snapshot and every probe batch reuses the store. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int = 16, m: Int = 4, ks: Int = 8,
+                   pqIters: Int = 1): PqIndex = {
     val d = dimOf(corpus, vecCol)
-    require(d % m == 0, s"topKCosineIvfPq: dim $d must split into $m subspaces")
+    require(d % m == 0, s"buildPqIndex: dim $d must split into $m subspaces")
     val sub = d / m
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     val corpusD = corpus.select(col(idCol).as("_id0"),
@@ -363,24 +384,64 @@ object SimilaritySearch {
     val ncorp = corpusD
       .withColumn("_nrm", sqrt(dotd(col("_v0"), col("_v0"))))
       .select(col("_id0"), expr("transform(_v0, x -> round(x / _nrm, 6))").as("_nv"))
-    // per-subspace codebooks, sorted by cent_id so POSITION order ==
-    // cent_id order (the argmin position tiebreak equals the oracle's
-    // ORDER BY dist, cent_id)
     val cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
       lloydL2(ncorp.select(col("_id0"),
         slice(col("_nv"), s * sub + 1, sub).as("_sv")), "_id0", "_sv", ks, pqIters)
     }
-    // one corpus scan: coarse list + normalized vector + m PQ codes
     val assigned = bestLists(corpusD, cents, "_id0", "_v0", 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cfv"), col("_list"))
       .withColumn("_nrm", sqrt(dotd(col("_cfv"), col("_cfv"))))
       .withColumn("_xnv", expr("transform(_cfv, x -> round(x / _nrm, 6))"))
     val coded = assigned.select(
-      Seq(col("_cid"), col("_cfv"), col("_list")) ++ (0 until m).map(s =>
+      Seq(col("_cid"), col("_list")) ++ (0 until m).map(s =>
         argminCodeL2(slice(col("_xnv"), s * sub + 1, sub), cbs(s)).as(s"_k$s")): _*)
+    PqIndex(cents, cbs, coded, m, sub)
+  }
+
+  /** Persist a [[PqIndex]]: three parquet tables (cents, codebooks as
+    * (space, pos, cent_id, cv) rows, coded corpus). */
+  def writePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.cents.sparkSession
+    import spark.implicits._
+    index.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    index.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case ((cid, v), i) => (s, i + 1, cid, v) }
+    }.toDF("space", "pos", "cent_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.coded.write.mode("overwrite").parquet(s"$dir/coded")
+  }
+
+  /** Load a persisted [[PqIndex]] (codebooks re-sorted to position
+    * order — byte-stable with what writePqIndex stored). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getAs[Int]("space"), r.getAs[Int]("pos"),
+        // toVector: parquet hands back a mutable ArraySeq, which
+        // typedLit's nested-array encoder refuses downstream
+        r.getAs[Long]("cent_id"), r.getAs[Seq[Double]]("cv").toVector))
+    val m = cbRows.map(_._1).max + 1
+    val cbs = (0 until m).map { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    }
+    val sub = cbs.head.head._2.size
+    PqIndex(spark.read.parquet(s"$dir/cents"),
+      cbs, spark.read.parquet(s"$dir/coded"), m, sub)
+  }
+
+  /** ADC search against a (possibly loaded) [[PqIndex]]: candidates
+    * from the stored coarse lists, scored by per-subspace
+    * literal-codebook lookups, exact rerank of the ADC top-`coarseK`
+    * only — the rerank joins the corpus BY ID, so only those rows ever
+    * read full-precision storage. */
+  def searchPqIndex(probes: DataFrame, probeIdCol: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    index: PqIndex, k: Int, nprobe: Int = 4,
+                    coarseK: Int = 12): DataFrame = {
+    require(coarseK >= k, "searchPqIndex: coarseK must be >= k")
+    val (m, sub) = (index.m, index.sub)
     val probeD = probes.select(col(probeIdCol).as("_pid0"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("_pv0"))
-    val probeLists = bestLists(probeD, cents, "_pid0", "_pv0", nprobe)
+    val probeLists = bestLists(probeD, index.cents, "_pid0", "_pv0", nprobe)
       .select(col("_mid").as("_pid"), col("_mv").as("_pfv"), col("_list"))
       .withColumn("_pnrm", sqrt(dotd(col("_pfv"), col("_pfv"))))
       .withColumn("_qnv", expr("transform(_pfv, x -> round(x / _pnrm, 6))"))
@@ -390,16 +451,18 @@ object SimilaritySearch {
     // (see ann_eval) cannot fire here
     val adc = (0 until m).map { s =>
       round(dotd(slice(col("_qnv"), s * sub + 1, sub),
-        element_at(typedLit(cbs(s).map(_._2)), col(s"_k$s"))), 6)
+        element_at(typedLit(index.codebooks(s).map(_._2)), col(s"_k$s"))), 6)
     }.reduce(_ + _)
-    val coarse = coded.join(broadcast(probeLists), "_list")
+    val coarse = index.coded.join(broadcast(probeLists), "_list")
       .filter(col("_pid") =!= col("_cid"))
-      .select(col("_pid"), col("_cid"), col("_cfv"), round(adc, 6).as("_adc"))
+      .select(col("_pid"), col("_cid"), round(adc, 6).as("_adc"))
       .withColumn("_crk", row_number().over(
         Window.partitionBy(col("_pid")).orderBy(col("_adc").desc, col("_cid"))))
       .filter(col("_crk") <= coarseK)
     // exact re-rank: only coarseK x probes rows touch full precision
     coarse
+      .join(corpus.select(col(idCol).as("_cid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_cfv")), "_cid")
       .join(broadcast(probeD), col("_pid") === col("_pid0"))
       .select(col("_pid").as("probe_id"), col("_cid").as("vec_id"),
         round(cosine(col("_cfv"), col("_pv0")), 6).as("cos"))

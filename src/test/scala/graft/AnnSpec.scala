@@ -185,4 +185,22 @@ class AnnSpec extends SparkSpecBase {
     assert(got.forall { case (p, id) => id == p - 50000 },
       "rk=1 hit must be the planted twin (cos = 1)")
   }
+
+  test("PQ index survives a parquet round-trip: search-from-store == direct") {
+    val df = clustered.cache()
+    val probes = df.filter(col("vec_id").isin(0L, 1000L, 2000L))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def asSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getAs[Long]("probe_id"), x.getAs[Long]("vec_id"),
+        x.getAs[Double]("cos"), x.getAs[Int]("rk"))).toSet
+    val direct = asSet(SimilaritySearch.topKCosineIvfPq(
+      probes, "probe_id", df, "vec_id", "embedding", k = 3))
+    val dir = java.nio.file.Files.createTempDirectory("pq-store").toString
+    SimilaritySearch.writePqIndex(
+      SimilaritySearch.buildPqIndex(df, "vec_id", "embedding"), dir)
+    val loaded = SimilaritySearch.readPqIndex(spark, dir)
+    val fromStore = asSet(SimilaritySearch.searchPqIndex(
+      probes, "probe_id", df, "vec_id", "embedding", loaded, k = 3))
+    assert(fromStore == direct, s"store path diverged:\n$fromStore\nvs\n$direct")
+  }
 }
