@@ -388,14 +388,31 @@ object SimilaritySearch {
       lloydL2(ncorp.select(col("_id0"),
         slice(col("_nv"), s * sub + 1, sub).as("_sv")), "_id0", "_sv", ks, pqIters)
     }
-    val assigned = bestLists(corpusD, cents, "_id0", "_v0", 1)
+    PqIndex(cents, cbs, encode(corpus, idCol, vecCol, cents, cbs, sub), m, sub)
+  }
+
+  /** Encode vectors against FROZEN coarse centroids + codebooks (no
+    * retraining): coarse list + m codes in one projection scan — the
+    * incremental form. New corpus shards append their coded rows to
+    * the store while the codebooks stay fixed, exactly like the
+    * minhash signature store; identical vectors get identical codes by
+    * construction, so increments are searchable the moment they land. */
+  def encodePq(df: DataFrame, idCol: String, vecCol: String,
+               index: PqIndex): DataFrame =
+    encode(df, idCol, vecCol, index.cents, index.codebooks, index.sub)
+
+  private def encode(df: DataFrame, idCol: String, vecCol: String,
+                     cents: DataFrame, cbs: Seq[Seq[(Long, Seq[Double])]],
+                     sub: Int): DataFrame = {
+    val dD = df.select(col(idCol).as("_id0"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_v0"))
+    val assigned = bestLists(dD, cents, "_id0", "_v0", 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cfv"), col("_list"))
       .withColumn("_nrm", sqrt(dotd(col("_cfv"), col("_cfv"))))
       .withColumn("_xnv", expr("transform(_cfv, x -> round(x / _nrm, 6))"))
-    val coded = assigned.select(
-      Seq(col("_cid"), col("_list")) ++ (0 until m).map(s =>
+    assigned.select(
+      Seq(col("_cid"), col("_list")) ++ cbs.indices.map(s =>
         argminCodeL2(slice(col("_xnv"), s * sub + 1, sub), cbs(s)).as(s"_k$s")): _*)
-    PqIndex(cents, cbs, coded, m, sub)
   }
 
   /** Persist a [[PqIndex]]: three parquet tables (cents, codebooks as

@@ -203,4 +203,28 @@ class AnnSpec extends SparkSpecBase {
       probes, "probe_id", df, "vec_id", "embedding", loaded, k = 3))
     assert(fromStore == direct, s"store path diverged:\n$fromStore\nvs\n$direct")
   }
+
+  test("encodePq increments are searchable against the frozen index") {
+    val df = clustered.cache()
+    val index = SimilaritySearch.buildPqIndex(df, "vec_id", "embedding")
+    // an increment of exact copies: frozen codebooks must assign the
+    // same list and the same m codes as the originals got at build time
+    val twins = df.filter(col("vec_id") < 2000)
+      .select((col("vec_id") + 50000).as("vec_id"), col("embedding"))
+    val inc = SimilaritySearch.encodePq(twins, "vec_id", "embedding", index)
+    val orig = index.coded.collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    inc.collect().foreach { r =>
+      assert(r.toSeq.tail == orig(r.getLong(0) - 50000),
+        s"codes diverged for ${r.getLong(0)}")
+    }
+    // and the grown store finds each twin's original at rk=1 (cos = 1)
+    val grown = index.copy(coded = index.coded.unionByName(inc))
+    val corpus = df.unionByName(twins)
+    val got = SimilaritySearch.searchPqIndex(twins, "vec_id",
+        corpus, "vec_id", "embedding", grown, k = 1, nprobe = 1, coarseK = 60)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(got.forall { case (p, id) => id == p - 50000 },
+      "rk=1 from the grown store must be the planted twin")
+  }
 }
