@@ -103,23 +103,67 @@ object Dedup {
     * posting-list join (with the auto cutoff) stays the right plan. */
   val PrefixPathMinThreshold: Double = 0.7
 
-  /** Exact n-gram Jaccard near-dup pairs with a dispatched plan: the
-    * prefix-filtered All-Pairs join above [[PrefixPathMinDocs]]
-    * documents AND [[PrefixPathMinThreshold]] (the regime where the
-    * prefix bound prunes, see above), the inverted-index join
-    * otherwise. Results are identical either way; composite pipelines
-    * (curation_keep, split_cluster_safe, the cluster family) call THIS
-    * so they inherit the scale path without re-plumbing. */
+  /** n-gram Jaccard near-dup pairs with a dispatched plan — the front
+    * door composite pipelines (curation_keep, split_cluster_safe, the
+    * cluster family, curation_pipeline_v2) call so they inherit the
+    * scale path without re-plumbing. Three tiers:
+    *
+    *   1. >= [[PrefixPathMinDocs]] docs AND t >= [[PrefixPathMinThreshold]]:
+    *      the prefix-filtered All-Pairs join (exact; the regime where
+    *      the prefix bound prunes, see above).
+    *   2. >= [[AutoCutoffMinDocs]] docs at t < 0.7: run the exact
+    *      path's COUNT-ONLY cutoff analysis FIRST. If it finds a
+    *      separable hot head, the exact posting-list join runs with
+    *      that cutoff (no second analysis pass). If it REFUSES — the
+    *      pair mass lives in the bulk, the regime where the exact join
+    *      is irreducibly quadratic (measured: 1.1e9 candidates,
+    *      ~250 GB spill, 183 s at the 100x fixture inside
+    *      curation_pipeline_v2) — the dispatch routes to
+    *      [[nearDupPairsMinhash]], the designated sub-quadratic path
+    *      (measured FLAT 10x->30x), instead of grinding. The reroute
+    *      is exact-up-to-band-recall: candidates are reranked by true
+    *      Jaccard (precision 1), and the banded signature misses a
+    *      true pair at J=s with probability (1-s^4)^16 — ~1e-15 at
+    *      the J>=0.97 separation near-dup corpora have, but material
+    *      near the threshold (e.g. ~36% at J=0.5). Callers that need
+    *      the exact grind regardless pass `strictExact = true` (the
+    *      pinned-strategy queries call nearDupPairsExact directly).
+    *   3. otherwise: the exact inverted-index join, bit-identical to
+    *      the oracle at fixture scale.
+    *
+    * Tiers 1 and 3 are identical-output plan choices (DedupSpec pins
+    * pairwise equality); tier 2's reroute is the guard's own
+    * recommendation, automated. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Long = 0L,
                    prefixGateDocs: Long = PrefixPathMinDocs,
-                   autoGateDocs: Long = AutoCutoffMinDocs): DataFrame = {
+                   autoGateDocs: Long = AutoCutoffMinDocs,
+                   strictExact: Boolean = false): DataFrame = {
     val nDocs = df.count()
     if (nDocs >= prefixGateDocs && threshold >= PrefixPathMinThreshold)
       nearDupPairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq,
         autoGateDocs, docCount = nDocs)
-    else
+    else if (!strictExact && nDocs >= autoGateDocs) {
+      // Hoist the exact path's own analysis pass: one COUNT-ONLY df
+      // histogram over the exploded shingles (linear, a fraction of
+      // the pair stage it protects — same pass resolveCutoff runs).
+      val exploded = shingleSets(df, idCol, textCol, n)
+        .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+        .filter(col("s").isNotNull)
+      val (cutoff, refused) =
+        cutoffDecision(exploded, nDocs, maxDocFreq, autoGateDocs, "nearDupPairs")
+      if (refused) {
+        System.err.println(s"[graft-dedup] nearDupPairs: routing $nDocs docs " +
+          s"at t=$threshold to MinHash-LSH + exact rerank (pass strictExact=true " +
+          "to force the exact posting-list join)")
+        nearDupPairsMinhash(df, idCol, textCol, n, threshold = threshold)
+      } else
+        // analysis already ran: hand the engaged cutoff down and
+        // disable the exact path's own pass
+        nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq = cutoff,
+          autoGateDocs = Long.MaxValue, docCount = nDocs)
+    } else
       nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq,
         autoGateDocs, docCount = nDocs)
   }
@@ -133,8 +177,19 @@ object Dedup {
     * shingle-key/pair mass are reported on stderr so production runs
     * can see the guard fire instead of inferring it from runtimes. */
   private def resolveCutoff(exploded: DataFrame, nDocs: Long, userCutoff: Long,
-                            autoGateDocs: Long, tag: String): Long = {
-    if (nDocs < autoGateDocs) userCutoff
+                            autoGateDocs: Long, tag: String): Long =
+    cutoffDecision(exploded, nDocs, userCutoff, autoGateDocs, tag)._1
+
+  /** The analysis behind [[resolveCutoff]], exposed with its refusal
+    * verdict so [[nearDupPairs]] can dispatch on it: returns
+    * (effective cutoff, refused). `refused = true` means the histogram
+    * found NO separable hot head — cutting to budget would drop >
+    * [[MaxAutoDropKeyFraction]] of distinct shingle keys, i.e. the
+    * pair mass is irreducibly in the bulk and the exact join is
+    * quadratic no matter the cutoff. */
+  private def cutoffDecision(exploded: DataFrame, nDocs: Long, userCutoff: Long,
+                             autoGateDocs: Long, tag: String): (Long, Boolean) = {
+    if (nDocs < autoGateDocs) (userCutoff, false)
     else {
       val hist = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .groupBy(col("df")).agg(count(lit(1)).as("n"))
@@ -155,12 +210,12 @@ object Dedup {
           "pairs); the pair mass lives in the bulk, not a hot head. " +
           "Keeping the caller's cutoff; for corpora like this use the " +
           "MinHash-LSH path (Dedup.nearDupPairsMinhash).")
-        userCutoff
+        (userCutoff, true)
       } else {
         System.err.println(f"[graft-dedup] $tag: auto hot-shingle cutoff " +
           f"df<=$eff engaged at $nDocs docs (dropped $dropped of " +
           f"$totalKeys shingle keys, ~$droppedMass%.3g candidate pairs)")
-        eff
+        (eff, false)
       }
     }
   }

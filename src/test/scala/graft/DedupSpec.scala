@@ -142,6 +142,44 @@ class DedupSpec extends SparkSpecBase {
     assert(auto == uncut && auto.size == 60 * 59 / 2, s"${auto.size} pairs")
   }
 
+  test("nearDupPairs reroutes a refused corpus to MinHash-LSH; strictExact keeps the grind") {
+    // The degenerate corpus from the refusal test: every doc identical,
+    // all pair mass in the bulk — the cutoff analysis must refuse, and
+    // the front door must route to minhash + exact rerank instead of
+    // grinding. At J=1 banded LSH recall is exactly 1 (identical
+    // signatures share every band), so the reroute must reproduce the
+    // exact pair set bit-for-bit, jac included.
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rerouted = Dedup.nearDupPairs(docs, "doc_id", "text", autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rerouted == exact && rerouted.size == 60 * 59 / 2, s"${rerouted.size} pairs")
+    // strictExact forces tier 3 under the same refusal
+    val strict = Dedup.nearDupPairs(docs, "doc_id", "text", autoGateDocs = 1L,
+        strictExact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(strict == exact)
+  }
+
+  test("nearDupPairs with an ENGAGED (not refused) cutoff still takes the exact path") {
+    // The separable-head corpus from the auto-cutoff test: the analysis
+    // ENGAGES (drops the boilerplate band), so the front door must run
+    // the exact join with that cutoff — same answer the direct exact
+    // call with autoGateDocs = 1 produces.
+    val boiler = "this document is provided under the standard public license agreement of the corporation"
+    val rare = (1 to 30).map(i => s"rareword$i").mkString(" ")
+    val docs = ((1 to 58).map(i =>
+        (i.toLong, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d")) ++
+      Seq((100L, s"$boiler $rare edit one"), (101L, s"$boiler $rare edit two")))
+      .toDF("doc_id", "text")
+    val front = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.4,
+        autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(front == Set((100L, 101L)), front.toString)
+  }
+
   test("nearDupPairs dispatches by corpus size; both routes agree") {
     val viaExact = Dedup.nearDupPairs(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
