@@ -201,11 +201,19 @@ object Dedup {
       val droppedMass = hist.collect { case (d, c) if d > eff =>
         c.toDouble * d.toDouble * (d - 1).toDouble / 2 }.sum
       if (totalKeys > 0 &&
-          dropped.toDouble / totalKeys > MaxAutoDropKeyFraction &&
-          eff < (if (userCutoff > 0) userCutoff else Long.MaxValue)) {
-        // no separable hot head: cutting to budget would cut the signal
+          dropped.toDouble / totalKeys > MaxAutoDropKeyFraction) {
+        // No separable hot head: the effective cutoff — whether the
+        // budget's or the CALLER's own — would cut the signal, not the
+        // boilerplate (the measured 7,669 -> 0 pairs failure shape).
+        // Refuse rather than engage; the returned cutoff is the
+        // caller's in every refusal case (when the caller's own cutoff
+        // is the effective one, eff == userCutoff, so direct
+        // nearDupPairsExact/Prefix callers see bit-identical cutoffs —
+        // only [[nearDupPairs]]' routing verdict changes).
+        val whose = if (eff == userCutoff && userCutoff > 0)
+          f"the caller's cutoff df<=$eff" else f"budget cutoff df<=$eff"
         System.err.println(f"[graft-dedup] $tag: auto cutoff REFUSED at " +
-          f"$nDocs docs — budget cutoff df<=$eff would drop $dropped of " +
+          f"$nDocs docs — $whose would drop $dropped of " +
           f"$totalKeys distinct shingles (~$droppedMass%.3g candidate " +
           "pairs); the pair mass lives in the bulk, not a hot head. " +
           "Keeping the caller's cutoff; for corpora like this use the " +
