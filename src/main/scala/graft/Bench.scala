@@ -17,7 +17,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // Shuffle partitions default to the core count (laptop-scale), but
+    // scale with DATA on a real cluster — the override lets scale runs
+    // turn the same knob (AQE coalesces the other direction).
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    val spark = GraftSession.builder(s"local[$cpus]", shuf).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // One untimed warmup at the smallest SF: absorbs session init, codegen
