@@ -163,6 +163,43 @@ class DedupSpec extends SparkSpecBase {
     assert(strict == exact)
   }
 
+  test("LSH reroute recall holds at a realistic threshold (J≈0.9, not just J=1)") {
+    // Ten true near-dup pairs at J≈0.90 (60-token docs, one token
+    // swapped mid-document kills 3 trigrams: |A∩B|=55, |A∪B|=61,
+    // J=0.902) buried in a refusal-shaped corpus (everything else
+    // identical boilerplate so the analysis refuses). Banded LSH at
+    // k=64/r=4 misses a J=0.9 pair with probability (1-0.9^4)^16 ≈
+    // 4e-8 — the reroute must find all ten AND agree with the exact
+    // join on the whole output.
+    // 10 bulk GROUPS of 50 identical docs each: the hot head is 280 of
+    // ~890 distinct keys (31% would drop) with pair mass ~343k over a
+    // ~104k budget at 520 docs — the analysis must REFUSE, not engage.
+    val bulkDocs = (0 until 10).flatMap { g =>
+      val text = (1 to 30).map(i => s"g${g}word$i").mkString(" ")
+      (1 to 50).map(i => (g * 100L + i, text))
+    }
+    val pairDocs = (0 until 10).flatMap { p =>
+      val toks = (1 to 60).map(i => s"p${p}t$i")
+      val mutated = toks.updated(30, s"p${p}CHANGED")
+      Seq((100000L + 2 * p, toks.mkString(" ")),
+        (100001L + 2 * p, mutated.mkString(" ")))
+    }
+    val docs = (bulkDocs ++ pairDocs).toDF("doc_id", "text")
+    val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rerouted = Dedup.nearDupPairs(docs, "doc_id", "text", autoGateDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rerouted == exact, s"reroute=${rerouted.size} exact=${exact.size}")
+    assert(rerouted.size == 10 * 50 * 49 / 2 + 10, s"${rerouted.size} pairs")
+    val planted = (0 until 10).map(p => (100000L + 2 * p, 100001L + 2 * p)).toSet
+    val found = rerouted.map(t => (t._1, t._2)).filter(planted)
+    assert(found == planted, s"missed: ${planted -- found}")
+    // and the planted pairs carry the designed Jaccard
+    rerouted.filter(t => planted((t._1, t._2))).foreach { t =>
+      assert(math.abs(t._3 - 55.0 / 61.0) < 1e-4, t.toString)
+    }
+  }
+
   test("nearDupPairs with an ENGAGED (not refused) cutoff still takes the exact path") {
     // The separable-head corpus from the auto-cutoff test: the analysis
     // ENGAGES (drops the boilerplate band), so the front door must run
