@@ -837,14 +837,28 @@ object Curation extends QueryModule {
       val tot = cRaw.agg(sum(col("cr")).cast("double").as("nraw"),
         count(lit(1)).cast("double").as("v"))
       val ttot = cTgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("ntgt"))
+      // v2 stacks TWO round-of-average layers (per-doc dsir, then
+      // per-(split, source) avg_dsir) on ln-based values. That chain
+      // flipped a 6th decimal between engines at BOTH sf0.1 and
+      // sf0.01 in different groups: `avg` over doubles is
+      // summation-order-sensitive in the last ulp, and a
+      // round(avg(...), 6) whose exact value sits near a .5e-6
+      // boundary straddles it. The deterministic form is
+      // INTEGER-SCALED averaging: anchor lam at 6 dp as an exact
+      // BIGINT (the bm25 idf discipline, scaled), sum integers
+      // (exact, order-free in any engine), then divide — a fixed
+      // sequence of IEEE ops both engines execute identically. Both
+      // averaging layers below use it; no double summation survives.
       val lam = cRaw.join(cTgt, Seq("t"), "left")
         .crossJoin(broadcast(tot)).crossJoin(broadcast(ttot))
         .select(col("t"),
-          (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ntgt") + col("v"))) -
-            log((col("cr") + lit(1.0)) / (col("nraw") + col("v")))).as("lam"))
+          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ntgt") + col("v"))) -
+            log((col("cr") + lit(1.0)) / (col("nraw") + col("v")))) * lit(1e6))
+            .cast("long").as("lam_i"))
       val scored = ktok.join(lam, "t")
         .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_toks"), round(avg(col("lam")), 6).as("dsir"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("lam_i")) / lit(1e6) / count(lit(1)), 6).as("dsir"))
       val sp = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
       scored
         .withColumn("split",
@@ -852,7 +866,10 @@ object Curation extends QueryModule {
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_toks")).cast("long").as("n_toks"),
-          round(avg(col("dsir")), 6).as("avg_dsir"),
+          // second integer-scaled average: dsir is a 6-dp decimal, so
+          // round(dsir * 1e6) recovers its exact integer in any engine
+          round(sum(round(col("dsir") * lit(1e6)).cast("long")) / lit(1e6)
+            / count(lit(1)), 6).as("avg_dsir"),
           min(col("doc_id")).as("min_doc"))
         .orderBy(col("split"), col("source"))
     }),
@@ -1719,12 +1736,14 @@ object Curation extends QueryModule {
                          CAST(count(*) AS DOUBLE) v FROM craw),
           ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) ntgt FROM ctgt),
           lam AS (SELECT craw.t,
-                    ln((coalesce(ct, 0) + 1.0) / (ntgt + v)) -
-                    ln((cr + 1.0) / (nraw + v)) AS lam
+                    CAST(round((ln((coalesce(ct, 0) + 1.0) / (ntgt + v)) -
+                                ln((cr + 1.0) / (nraw + v))) * 1000000.0)
+                         AS BIGINT) AS lam_i
                   FROM craw LEFT JOIN ctgt ON craw.t = ctgt.t
                   CROSS JOIN tot CROSS JOIN ttot),
           scored AS (SELECT doc_id, source, count(*) n_toks,
-                       round(avg(lam), 6) + 0.0 AS dsir
+                       round(CAST(sum(lam_i) AS DOUBLE) / 1000000.0
+                             / count(*), 6) + 0.0 AS dsir
                      FROM ktok JOIN lam ON ktok.t = lam.t GROUP BY 1, 2),
           sp AS (SELECT *,
                    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
@@ -1733,7 +1752,8 @@ object Curation extends QueryModule {
                  FROM scored)
           SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(n_toks) AS BIGINT) AS n_toks,
-            round(avg(dsir), 6) + 0.0 AS avg_dsir,
+            round(CAST(sum(CAST(round(dsir * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 / count(*), 6) + 0.0 AS avg_dsir,
             min(doc_id) AS min_doc
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
     "curation_pipeline_v3" ->
