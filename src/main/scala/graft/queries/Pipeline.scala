@@ -462,6 +462,48 @@ object Pipeline extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    // SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the embedding corpus with the IVF
+    // coarse quantizer, then compare pairs ONLY within each cluster
+    // and drop the higher id of every pair at cosine >= 0.99 (the
+    // split_cluster_safe argument proves no two survivors are
+    // near-dups). This is the SCALABLE form of embedding dedup: the
+    // pairwise stage is cluster-bounded quadratic, and at production
+    // scale nlist grows with the corpus so per-cluster sizes — and
+    // per-cluster pair work — stay constant. Near-identical vectors
+    // are planted exactly as in embed_neardup (scaled copies, cos ~1;
+    // the natural corpus maxes at cos ~0.51, so 0.99 separates
+    // cleanly); the centroids train on the UNION, which the oracle
+    // replays.
+    "semantic_dedup" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding"))
+      val all = emb.unionByName(pert)
+      val assigned = SimilaritySearch.assignClusters(all, "vec_id", "embedding",
+          nlist = 16)
+        .select(col("vec_id"), col("cluster_id"))
+      val av = all.join(assigned, "vec_id")
+      val dropped = av.as("a")
+        .join(av.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) >= 0.99)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1L))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(coalesce(col("is_dropped"), lit(0L))).cast("long").as("n_dropped"),
+          (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L))))
+            .cast("long").as("n_kept"),
+          min(when(col("is_dropped").isNull, col("vec_id"))).as("min_kept_vec"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Corpus mixture report: document and token mass per (source,
     // lang) cell, with each cell's share of the whole — the table a
     // data-mixing run reads before choosing per-source sampling rates.
@@ -1272,6 +1314,39 @@ object Pipeline extends QueryModule {
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT i, j, round(cos, 6) + 0.0 AS cos FROM p WHERE cos >= 0.99 ORDER BY i, j""",
+    "semantic_dedup" ->
+      s"""WITH u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+           FROM embeddings WHERE vec_id < 50
+         ), e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u),
+         ${lloydCentsSql(2)},
+         ac AS (
+           SELECT e.vec_id, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM ac)
+           WHERE rk = 1),
+         av AS (SELECT a.vec_id, a.cent_id, e.v
+                FROM assigned a JOIN e ON a.vec_id = e.vec_id),
+         dropped AS (
+           SELECT DISTINCT b.vec_id AS j
+           FROM av a JOIN av b
+             ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 >= 0.99)
+         SELECT cent_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(d.j) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.j) AS BIGINT) AS n_kept,
+           min(CASE WHEN d.j IS NULL THEN assigned.vec_id END) AS min_kept_vec
+         FROM assigned LEFT JOIN dropped d ON assigned.vec_id = d.j
+         GROUP BY 1 ORDER BY 1""",
     "media_frames" ->
       """WITH f AS (
            SELECT doc_id, k AS frame_idx,

@@ -227,4 +227,25 @@ class AnnSpec extends SparkSpecBase {
     assert(got.forall { case (p, id) => id == p - 50000 },
       "rk=1 from the grown store must be the planted twin")
   }
+
+  test("semantic_dedup drops exactly the planted twins, keeps every natural vector") {
+    // The registered query plants scaled copies (vec_id + 10000) of
+    // every vec_id < 50; within-cluster cosine >= 0.99 must drop each
+    // twin (higher id of its pair) and NOTHING else — the natural
+    // corpus maxes at cos ~0.51, so a single extra drop means the
+    // cluster-bounded pair stage leaked a false positive.
+    val out = SparkEntry.queries("semantic_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val totalVecs = out.map(_.getAs[Long]("n_vecs")).sum
+    val totalDropped = out.map(_.getAs[Long]("n_dropped")).sum
+    val nEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(totalVecs == nEmb + 50, s"union size $totalVecs")
+    assert(totalDropped == 50, s"dropped $totalDropped")
+    // every cluster keeps at least its smallest member, and the kept
+    // arithmetic reconciles
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_vecs") - r.getAs[Long]("n_dropped"))
+      assert(!r.isNullAt(r.fieldIndex("min_kept_vec")))
+    }
+  }
 }
