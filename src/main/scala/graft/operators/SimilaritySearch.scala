@@ -182,10 +182,43 @@ object SimilaritySearch {
                      nlist: Int = 16): DataFrame = {
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv"))
-      .select(col("_mid"), argmaxCent(col("_mv"), cents).as("_best"))
+    withBestCent(corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
+        "_mid", "_mv", cents)
       .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"),
         col("_best")("c").as("cent_cos"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster with the IVF coarse quantizer
+    * ([[assignClusters]]), compare pairs ONLY within each cluster, and
+    * mark the higher id of every pair at cosine >= `threshold` as
+    * dropped. Returns one row per input vector:
+    * (idCol, cluster_id, is_dropped).
+    *
+    * `nlist` is THE scale knob: the pair stage costs ~N²/nlist cosine
+    * evaluations (each cluster is (N/nlist)-sized), so growing nlist
+    * with the corpus keeps per-cluster populations — and per-vector
+    * pair work — constant. Measured at the 100× fixture (200k vectors,
+    * SemDedupScale tool): nlist=16 is quadratic-bound, raising nlist
+    * to match the corpus restores linearity (numbers in SCALING.md).
+    * Exact twins land in the same cluster at ANY nlist (identical
+    * direction ⇒ identical nearest centroid), so recall on true
+    * duplicates does not depend on the knob. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, threshold: Double = 0.99): DataFrame = {
+    val assigned = assignClusters(corpus, idCol, vecCol, nlist)
+      .select(col(idCol), col("cluster_id"))
+    val av = corpus.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val dropped = av.as("a")
+      .join(av.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
 
   /** Lloyd rounds the IVF codebook trains with by default. Two rounds
@@ -223,8 +256,8 @@ object SimilaritySearch {
       // only exchange is the partial-agg merge of nlist (1+d)-double
       // moment buffers. slice is 1-based, [] is 0-based:
       // _s = [n, s_0..s_{d-1}]
-      val sums = vecs
-        .select((-argmaxCent(col("_vv"), cents)("negid")).as("_cent_id"), col("_vv"))
+      val sums = withBestCent(vecs, "_vid", "_vv", cents)
+        .select((-col("_best")("negid")).as("_cent_id"), col("_vv"))
         .groupBy(col("_cent_id"))
         .agg(org.apache.spark.sql.graft.GramianFunctions
           .vecSumAgg(col("_vv"), d).as("_s"))
@@ -248,6 +281,46 @@ object SimilaritySearch {
     array_max(array(cents.map { case (cid, v) =>
       struct(round(cosine(vec, typedLit(v)), 6).as("c"), lit(-cid).as("negid"))
     }: _*))
+
+  /** Codebook size above which [[argmaxCent]]'s literal fold is the
+    * WRONG plan: its generated bytecode grows with nlist, and past the
+    * JVM's JIT method limit the stage executes as interpreted bytecode
+    * — measured at the 100x fixture (200k vectors, SemDedupScale):
+    * nlist=64 assignment took 238 s via the fold, while nlist=256 ran
+    * in seconds only because Spark's codegen gave up entirely (64 KB
+    * method cap) and fell back to interpreted EXPRESSIONS. The dead
+    * zone between "too big to JIT" and "big enough that codegen
+    * refuses" is exactly the fold at medium nlist. */
+  private[graft] val ArgmaxFoldMaxCentroids: Int = 32
+
+  /** Nearest-centroid assignment dispatched on codebook size: the
+    * literal fold below [[ArgmaxFoldMaxCentroids]], and above it the
+    * exploded formulation — one cosine per (vector, centroid) ROW
+    * against a broadcast centroid table (every expression stays small
+    * and JIT-hot), map-side-combined `max(struct)` per vector. Same
+    * contract either way: 6-dp rounded cosine, smallest cent_id wins
+    * ties. Returns (vidCol, vvCol, _best{c, negid}). */
+  private def withBestCent(vecs: DataFrame, vidCol: String, vvCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size <= ArgmaxFoldMaxCentroids)
+      vecs.select(col(vidCol), col(vvCol),
+        argmaxCent(col(vvCol), cents).as("_best"))
+    else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val centDf = broadcast(cents.toDF("_ccid", "_ccv"))
+      // vv rides the struct tail: (c, negid) is unique per row, so the
+      // max never compares it — it just travels with the winner.
+      vecs.crossJoin(centDf)
+        .select(col(vidCol),
+          struct(round(cosine(col(vvCol), col("_ccv")), 6).as("c"),
+            (-col("_ccid")).as("negid"), col(vvCol).as("vv")).as("_sbig"))
+        .groupBy(col(vidCol))
+        .agg(max(col("_sbig")).as("_sb"))
+        .select(col(vidCol), col("_sb")("vv").as(vvCol),
+          struct(col("_sb")("c").as("c"), col("_sb")("negid").as("negid"))
+            .as("_best"))
+    }
 
   /** Deterministic coarse-quantizer codebook: the nlist vectors with
     * the smallest md5(id) — an unbiased sample, stable across runs and

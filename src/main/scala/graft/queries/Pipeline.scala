@@ -476,31 +476,18 @@ object Pipeline extends QueryModule {
     // cleanly); the centroids train on the UNION, which the oracle
     // replays.
     "semantic_dedup" -> ((s, dir) => {
-      import graft.functions.VectorFunctions
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val pert = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding"))
-      val all = emb.unionByName(pert)
-      val assigned = SimilaritySearch.assignClusters(all, "vec_id", "embedding",
-          nlist = 16)
-        .select(col("vec_id"), col("cluster_id"))
-      val av = all.join(assigned, "vec_id")
-      val dropped = av.as("a")
-        .join(av.as("b"),
-          col("a.cluster_id") === col("b.cluster_id") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .filter(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) >= 0.99)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("is_dropped", lit(1L))
-      assigned.join(dropped, Seq("vec_id"), "left")
+      SimilaritySearch.semanticDedup(emb.unionByName(pert),
+          "vec_id", "embedding", nlist = 16, threshold = 0.99)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_vecs"),
-          sum(coalesce(col("is_dropped"), lit(0L))).cast("long").as("n_dropped"),
-          (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L))))
-            .cast("long").as("n_kept"),
-          min(when(col("is_dropped").isNull, col("vec_id"))).as("min_kept_vec"))
+          sum(when(col("is_dropped"), 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          sum(when(col("is_dropped"), 0L).otherwise(1L)).cast("long").as("n_kept"),
+          min(when(!col("is_dropped"), col("vec_id"))).as("min_kept_vec"))
         .orderBy(col("cluster_id"))
     }),
 

@@ -228,6 +228,54 @@ class AnnSpec extends SparkSpecBase {
       "rk=1 from the grown store must be the planted twin")
   }
 
+  test("wide-codebook assignment (nlist > 32) matches a brute-force argmax exactly") {
+    // nlist = 40 forces the exploded withBestCent path; the pin is an
+    // independent test-side recompute: for every vector, the max of
+    // (6-dp HALF_UP rounded cosine, -cent_id) over the trained
+    // centroids — the same contract the literal fold implements.
+    val df = clustered.cache()
+    val nlist = 40
+    val cents = SimilaritySearch.lloydCentroids(df, "vec_id", "embedding", nlist, 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = df.collect().map { r =>
+      val vid = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      val best = cents.map { case (cid, cv) => (round6(cos(v, cv)), -cid) }.max
+      vid -> ((-best._2, best._1))
+    }.toMap
+    val got = SimilaritySearch.assignClusters(df, "vec_id", "embedding", nlist)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (vid, e) =>
+      assert(got(vid) == e, s"vec $vid: got ${got(vid)} want $e")
+    }
+  }
+
+  test("semanticDedup finds exact twins at ANY nlist (the scale knob never costs recall on true dups)") {
+    val df = clustered.cache()
+    val twins = df.filter(col("vec_id") < 1100)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twins)
+    val expected = twins.collect().map(_.getLong(0)).toSet
+    Seq(2, 8, 32).foreach { nlist =>
+      val dropped = SimilaritySearch
+        .semanticDedup(corpus, "vec_id", "embedding", nlist, threshold = 0.999)
+        .filter(col("is_dropped"))
+        .collect().map(_.getLong(0)).toSet
+      // every exact twin drops (same direction => same cluster at any
+      // nlist, cos = 1); drops beyond the twins are allowed only if the
+      // synthetic clusters contain genuine >= 0.999 pairs — they don't.
+      assert(dropped == expected, s"nlist=$nlist: ${dropped.size} vs ${expected.size}")
+    }
+  }
+
   test("semantic_dedup drops exactly the planted twins, keeps every natural vector") {
     // The registered query plants scaled copies (vec_id + 10000) of
     // every vec_id < 50; within-cluster cosine >= 0.99 must drop each
