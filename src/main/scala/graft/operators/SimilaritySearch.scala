@@ -206,8 +206,21 @@ object SimilaritySearch {
     * duplicates does not depend on the knob. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int = 16, threshold: Double = 0.99): DataFrame = {
-    val assigned = assignClusters(corpus, idCol, vecCol, nlist)
-      .select(col(idCol), col("cluster_id"))
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
+  }
+
+  /** [[semanticDedup]]'s core against a GIVEN (frozen or just-trained)
+    * codebook: assignment via [[withBestCent]], pairwise cosine within
+    * each cluster, drop the higher id at cos >= threshold. */
+  private def semanticDedupWithCents(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
+    val assigned = withBestCent(
+        corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
+        "_mid", "_mv", cents)
+      .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
     val av = corpus.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
     val dropped = av.as("a")
       .join(av.as("b"),
@@ -215,6 +228,62 @@ object SimilaritySearch {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
       .select(col(s"b.$idCol").as(idCol)).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
+  /** Frozen semantic-dedup index: the trained centroid codebook plus
+    * the KEPT (deduplicated) corpus vectors labeled with their
+    * clusters — the signature-store contract for embeddings. Build
+    * once per corpus; increments then dedup against the store
+    * ([[semanticDedupAgainstIndex]]) without retraining centroids or
+    * rescanning anything but the matching clusters. */
+  case class SemanticIndex(cents: Seq[(Long, Seq[Double])], kept: DataFrame)
+
+  /** Train centroids on the corpus, drop its internal near-dups, and
+    * freeze (codebook, kept vectors) as the [[SemanticIndex]]. */
+  def buildSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 16, threshold: Double = 0.99): SemanticIndex = {
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val kept = semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
+      .filter(!col("is_dropped"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("cluster_id"), col(vecCol))
+    SemanticIndex(cents, kept)
+  }
+
+  /** Incremental semantic dedup against a FROZEN index: assign each
+    * increment vector with the stored centroids (never retrained — the
+    * encodePq discipline, so verdicts are stable as the store grows),
+    * then drop it if it matches a stored kept vector in its cluster at
+    * cos >= threshold, or a LOWER-id increment member (the batch drop
+    * rule applied intra-increment). Work is increment-sized: the
+    * stored vectors are touched only through the cluster-keyed join.
+    * Returns (idCol, cluster_id, is_dropped). */
+  def semanticDedupAgainstIndex(inc: DataFrame, idCol: String, vecCol: String,
+                                index: SemanticIndex,
+                                threshold: Double = 0.99): DataFrame = {
+    val assigned = withBestCent(
+        inc.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
+        "_mid", "_mv", index.cents)
+      .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
+    val av = inc.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val vsStore = av.as("a")
+      .join(index.kept.select(col("cluster_id"),
+          col(idCol).as("_sid"), col(vecCol).as("_sv")),
+        Seq("cluster_id"))
+      .filter(cosine(col(vecCol), col("_sv")) >= threshold)
+      .select(col(idCol))
+    val intra = av.as("a")
+      .join(av.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
+      .select(col(s"b.$idCol").as(idCol))
+    val dropped = vsStore.unionByName(intra).distinct()
       .withColumn("is_dropped", lit(true))
     assigned.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"),

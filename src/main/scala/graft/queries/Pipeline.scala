@@ -491,6 +491,40 @@ object Pipeline extends QueryModule {
         .orderBy(col("cluster_id"))
     }),
 
+    // Incremental semantic dedup — the signature-store contract for
+    // embeddings: build the frozen SemanticIndex from the corpus
+    // (centroids + kept vectors), then verdict an increment against
+    // it WITHOUT retraining (the encodePq discipline). Increment
+    // composition exercises every verdict class: 50 scaled twins of
+    // stored vectors (dup vs STORE), 30 reversed vectors (novel —
+    // random directions stay uncorrelated under coordinate reversal),
+    // and 10 reversed-scaled PAIRS (novel vs store, near-identical to
+    // each other AND to the matching reversed novel, so the
+    // intra-increment drop-higher-id rule fires in chains). The DuckDB
+    // oracle replays the corpus training, the store kept-set, the
+    // frozen assignment of the increment and both pair joins.
+    "semantic_dedup_store" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val index = SimilaritySearch.buildSemanticIndex(emb, "vec_id", "embedding",
+        nlist = 16, threshold = 0.99)
+      def scaled(src: org.apache.spark.sql.DataFrame, offset: Long, f: Double) =
+        src.select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(f)).cast("float")).as("embedding"))
+      val twins = scaled(emb.filter(col("vec_id") < 50), 10000L, 1.01)
+      val novel = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val revBase = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val inc = twins.unionByName(novel)
+        .unionByName(scaled(revBase, 40000L, 1.01))
+        .unionByName(scaled(revBase, 41000L, 1.02))
+      SimilaritySearch.semanticDedupAgainstIndex(inc, "vec_id", "embedding",
+          index, threshold = 0.99)
+        .orderBy(col("vec_id"))
+    }),
+
     // Corpus mixture report: document and token mass per (source,
     // lang) cell, with each cell's share of the whole — the table a
     // data-mixing run reads before choosing per-source sampling rates.
@@ -1334,6 +1368,70 @@ object Pipeline extends QueryModule {
            min(CASE WHEN d.j IS NULL THEN assigned.vec_id END) AS min_kept_vec
          FROM assigned LEFT JOIN dropped d ON assigned.vec_id = d.j
          GROUP BY 1 ORDER BY 1""",
+    "semantic_dedup_store" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
+          sca AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+              round(list_dot_product(e.v, c.cv) /
+                    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+            FROM e CROSS JOIN cents c),
+          scs AS (
+            SELECT vec_id, v, cent_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cent_id) rk FROM sca)
+            WHERE rk = 1),
+          scdrop AS (
+            SELECT DISTINCT b.vec_id AS j
+            FROM scs a JOIN scs b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.99),
+          skept AS (
+            SELECT vec_id, v, cent_id FROM scs
+            WHERE vec_id NOT IN (SELECT j FROM scdrop)),
+          siu AS (
+            SELECT vec_id + 10000 AS vec_id,
+              list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id < 50
+            UNION ALL
+            SELECT vec_id + 20000, list_reverse(embedding)
+            FROM embeddings WHERE vec_id < 30
+            UNION ALL
+            SELECT vec_id + 40000,
+              list_transform(list_reverse(embedding), x -> CAST(x * 1.01 AS FLOAT))
+            FROM embeddings WHERE vec_id < 10
+            UNION ALL
+            SELECT vec_id + 41000,
+              list_transform(list_reverse(embedding), x -> CAST(x * 1.02 AS FLOAT))
+            FROM embeddings WHERE vec_id < 10),
+          sie AS (SELECT vec_id, embedding::DOUBLE[] v FROM siu),
+          sia AS (
+            SELECT sie.vec_id, sie.v, c.cent_id,
+              round(list_dot_product(sie.v, c.cv) /
+                    (sqrt(list_dot_product(sie.v, sie.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+            FROM sie CROSS JOIN cents c),
+          sis AS (
+            SELECT vec_id, v, cent_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cent_id) rk FROM sia)
+            WHERE rk = 1),
+          sivstore AS (
+            SELECT DISTINCT i.vec_id
+            FROM sis i JOIN skept k ON i.cent_id = k.cent_id
+            WHERE list_dot_product(i.v, k.v) /
+                  (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(k.v, k.v)))
+                  >= 0.99),
+          siintra AS (
+            SELECT DISTINCT b.vec_id
+            FROM sis a JOIN sis b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.99)
+          SELECT vec_id, cent_id AS cluster_id,
+            (vec_id IN (SELECT vec_id FROM sivstore)
+             OR vec_id IN (SELECT vec_id FROM siintra)) AS is_dropped
+          FROM sis ORDER BY vec_id""",
     "media_frames" ->
       """WITH f AS (
            SELECT doc_id, k AS frame_idx,
