@@ -464,6 +464,35 @@ object StreamOps {
     * corpus once (the ann_ivf_pq store shape) and only the probe side
     * streams. StreamingSpec pins shard parity with the batch operator
     * run on the same probes. */
+  /** Streaming semantic dedup — the operational face of
+    * [[graft.operators.SimilaritySearch.semanticDedupAgainstIndex]]:
+    * each micro-batch of embedding rows is verdicted against the
+    * FROZEN index (stored centroids assign, stored kept vectors catch
+    * duplicates, intra-batch pairs drop the higher id) and the KEPT
+    * rows land as a batchId-keyed parquet shard, idempotently (a
+    * replayed batch overwrites its own shard). The curationSink
+    * discipline for embeddings: the index is built once from the
+    * static corpus and never retrained mid-stream, so verdicts are
+    * stable however the stream is chopped into batches. StreamingSpec
+    * pins kept-set parity with the batch operator run on the same
+    * increments. */
+  def semanticDedupSink(newVecs: DataFrame,
+                        index: graft.operators.SimilaritySearch.SemanticIndex,
+                        outDir: String, checkpointDir: String,
+                        idCol: String, vecCol: String,
+                        threshold: Double = 0.99) =
+    newVecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = graft.operators.SimilaritySearch
+          .semanticDedupAgainstIndex(batch, idCol, vecCol, index, threshold)
+        batch.join(verdicts.filter(!col("is_dropped"))
+            .select(col(idCol), col("cluster_id")), Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   def retrievalSink(probes: DataFrame, corpus: DataFrame, outDir: String,
                     checkpointDir: String, probeIdCol: String, idCol: String,
                     vecCol: String, k: Int = 3) =

@@ -703,4 +703,49 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.size == 9, s"3 probes x k=3 expected, got ${got.size}")
     } finally q.stop()
   }
+
+  test("semanticDedupSink verdicts each batch against the frozen index; shards equal the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 64L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val index = graft.operators.SimilaritySearch
+      .buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 4)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("semd-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semd-ck").toString
+    val q = StreamOps.semanticDedupSink(
+      ms.toDF().toDF("vec_id", "embedding"), index, out, ck,
+      "vec_id", "embedding")
+    try {
+      // batch 0: two exact copies of stored vectors (dropped vs store),
+      // two fresh directions (kept), one intra-batch twin pair (higher
+      // id dropped)
+      val fresh1 = vec(); val fresh2 = vec(); val pairV = vec()
+      val c0 = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val b0 = Seq(200L -> c0(3L), 201L -> c0(17L),
+        210L -> fresh1, 211L -> fresh2,
+        220L -> pairV, 221L -> pairV)
+      ms.addData(b0: _*)
+      q.processAllAvailable()
+      val kept0 = spark.read.parquet(s"$out/batch=0")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val want0 = graft.operators.SimilaritySearch
+        .semanticDedupAgainstIndex(b0.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", index)
+        .filter(!org.apache.spark.sql.functions.col("is_dropped"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept0 == want0, s"stream/batch mismatch: $kept0 vs $want0")
+      assert(kept0 == Set(210L, 211L, 220L), kept0.toString)
+      // batch 1: a copy of a batch-0 KEPT vector is NOT caught (the
+      // frozen index never grows mid-stream — the curationSink
+      // per-batch contract), but a copy of a stored vector still is
+      val b1 = Seq(300L -> fresh1, 301L -> c0(5L))
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$out/batch=1")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(300L), kept1.toString)
+    } finally q.stop()
+  }
 }
