@@ -139,11 +139,37 @@ object Dedup {
                    maxDocFreq: Long = 0L,
                    prefixGateDocs: Long = PrefixPathMinDocs,
                    autoGateDocs: Long = AutoCutoffMinDocs,
-                   strictExact: Boolean = false): DataFrame = {
+                   strictExact: Boolean = false): DataFrame =
+    nearDupPairsRouted(df, idCol, textCol, n, threshold, maxDocFreq,
+      prefixGateDocs, autoGateDocs, strictExact)._1
+
+  /** The plan [[nearDupPairs]] engaged, as a machine-readable tag. Only
+    * [[RouteLshReroute]] changes the output CONTRACT (exact → band
+    * recall: a true pair at J=s is missed with probability (1-s^4)^16,
+    * material near low thresholds); the other three are
+    * identical-output plan choices. */
+  val RoutePrefix = "prefix-exact"
+  val RouteExactCutoff = "exact-auto-cutoff"
+  val RouteExact = "exact"
+  val RouteLshReroute = "lsh-band-recall"
+
+  /** [[nearDupPairs]] with the routing decision SURFACED: returns
+    * (pairs, route tag). A stderr line is operator telemetry; the tag
+    * is the API — callers and composite pipelines that must distinguish
+    * exact output from band-recall output (e.g. to record dedup
+    * provenance in a data card, or to refuse band recall below a
+    * policy threshold) branch on it programmatically instead of
+    * parsing logs. Tags are the Route* constants above. */
+  def nearDupPairsRouted(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxDocFreq: Long = 0L,
+                         prefixGateDocs: Long = PrefixPathMinDocs,
+                         autoGateDocs: Long = AutoCutoffMinDocs,
+                         strictExact: Boolean = false): (DataFrame, String) = {
     val nDocs = df.count()
     if (nDocs >= prefixGateDocs && threshold >= PrefixPathMinThreshold)
-      nearDupPairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq,
-        autoGateDocs, docCount = nDocs)
+      (nearDupPairsPrefix(df, idCol, textCol, n, threshold, maxDocFreq,
+        autoGateDocs, docCount = nDocs), RoutePrefix)
     else if (!strictExact && nDocs >= autoGateDocs) {
       // Hoist the exact path's own analysis pass: one COUNT-ONLY df
       // histogram over the exploded shingles (linear, a fraction of
@@ -157,15 +183,16 @@ object Dedup {
         System.err.println(s"[graft-dedup] nearDupPairs: routing $nDocs docs " +
           s"at t=$threshold to MinHash-LSH + exact rerank (pass strictExact=true " +
           "to force the exact posting-list join)")
-        nearDupPairsMinhash(df, idCol, textCol, n, threshold = threshold)
+        (nearDupPairsMinhash(df, idCol, textCol, n, threshold = threshold),
+          RouteLshReroute)
       } else
         // analysis already ran: hand the engaged cutoff down and
         // disable the exact path's own pass
-        nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq = cutoff,
-          autoGateDocs = Long.MaxValue, docCount = nDocs)
+        (nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq = cutoff,
+          autoGateDocs = Long.MaxValue, docCount = nDocs), RouteExactCutoff)
     } else
-      nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq,
-        autoGateDocs, docCount = nDocs)
+      (nearDupPairsExact(df, idCol, textCol, n, threshold, maxDocFreq,
+        autoGateDocs, docCount = nDocs), RouteExact)
   }
 
   /** Resolve the cutoff a near-dup run actually applies: below the

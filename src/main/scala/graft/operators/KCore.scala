@@ -50,6 +50,16 @@ object KCore {
       nEdges = n
       iter += 1
     }
+    // A partially-peeled edge set is NOT a k-core (nodes of degree < k
+    // can remain), so an exhausted iteration budget must be loud, not a
+    // silently-wrong answer. Peel depth is a structural property (how
+    // far deletions cascade), so maxIter is a safety valve, never a
+    // tuning knob — a graph that hits it needs a bigger budget.
+    if (!converged && nEdges > 0)
+      throw new IllegalStateException(
+        s"kCore: peel did not converge within maxIter=$maxIter rounds " +
+          s"($nEdges edges still shrinking) — raise maxIter; a truncated " +
+          "peel is not a k-core")
     e.groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("core_deg"))
   }
 }

@@ -95,8 +95,12 @@ object Analytics extends QueryModule {
     // a crawl-graph curation pass runs. Converges in 2 peel rounds on
     // this graph (measured at sf0.01 AND sf0.1); the oracle unrolls 6
     // rounds (extra rounds past the fixpoint are no-ops, so the margin
-    // is free). See operators/KCore.scala for the per-round shape and
-    // the monotone-count convergence proof.
+    // is free). ORACLE BOUND: 6 unrolled rounds is a FIXTURE property,
+    // not an operator one — if the fixture (or a new SF) ever cascades
+    // deeper than 6 peels, the engines diverge silently; re-check peel
+    // depth (kCore now throws past maxIter, the oracle cannot) before
+    // trusting a changed fixture. See operators/KCore.scala for the
+    // per-round shape and the monotone-count convergence proof.
     "graph_kcore" -> ((s, dir) => {
       val p = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),

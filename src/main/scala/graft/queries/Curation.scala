@@ -901,7 +901,13 @@ object Curation extends QueryModule {
       val wts = LogisticRegression.fit(
         feat.select(col("x1"), col("x2"), col("y")), Seq("x1", "x2"), "y")
       val z = LogisticRegression.margin(wts, Seq("x1", "x2"))
-      val zbar = feat.agg((round(avg(z), 6) + lit(0.0)).as("zb")).head().getDouble(0)
+      // Integer-scaled averaging (the v2 discipline — see dsir above):
+      // per-row margins are identical IEEE op sequences in both
+      // engines, so anchoring each at 6 dp as an exact BIGINT and
+      // summing integers removes the summation-order last-ulp flicker
+      // `avg` over doubles carries near a .5e-6 rounding boundary.
+      val zbar = feat.agg((round(sum(round(z * lit(1e6)).cast("long")) / lit(1e6)
+        / count(lit(1)), 6) + lit(0.0)).as("zb")).head().getDouble(0)
       val gated = feat.filter(z >= lit(zbar)).withColumn("margin", z)
       val wf = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       val deduped = gated.withColumn("fp", md5(col("kept_text")))
@@ -914,7 +920,9 @@ object Curation extends QueryModule {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(size(col("toks"))).cast("long").as("n_toks"),
           sum(col("n_dropped")).cast("long").as("n_spans_dropped"),
-          (round(avg(col("margin")), 6) + lit(0.0)).as("avg_margin"))
+          // second integer-scaled average, same reasoning as zbar
+          (round(sum(round(col("margin") * lit(1e6)).cast("long")) / lit(1e6)
+            / count(lit(1)), 6) + lit(0.0)).as("avg_margin"))
         .orderBy(col("split"), col("lang"))
     }),
 
@@ -1793,7 +1801,7 @@ object Curation extends QueryModule {
             FROM v3f CROSS JOIN v3w2),
           v3w3 AS (SELECT v3w2.w1 - v3g3.d1 AS w1, v3w2.w2 - v3g3.d2 AS w2,
                           v3w2.b - v3g3.db AS b FROM v3w2 CROSS JOIN v3g3),
-          v3zb AS (SELECT round(avg(x1*w1 + x2*w2 + b), 6) + 0.0 AS zb
+          v3zb AS (SELECT round(sum(CAST(round((x1*w1 + x2*w2 + b) * 1e6) AS BIGINT)) / 1e6 / count(*), 6) + 0.0 AS zb
                    FROM v3f CROSS JOIN v3w3),
           v3gated AS (
             SELECT v3f.*, x1*w1 + x2*w2 + b AS margin
@@ -1810,7 +1818,7 @@ object Curation extends QueryModule {
           SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(ntoks) AS BIGINT) AS n_toks,
             CAST(sum(n_dropped) AS BIGINT) AS n_spans_dropped,
-            round(avg(margin), 6) + 0.0 AS avg_margin
+            round(sum(CAST(round(margin * 1e6) AS BIGINT)) / 1e6 / count(*), 6) + 0.0 AS avg_margin
           FROM v3sp GROUP BY 1, 2 ORDER BY 1, 2""",
     "pmi_bigrams" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -451,19 +451,6 @@ object StreamOps {
   def readAnomalies(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/flags")
 
-  /** Streaming retrieval sink — the online face of
-    * [[graft.operators.SimilaritySearch.topKCosineIvf]]: each
-    * micro-batch of probe vectors is ANN-searched against the STATIC
-    * corpus (probes broadcast, corpus scanned once per batch, never
-    * shuffled — cost scales with the batch) and the per-probe top-k
-    * lands as a batchId-keyed parquet shard, idempotently (a replayed
-    * batch overwrites its own shard). foreachBatch for the
-    * [[nearDupSink]] reason: the search needs batch-only operators and
-    * per-batch semantics ARE the meaning. The IVF index is rebuilt per
-    * batch here; a production deployment freezes the codebook and coded
-    * corpus once (the ann_ivf_pq store shape) and only the probe side
-    * streams. StreamingSpec pins shard parity with the batch operator
-    * run on the same probes. */
   /** Streaming semantic dedup — the operational face of
     * [[graft.operators.SimilaritySearch.semanticDedupAgainstIndex]]:
     * each micro-batch of embedding rows is verdicted against the
@@ -472,10 +459,19 @@ object StreamOps {
     * rows land as a batchId-keyed parquet shard, idempotently (a
     * replayed batch overwrites its own shard). The curationSink
     * discipline for embeddings: the index is built once from the
-    * static corpus and never retrained mid-stream, so verdicts are
-    * stable however the stream is chopped into batches. StreamingSpec
-    * pins kept-set parity with the batch operator run on the same
-    * increments. */
+    * static corpus and never retrained mid-stream.
+    *
+    * Batching contract, precisely: STORE-vs-row verdicts are
+    * batching-invariant (the frozen index never changes), and so is
+    * the drop-higher-id rule WITHIN one micro-batch — but a near-dup
+    * pair among NEW rows that lands in two different micro-batches is
+    * kept TWICE, because the comparison set never grows with prior
+    * batches' keepers (StreamingSpec's batch-1 case demonstrates
+    * exactly this). Kept-set parity with the batch operator therefore
+    * holds per micro-batch, not across the whole stream; a stream that
+    * must also catch cross-batch duplicates periodically re-dedups the
+    * landed shards (or rebuilds the index from them — see the
+    * signature-store compaction discipline, Dedup.compactSignatureStore). */
   def semanticDedupSink(newVecs: DataFrame,
                         index: graft.operators.SimilaritySearch.SemanticIndex,
                         outDir: String, checkpointDir: String,
@@ -493,6 +489,19 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming retrieval sink — the online face of
+    * [[graft.operators.SimilaritySearch.topKCosineIvf]]: each
+    * micro-batch of probe vectors is ANN-searched against the STATIC
+    * corpus (probes broadcast, corpus scanned once per batch, never
+    * shuffled — cost scales with the batch) and the per-probe top-k
+    * lands as a batchId-keyed parquet shard, idempotently (a replayed
+    * batch overwrites its own shard). foreachBatch for the
+    * [[nearDupSink]] reason: the search needs batch-only operators and
+    * per-batch semantics ARE the meaning. The IVF index is rebuilt per
+    * batch here; a production deployment freezes the codebook and coded
+    * corpus once (the ann_ivf_pq store shape) and only the probe side
+    * streams. StreamingSpec pins shard parity with the batch operator
+    * run on the same probes. */
   def retrievalSink(probes: DataFrame, corpus: DataFrame, outDir: String,
                     checkpointDir: String, probeIdCol: String, idCol: String,
                     vecCol: String, k: Int = 3) =

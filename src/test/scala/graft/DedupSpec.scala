@@ -227,6 +227,28 @@ class DedupSpec extends SparkSpecBase {
     assert(viaExact.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("nearDupPairsRouted surfaces the engaged plan as a machine-readable tag") {
+    // All four tiers, on the same fixtures the dispatch tests above
+    // use; only the LSH tag marks a CONTRACT change (band recall).
+    assert(Dedup.nearDupPairsRouted(corpus, "doc_id", "text")._2 == Dedup.RouteExact)
+    assert(Dedup.nearDupPairsRouted(corpus, "doc_id", "text", threshold = 0.7,
+      prefixGateDocs = 1L)._2 == Dedup.RoutePrefix)
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val degenerate = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    assert(Dedup.nearDupPairsRouted(degenerate, "doc_id", "text",
+      autoGateDocs = 1L)._2 == Dedup.RouteLshReroute)
+    assert(Dedup.nearDupPairsRouted(degenerate, "doc_id", "text",
+      autoGateDocs = 1L, strictExact = true)._2 == Dedup.RouteExact)
+    val boiler = "this document is provided under the standard public license agreement of the corporation"
+    val rare = (1 to 30).map(i => s"rareword$i").mkString(" ")
+    val sep = ((1 to 58).map(i =>
+        (i.toLong, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d")) ++
+      Seq((100L, s"$boiler $rare edit one"), (101L, s"$boiler $rare edit two")))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupPairsRouted(sep, "doc_id", "text", threshold = 0.4,
+      autoGateDocs = 1L)._2 == Dedup.RouteExactCutoff)
+  }
+
   test("incremental dedup matches the increment against the corpus, never corpus x corpus") {
     val increment = Seq(
       (101L, "the quick brown fox jumps over the lazy dog and runs far away home again"), // ~= 1
