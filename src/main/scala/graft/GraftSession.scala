@@ -8,9 +8,17 @@ import org.apache.spark.sql.SparkSession
   *
   *  - AQE + skew-join splitting stay explicitly on (runtime re-plans,
   *    post-shuffle coalescing, skewed-partition splitting);
-  *  - shuffle partitions are a parameter: ~2-3x the executor-core count
-  *    at cluster scale so AQE can coalesce down, never the 200 default
-  *    on a laptop;
+  *  - shuffle-partition sizing is AUTOMATIC in both directions: every
+  *    shuffle STARTS at `initialPartitionNum` (16x the configured
+  *    floor, min 512) and AQE coalesces down to the runtime data size
+  *    — so a 100x input gets 100x-appropriate reduce parallelism with
+  *    NO env knob, and a laptop-scale input coalesces back to
+  *    core-count partitions. This replaced the manual
+  *    SPARK_GRAFT_SHUFFLE_PARTITIONS escalation the round-11 100x
+  *    sweep needed for sql_q5-class queries (8.4x super-linear at 32
+  *    fixed partitions, linear at 128): the knob now turns itself.
+  *    `shufflePartitions` stays the non-AQE fallback (streaming,
+  *    plans AQE cannot touch);
   *  - 128 MiB file split size keeps scan tasks balanced;
   *  - UTC session time zone (cross-engine timestamp determinism);
   *  - nanos-as-long parquet handling for TIMESTAMP(NANOS) inputs;
@@ -24,6 +32,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(16 * shufflePartitions, 512))
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

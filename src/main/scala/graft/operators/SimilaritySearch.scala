@@ -188,6 +188,57 @@ object SimilaritySearch {
         col("_best")("c").as("cent_cos"))
   }
 
+  /** Sentinel `nlist`: derive the knob from a corpus count
+    * ([[deriveNlist]]) instead of taking it on faith — the semantic
+    * family's front-door dispatch, mirroring the text-dedup family's
+    * count-only cutoff analysis (Dedup.nearDupPairs). */
+  val AutoNlist: Int = 0
+
+  /** Target per-cluster population [[deriveNlist]] aims for. The pair
+    * stage costs ~N·(N/nlist) cosines, so a fixed cluster size makes
+    * per-VECTOR pair work constant as the corpus grows. 1024 puts the
+    * 100× fixture (200k vectors) at nlist=256 — the measured flat
+    * region of the SCALING.md nlist table (15.7 s where nlist=16
+    * ground 184 s pair-bound and nlist=1024 paid 47.9 s of
+    * assignment). */
+  val TargetClusterSize: Long = 1024L
+
+  /** Bound on the derived codebook: 4096 centroids × d doubles is the
+    * largest broadcast table the one-level quantizer should carry
+    * (past it, assignment cost N·nlist dominates — the next tier is a
+    * hierarchical coarse quantizer, not a bigger flat one). */
+  val MaxAutoNlist: Int = 4096
+
+  /** The data-driven nlist: ≈ max(16, N / [[TargetClusterSize]]),
+    * snapped UP to a power of two. Powers of two keep the knob coarse
+    * and predictable across nearby corpus sizes, and every snapped
+    * value lands on a measured [[withBestCent]] regime: ≤ 32 runs the
+    * JIT-hot literal fold, > 32 the exploded broadcast-join
+    * formulation (the dispatch that closed the nlist=64 JIT dead
+    * zone — see [[ArgmaxFoldMaxCentroids]]). */
+  def deriveNlist(n: Long,
+                  targetClusterSize: Long = TargetClusterSize): Int = {
+    require(targetClusterSize > 0, "deriveNlist: targetClusterSize must be > 0")
+    val raw = math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
+    var p = 16L
+    while (p < raw && p < MaxAutoNlist) p *= 2
+    p.toInt
+  }
+
+  /** Resolve a caller's nlist: explicit values pass through untouched
+    * (the oracle-pinned queries stay bit-stable); [[AutoNlist]] runs
+    * ONE count pass and derives the knob, reporting the decision on
+    * stderr like the text-dedup front door. */
+  private def resolveNlist(corpus: DataFrame, nlist: Int, tag: String): Int =
+    if (nlist != AutoNlist) nlist
+    else {
+      val n = corpus.count()
+      val derived = deriveNlist(n)
+      System.err.println(s"[graft-ann] $tag: auto nlist=$derived for $n vectors " +
+        s"(~${n / math.max(derived, 1)} per cluster)")
+      derived
+    }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster with the IVF coarse quantizer
     * ([[assignClusters]]), compare pairs ONLY within each cluster, and
@@ -198,15 +249,20 @@ object SimilaritySearch {
     * `nlist` is THE scale knob: the pair stage costs ~N²/nlist cosine
     * evaluations (each cluster is (N/nlist)-sized), so growing nlist
     * with the corpus keeps per-cluster populations — and per-vector
-    * pair work — constant. Measured at the 100× fixture (200k vectors,
-    * SemDedupScale tool): nlist=16 is quadratic-bound, raising nlist
-    * to match the corpus restores linearity (numbers in SCALING.md).
+    * pair work — constant. The default is the [[AutoNlist]] front
+    * door: one count pass derives nlist ≈ N/[[TargetClusterSize]]
+    * ([[deriveNlist]]) so the knob turns itself — measured at the
+    * 100× fixture (200k vectors, SemDedupScale tool): the derived
+    * nlist=256 runs in the flat region where a fixed nlist=16 ground
+    * 184 s pair-bound (SCALING.md table). Callers that must pin the
+    * codebook (the oracle-replayed queries) pass nlist explicitly.
     * Exact twins land in the same cluster at ANY nlist (identical
     * direction ⇒ identical nearest centroid), so recall on true
     * duplicates does not depend on the knob. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int = 16, threshold: Double = 0.99): DataFrame = {
-    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+                    nlist: Int = AutoNlist, threshold: Double = 0.99): DataFrame = {
+    val eff = resolveNlist(corpus, nlist, "semanticDedup")
+    val cents = lloydCentroids(corpus, idCol, vecCol, eff, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
   }
@@ -240,19 +296,32 @@ object SimilaritySearch {
     * once per corpus; increments then dedup against the store
     * ([[semanticDedupAgainstIndex]]) without retraining centroids or
     * rescanning anything but the matching clusters. */
-  case class SemanticIndex(cents: Seq[(Long, Seq[Double])], kept: DataFrame)
+  case class SemanticIndex(cents: Seq[(Long, Seq[Double])], kept: DataFrame,
+                           builtN: Long = -1L)
 
   /** Train centroids on the corpus, drop its internal near-dups, and
-    * freeze (codebook, kept vectors) as the [[SemanticIndex]]. */
+    * freeze (codebook, kept vectors) as the [[SemanticIndex]]. The
+    * default nlist is the [[AutoNlist]] front door, so a store frozen
+    * from a 100× corpus gets a 100×-appropriate codebook without
+    * anyone remembering to turn the knob; `builtN` records the corpus
+    * size the codebook was trained at, the staleness denominator
+    * downstream consumers (semanticDedupSink) check against. */
   def buildSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                         nlist: Int = 16, threshold: Double = 0.99): SemanticIndex = {
-    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+                         nlist: Int = AutoNlist, threshold: Double = 0.99): SemanticIndex = {
+    val n = corpus.count()
+    val eff = if (nlist != AutoNlist) nlist else {
+      val derived = deriveNlist(n)
+      System.err.println(s"[graft-ann] buildSemanticIndex: auto nlist=$derived " +
+        s"for $n vectors (~${n / math.max(derived, 1)} per cluster)")
+      derived
+    }
+    val cents = lloydCentroids(corpus, idCol, vecCol, eff, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val kept = semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
       .filter(!col("is_dropped"))
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col("cluster_id"), col(vecCol))
-    SemanticIndex(cents, kept)
+    SemanticIndex(cents, kept, builtN = n)
   }
 
   /** Incremental semantic dedup against a FROZEN index: assign each

@@ -22,17 +22,10 @@ object Analytics extends QueryModule {
     * both directions) the pagerank query runs over — exposed so the
     * plan guards can drive PageRank's distributed path on the same
     * input (the registered query takes the local endgame at fixture
-    * scale). */
-  def pagerankEdges(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val pairs = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("a"),
-        concat(lit("c"), col("o_custkey")).as("b"))
-      .distinct()
-    pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-  }
+    * scale). Delegates to [[TradeGraph]], so the expensive pair
+    * extraction is shared (and persisted) across the graph family. */
+  def pagerankEdges(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    TradeGraph.edges(s, dir)
 
   val queries: Map[String, Q] = Map(
 
@@ -101,34 +94,20 @@ object Analytics extends QueryModule {
     // depth (kCore now throws past maxIter, the oracle cannot) before
     // trusting a changed fixture. See operators/KCore.scala for the
     // per-round shape and the monotone-count convergence proof.
-    "graph_kcore" -> ((s, dir) => {
-      val p = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
-        .distinct()
-      val edges = p.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      graft.operators.KCore.kCore(edges, "src", "dst", k = 40)
-        .orderBy(col("node"))
-    }),
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.KCore.kCore(TradeGraph.edges(s, dir), "src", "dst", k = 40)
+        .orderBy(col("node"))),
 
     // Degree distribution of the same trade graph: the first diagnostic
     // run on any production graph (hubs, dangling mass, skew — the
     // numbers that decide salting and partitioning strategy before an
     // iterative algorithm runs). Two keyed aggregations, no iteration.
-    "graph_degrees" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
-        .distinct()
-      pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    "graph_degrees" -> ((s, dir) =>
+      TradeGraph.pairs(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("deg"))
-    }),
+        .orderBy(col("deg"))),
 
     // Merged-interval activity coverage: each event claims 15 minutes;
     // overlaps collapse via the sweep-line window (one shuffle on

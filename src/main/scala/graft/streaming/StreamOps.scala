@@ -471,12 +471,26 @@ object StreamOps {
     * holds per micro-batch, not across the whole stream; a stream that
     * must also catch cross-batch duplicates periodically re-dedups the
     * landed shards (or rebuilds the index from them — see the
-    * signature-store compaction discipline, Dedup.compactSignatureStore). */
+    * signature-store compaction discipline, Dedup.compactSignatureStore).
+    *
+    * RETRAIN CADENCE: the frozen codebook was sized for the corpus it
+    * trained on (index.builtN vectors — the auto-nlist derivation in
+    * buildSemanticIndex). As streamed rows accumulate, per-cluster
+    * populations grow and per-batch pair work degrades ∝ what has
+    * landed — silently, because verdicts stay VALID, just slower and
+    * coarser. The sink therefore counts what it lands and logs a loud
+    * staleness warning once cumulative new rows exceed builtN (the
+    * corpus has doubled): rebuild the index from store + shards (one
+    * buildSemanticIndex over the union — the compactSignatureStore
+    * discipline) and restart the sink on the fresh index. */
   def semanticDedupSink(newVecs: DataFrame,
                         index: graft.operators.SimilaritySearch.SemanticIndex,
                         outDir: String, checkpointDir: String,
                         idCol: String, vecCol: String,
-                        threshold: Double = 0.99) =
+                        threshold: Double = 0.99) = {
+    // driver-side running total; foreachBatch bodies run on the driver
+    val landed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
     newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -486,8 +500,16 @@ object StreamOps {
         batch.join(verdicts.filter(!col("is_dropped"))
             .select(col(idCol), col("cluster_id")), Seq(idCol))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val total = landed.addAndGet(batch.count())
+        if (index.builtN > 0 && total > index.builtN &&
+            warned.compareAndSet(false, true))
+          System.err.println(s"[graft-stream] semanticDedupSink: $total rows " +
+            s"streamed past an index built at ${index.builtN} — the corpus has " +
+            "doubled; rebuild the SemanticIndex from store + landed shards and " +
+            "restart the sink (codebook is stale, per-cluster pair work is growing)")
       }
       .start()
+  }
 
   /** Streaming retrieval sink — the online face of
     * [[graft.operators.SimilaritySearch.topKCosineIvf]]: each

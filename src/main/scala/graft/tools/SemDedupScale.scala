@@ -9,6 +9,8 @@ import graft.operators.SimilaritySearch
   * near-proportionally in wall time while the drop verdicts for true
   * twins stay identical (identical direction ⇒ same cluster at any
   * nlist). Usage: runMain graft.tools.SemDedupScale <sfDir> <nlist>...
+  * where an nlist of `auto` exercises the AutoNlist front door
+  * (deriveNlist from the corpus count).
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
@@ -19,7 +21,10 @@ object SemDedupScale {
     val emb = spark.read.parquet(s"${args.head}/embeddings.parquet")
       .select("vec_id", "embedding")
     val n = emb.count()
-    args.tail.map(_.toInt).foreach { nlist =>
+    args.tail.map {
+      case "auto" => SimilaritySearch.deriveNlist(n)
+      case x => x.toInt
+    }.foreach { nlist =>
       import org.apache.spark.sql.functions.{col, desc}
       // stage A: centroid training + assignment alone
       val ta = System.nanoTime()

@@ -276,6 +276,44 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("deriveNlist: 16 floor, power-of-two snap at the target cluster size, 4096 cap") {
+    import SimilaritySearch.{deriveNlist, TargetClusterSize, MaxAutoNlist}
+    assert(deriveNlist(0L) == 16)
+    assert(deriveNlist(1000L) == 16)
+    assert(deriveNlist(16L * TargetClusterSize) == 16)       // exactly at the floor
+    assert(deriveNlist(16L * TargetClusterSize + 1) == 32)   // one past it snaps up
+    assert(deriveNlist(200000L) == 256)  // the 100x fixture: the measured
+                                         // flat region of the SCALING.md table
+    assert(deriveNlist(100L * TargetClusterSize * MaxAutoNlist) == MaxAutoNlist)
+    // every derivable value lands on a measured withBestCent regime
+    // (fold <= 32, exploded above) — never inside the JIT dead zone the
+    // fold had at 64 before the dispatch
+    Seq(1L, 50000L, 200000L, 10000000L).foreach { n =>
+      val d = deriveNlist(n)
+      assert((d & (d - 1)) == 0 && d >= 16 && d <= MaxAutoNlist, s"n=$n -> $d")
+    }
+  }
+
+  test("auto nlist == explicit nlist at the derived value (the front door changes no output)") {
+    val df = clustered.cache()
+    val twins = df.filter(col("vec_id") < 1100)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twins)
+    val derived = SimilaritySearch.deriveNlist(corpus.count())
+    def rows(nlist: Int) = SimilaritySearch
+      .semanticDedup(corpus, "vec_id", "embedding", nlist, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows(SimilaritySearch.AutoNlist) == rows(derived))
+    // and the index builder freezes the same derivation plus the
+    // corpus size it trained at (the staleness denominator)
+    val idx = SimilaritySearch.buildSemanticIndex(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+    val idxExplicit = SimilaritySearch.buildSemanticIndex(corpus, "vec_id",
+      "embedding", nlist = derived, threshold = 0.999)
+    assert(idx.cents == idxExplicit.cents)
+    assert(idx.builtN == corpus.count())
+  }
+
   test("semantic_dedup drops exactly the planted twins, keeps every natural vector") {
     // The registered query plants scaled copies (vec_id + 10000) of
     // every vec_id < 50; within-cluster cosine >= 0.99 must drop each

@@ -1,20 +1,51 @@
 #!/usr/bin/env python3
-"""Compare two Bench JSON lines (files containing the {"metric":...} line)
-and print per-query deltas, worst regressions first.
+"""Compare two Bench JSON files and print per-query deltas, worst
+regressions first.
+
+When BOTH files carry calibration probes (BENCH_FULL.json shape, round
+11+), deltas are also CONTEXT-CORRECTED: each run's cpu and shuffle
+probe medians measure how fast this machine ran constant synthetic work
+during that bench, so dividing a query's new time by the matching probe
+ratio (cpu probe for cpu-bound queries, shuffle probe for
+shuffle-heavy ones, classified by the run's own shuffle-write counter)
+removes run-context drift (page cache, CPU contention, thermal state)
+before flagging a regression. Raw deltas stay in the table — the
+corrected column is for deciding "code or weather", the raw one for
+"what will the next round's total look like".
 
 Usage: bench_diff.py OLD_FILE NEW_FILE [threshold_pct]
 """
 import json
+import math
 import re
 import sys
 
+# a query whose bench run shuffled more than this many bytes is
+# normalized by the shuffle probe; below it, by the cpu probe
+SHUFFLE_HEAVY_BYTES = 5_000_000
+
 
 def load(path: str) -> dict:
-    with open(path) as f:
-        m = re.search(r'\{"metric".*\}', f.read())
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if "queries" in d:
+            return d
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*\}', text)
     if not m:
         raise SystemExit(f"no bench JSON line in {path}")
     return json.loads(m.group(0))
+
+
+def probe_median(probes: dict, kind: str) -> float:
+    # geometric mean of the first and last probe: the run warms as it
+    # goes (r11 measured cpu 0.514 -> 0.324), so a single end is biased
+    a, b = probes.get(f"{kind}_first"), probes.get(f"{kind}_last")
+    if not a or not b or a <= 0 or b <= 0:
+        return 0.0
+    return math.sqrt(a * b)
 
 
 def main(old_path: str, new_path: str, threshold: float = 20.0) -> None:
@@ -22,19 +53,57 @@ def main(old_path: str, new_path: str, threshold: float = 20.0) -> None:
     oq, nq = old["queries"], new["queries"]
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(oq)} -> {len(nq)} queries)")
+
+    # probe ratios: factor > 1 means the NEW run's machine context was
+    # slower for that work class, so new times are deflated by it
+    factors = {}
+    op, np_ = old.get("probes"), new.get("probes")
+    if op and np_:
+        for kind in ("cpu", "shuffle"):
+            o, n = probe_median(op, kind), probe_median(np_, kind)
+            if o > 0 and n > 0:
+                factors[kind] = n / o
+        if factors:
+            print("probe context (new/old): " + ", ".join(
+                f"{k}={v:.3f}" for k, v in sorted(factors.items())))
+
+    # classify by the new run's shuffle-write bytes (fall back to old's)
+    resource = new.get("resource") or old.get("resource") or {}
+
+    def cls(name: str) -> str:
+        row = resource.get(name)
+        return "shuffle" if row and row[2] >= SHUFFLE_HEAVY_BYTES else "cpu"
+
     rows = []
+    corr_total_old = corr_total_new = 0.0
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
         if a is None:
             rows.append((float("inf"), f"  NEW   {name:26s}        -> {b:6.2f}s"))
-        elif b is None:
+            continue
+        if b is None:
             rows.append((-float("inf"), f"  GONE  {name:26s} {a:6.2f} ->"))
-        elif a > 0:
-            pct = 100.0 * (b - a) / a
-            if abs(pct) >= threshold:
-                tag = "SLOWER" if pct > 0 else "faster"
-                rows.append((-pct if pct < 0 else pct + 1000 if pct > 0 else 0,
-                             f"  {tag} {name:26s} {a:6.2f} -> {b:6.2f}s ({pct:+.0f}%)"))
+            continue
+        if a <= 0:
+            continue
+        pct = 100.0 * (b - a) / a
+        f = factors.get(cls(name), 1.0)
+        bc = b / f
+        cpct = 100.0 * (bc - a) / a
+        corr_total_old += a
+        corr_total_new += bc
+        # flag on the CORRECTED delta when probes exist, raw otherwise
+        flag = cpct if factors else pct
+        if abs(flag) >= threshold:
+            tag = "SLOWER" if flag > 0 else "faster"
+            corr = (f" corrected {cpct:+.0f}% [{cls(name)}]" if factors else "")
+            rows.append((flag + 1000 if flag > 0 else -flag,
+                         f"  {tag} {name:26s} {a:6.2f} -> {b:6.2f}s "
+                         f"({pct:+.0f}%{corr})"))
+    if factors and corr_total_old > 0:
+        print(f"context-corrected total: {corr_total_old:.1f}s -> "
+              f"{corr_total_new:.1f}s "
+              f"({100.0 * (corr_total_new - corr_total_old) / corr_total_old:+.1f}%)")
     for _, line in sorted(rows, key=lambda r: -r[0]):
         print(line)
 
