@@ -171,6 +171,79 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
   }
 
+  /** Recall-targeted nprobe autotuning — the accept/reject knob a
+    * pipeline turns before trusting an IVF index: the smallest nprobe
+    * on the doubling ladder 1, 2, 4, ..., nlist whose MEAN recall@k
+    * against the exact brute-force top-k reaches `targetRecall` on the
+    * probe set. Returns (nprobe, the mean recall it achieved).
+    *
+    * Binary search is sound because recall@k is monotone
+    * non-decreasing in nprobe: a larger nprobe searches a superset of
+    * lists, and in the candidate-superset top-k a true top-k member
+    * can only be displaced by something ranking ABOVE it in the
+    * (rounded cos, id) order — which would itself be a true top-k
+    * member. The ladder search therefore returns exactly the value a
+    * linear scan would, in ~log2(nlist) evaluations; at nprobe=nlist
+    * every list is searched and recall is 1.0, so the search always
+    * terminates with the target met or the full scan reached.
+    *
+    * Cost shape: centroids train once, the corpus assigns once (the
+    * assigned frame and the exact arm are persisted and reused by
+    * every ladder evaluation); each evaluation re-ranks only the
+    * candidate lists of a SAMPLE-sized probe set — production tunes on
+    * a held-out probe sample, never the query stream. */
+  def autoNprobe(probes: DataFrame, probeIdCol: String,
+                 corpus: DataFrame, idCol: String, vecCol: String,
+                 k: Int, nlist: Int = 16,
+                 targetRecall: Double = 0.9): (Int, Double) = {
+    import org.apache.spark.storage.StorageLevel
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+    val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
+      .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pb = probes.select(col(probeIdCol).as("_pid0"), col(vecCol).as("_pv0"))
+    // exact arm: brute-force top-k per probe (the ann_eval exact arm —
+    // one corpus scan against broadcast probes, never shuffled)
+    val we = Window.partitionBy(col("_pid")).orderBy(col("_ecos").desc, col("_cid"))
+    val exact = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_ev"))
+      .crossJoin(broadcast(pb))
+      .filter(col("_cid") =!= col("_pid0"))
+      .select(col("_pid0").as("_pid"), col("_cid"),
+        round(cosine(col("_ev"), col("_pv0")), 6).as("_ecos"))
+      .withColumn("_erk", row_number().over(we))
+      .filter(col("_erk") <= k)
+      .select(col("_pid"), col("_cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nProbes = pb.count()
+    require(nProbes > 0, "autoNprobe: empty probe set")
+    def recallAt(p: Int): Double = {
+      val probeLists = bestLists(pb, cents, "_pid0", "_pv0", p)
+        .select(col("_mid").as("_pid"), col("_mv").as("_pv"), col("_list"))
+      val wi = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
+      val ivf = assigned.join(broadcast(probeLists), "_list")
+        .filter(col("_pid") =!= col("_cid"))
+        .select(col("_pid"), col("_cid"),
+          round(cosine(col("_cv"), col("_pv")), 6).as("_icos"))
+        .withColumn("_irk", row_number().over(wi))
+        .filter(col("_irk") <= k)
+        .select(col("_pid"), col("_cid"))
+      val hits = exact.join(ivf, Seq("_pid", "_cid"), "left_semi").count()
+      hits.toDouble / (k * nProbes)
+    }
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toVector :+ nlist)
+    // leftmost ladder value whose recall reaches the target
+    val memo = scala.collection.mutable.Map.empty[Int, Double]
+    def rec(i: Int): Double = memo.getOrElseUpdate(ladder(i), recallAt(ladder(i)))
+    var (lo, hi) = (0, ladder.size - 1)
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (rec(mid) >= targetRecall) hi = mid else lo = mid + 1
+    }
+    val res = (ladder(lo), rec(lo))
+    assigned.unpersist(); exact.unpersist()
+    res
+  }
+
   /** The deterministic IVF coarse quantizer on its own: every vector
     * labeled with its nearest k-means centroid (hash-seeded codebook
     * refined by [[LloydIters]] Lloyd rounds) — flat clustering for

@@ -446,6 +446,47 @@ object Pipeline extends QueryModule {
         .orderBy(col("probe_id"))
     }),
 
+    // Recall-TARGETED retrieval eval: ann_eval reports what the index
+    // does at a fixed nprobe; this query closes the loop — autoNprobe
+    // binary-searches the doubling ladder 1,2,4,8,16 for the smallest
+    // nprobe whose MEAN recall@10 against the exact top-10 reaches 0.9
+    // (monotone in nprobe, so the ladder search equals a linear scan),
+    // then reports the per-probe recall AT the tuned setting plus the
+    // tuned knob itself and a target_met bound-boolean. The DuckDB
+    // oracle replays the whole tuning: recall at EVERY ladder value,
+    // min value reaching the target, per-probe stats at that value.
+    "ann_eval_tuned" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val (np, rec) = SimilaritySearch.autoNprobe(probes, "probe_id",
+        emb, "vec_id", "embedding", k = 10, nlist = 16, targetRecall = 0.9)
+      val ivf = SimilaritySearch.topKCosineIvf(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = np)
+        .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
+      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(pb))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("erk", row_number().over(w))
+        .filter(col("erk") <= 10)
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(
+          sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          (sum(when(col("ark").isNotNull, 1L).otherwise(0L)).cast("double") /
+            lit(10.0)).as("recall_at_10"))
+        .withColumn("nprobe", lit(np.toLong))
+        .withColumn("mean_recall", lit(rec) + lit(0.0))
+        .withColumn("target_met", lit(rec >= 0.9))
+        .orderBy(col("probe_id"))
+    }),
+
     // Embedding-cosine near-dup pairs via bucketed sign-LSH + exact
     // rerank. The corpus has no natural near-identical vectors (max
     // pairwise cos ~0.51), so the query plants them deterministically: a
@@ -1634,6 +1675,72 @@ object Pipeline extends QueryModule {
            coalesce(max(CASE WHEN erk = 1 THEN 1.0 / ark END), 0.0) AS mrr,
            round(coalesce(sum(disc[ark]), 0.0) / ${Idcg10}, 6) + 0.0 AS ndcg_at_10
          FROM j CROSS JOIN d GROUP BY probe_id ORDER BY probe_id""",
+    // Replays the FULL autotune: candidate lists keep their probe-side
+    // rank (prk), so "searched at nprobe=p" is just prk <= p; recall
+    // is computed at every ladder value, the tuned value is the
+    // smallest reaching 0.9 (== the monotone binary search), and the
+    // per-probe stats are emitted at that value.
+    "ann_eval_tuned" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+          ${lloydCentsSql(2)},
+         ac AS (
+           SELECT e.vec_id, e.v, c.cent_id,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+           FROM e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, v, cent_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk FROM ac)
+           WHERE rk = 1),
+         plall AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id, rk AS prk FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk
+             FROM ac WHERE vec_id < 5)),
+         cand AS (
+           SELECT p.probe_id, p.prk, a.vec_id,
+             round(list_dot_product(a.v, p.pv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) cos
+           FROM plall p JOIN assigned a ON p.cent_id = a.cent_id
+           WHERE a.vec_id <> p.probe_id),
+         p2 AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         xc AS (SELECT probe_id, e.vec_id,
+                  round(list_dot_product(e.v, pv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv, pv))), 6) cos
+                FROM e CROSS JOIN p2 WHERE e.vec_id <> probe_id),
+         ex10 AS (SELECT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, vec_id) erk
+                    FROM xc) WHERE erk <= 10),
+         lad AS (SELECT unnest([1, 2, 4, 8, 16]) AS p),
+         ivfp AS (SELECT p, probe_id, vec_id FROM (
+                    SELECT lad.p, c.probe_id, c.vec_id,
+                      row_number() OVER (PARTITION BY lad.p, c.probe_id
+                                         ORDER BY c.cos DESC, c.vec_id) rk
+                    FROM cand c JOIN lad ON c.prk <= lad.p) WHERE rk <= 10),
+         recp AS (SELECT lad.p,
+                    (SELECT count(*) FROM ivfp i
+                     JOIN ex10 x ON i.probe_id = x.probe_id AND i.vec_id = x.vec_id
+                     WHERE i.p = lad.p)::DOUBLE / (10.0 * 5) AS mr
+                  FROM lad),
+         tuned AS (SELECT coalesce(min(p), 16) AS np FROM recp WHERE mr >= 0.9),
+         mrt AS (SELECT recp.p AS np, recp.mr FROM recp JOIN tuned ON recp.p = tuned.np),
+         j AS (SELECT x.probe_id,
+                 CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM ex10 x LEFT JOIN
+                 (SELECT probe_id, vec_id FROM ivfp JOIN tuned ON ivfp.p = tuned.np) i
+                 ON x.probe_id = i.probe_id AND x.vec_id = i.vec_id)
+         SELECT j.probe_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           sum(hit)::DOUBLE / 10.0 AS recall_at_10,
+           CAST(mrt.np AS BIGINT) AS nprobe,
+           mrt.mr + 0.0 AS mean_recall,
+           mrt.mr >= 0.9 AS target_met
+         FROM j CROSS JOIN mrt
+         GROUP BY j.probe_id, mrt.np, mrt.mr
+         ORDER BY j.probe_id""",
     "ann_ivf_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
           ${lloydCentsSql(2)},

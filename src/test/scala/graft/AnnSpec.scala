@@ -258,6 +258,55 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("autoNprobe terminates, meets the recall target, and is ladder-minimal") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val (np, rec) = SimilaritySearch.autoNprobe(probes, "probe_id",
+      emb, "vec_id", "embedding", k = 10, nlist = 16, targetRecall = 0.9)
+    val ladder = Seq(1, 2, 4, 8, 16)
+    assert(ladder.contains(np), s"nprobe=$np off the ladder")
+    assert(rec >= 0.9, s"tuned recall $rec below target")
+    // minimality: the next ladder value DOWN must miss the target
+    // (computed through the registered IVF plan, the search's arm)
+    def recallAt(p: Int): Double = {
+      val ivf = SimilaritySearch.topKCosineIvf(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = p)
+        .select(col("probe_id"), col("vec_id"))
+      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(pb))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("erk", row_number().over(w))
+        .filter(col("erk") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left_semi").count().toDouble / 50.0
+    }
+    if (np > 1) {
+      val prev = ladder.takeWhile(_ < np).last
+      assert(recallAt(prev) < 0.9, s"nprobe=$prev already meets the target")
+    }
+    // and the tuned recall the search reports is the plan's real recall
+    assert(math.abs(recallAt(np) - rec) < 1e-12)
+    // On a corpus WITH structure the tuner must exploit it: cluster
+    // members find their true top-10 among cluster-mates, so a probe
+    // per cluster needs only a few lists — the full-scan escalation
+    // (nprobe = nlist) that the random fixture forces would be wrong
+    // here.
+    val cdf = clustered.cache()
+    val cprobes = cdf.filter(col("vec_id").isin(0L, 1000L, 2000L))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val (cnp, crec) = SimilaritySearch.autoNprobe(cprobes, "probe_id",
+      cdf, "vec_id", "embedding", k = 10, nlist = 16, targetRecall = 0.9)
+    assert(crec >= 0.9)
+    assert(cnp < 16, s"tuner escalated to a full scan on a clustered corpus (nprobe=$cnp)")
+  }
+
   test("semanticDedup finds exact twins at ANY nlist (the scale knob never costs recall on true dups)") {
     val df = clustered.cache()
     val twins = df.filter(col("vec_id") < 1100)
