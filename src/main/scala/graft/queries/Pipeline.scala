@@ -1006,6 +1006,41 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Real HTML/DOM block extraction in front of text_clean — the
+    // jusText-style stage a WEB corpus needs (script/style payloads
+    // must not survive as "text", entities must decode, nav/footer
+    // boilerplate must drop by tag and link density; the regex
+    // text_clean is only right for tags-in-prose). Each document is
+    // wrapped in a planted HTML page (the media_* closed-form fixture
+    // pattern: raw-text script with a bare `<`, quoted `>` in an
+    // attribute, a comment, entities incl. numeric, a link-only div
+    // above the density cutoff, nav+footer) and run through the
+    // HtmlBlocksExpr tokenizer; the oracle computes the expected
+    // blocks directly from the raw columns. One codegen'd projection +
+    // posexplode — no shuffle at all.
+    "html_extract" -> ((s, dir) => {
+      val tok = split(col("text"), " ")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "),
+        col("doc_id").cast("string"),
+        lit("</title><style>p { color: #333; }</style>" +
+          "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+          "<body data-x=\"a>b\"><!-- boilerplate -->" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><h1>"),
+        array_join(slice(tok, 1, 3), " "),
+        lit("</h1><p>"),
+        array_join(slice(tok, 1, 20), " "),
+        lit(" &amp; more&#33;</p>" +
+          "<div><a href=\"/x\">one</a> <a href=\"/y\">two</a> x</div>" +
+          "<p>Tail &lt;end&gt;</p><br>" +
+          "<footer>&copy; 2026 Example</footer></body></html>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graft.HtmlExpressions.htmlBlocks(html))
+            .as(Seq("block_no", "block")))
+        .orderBy(col("doc_id"), col("block_no"))
+    }),
+
     // Repetition signals (Gopher-style quality filters): distinct-token
     // ratio, top-token mass fraction, duplicate-bigram fraction — the
     // gates that drop boilerplate/spam before training. Per-token
@@ -1301,6 +1336,22 @@ object Pipeline extends QueryModule {
                '\s+', ' ', 'g')) cleaned
            FROM documents)
          ORDER BY doc_id""",
+    // The fixture is closed-form (the media_* pattern): the planted
+    // page's surviving blocks are a known function of the raw columns
+    // — title, first-3-token h1, the 20-token paragraph with decoded
+    // entities, and the literal tail paragraph; nav/footer/script/
+    // style and the link-dense div never appear.
+    "html_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id, block_no, block FROM (
+           SELECT doc_id, CAST(0 AS INT) AS block_no,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS block FROM w
+           UNION ALL SELECT doc_id, CAST(1 AS INT),
+             array_to_string(w[1:3], ' ') FROM w
+           UNION ALL SELECT doc_id, CAST(2 AS INT),
+             array_to_string(w[1:20], ' ') || ' & more!' FROM w
+           UNION ALL SELECT doc_id, CAST(3 AS INT), 'Tail <end>' FROM w)
+         ORDER BY doc_id, block_no""",
     "text_repetition" ->
       s"""WITH t AS (
             SELECT doc_id, $toksSql toks FROM documents
