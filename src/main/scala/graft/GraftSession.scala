@@ -34,6 +34,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         math.max(16 * shufflePartitions, 512))
+      // Without this, persist()/cache() pins the UNCOALESCED
+      // initialPartitionNum layout (AQE refuses to change cached-plan
+      // output partitioning by default) — measured: the TradeGraph
+      // edge cache at 512 micro-partitions tripled graph_kcore at
+      // sf0.1 (2.8 s -> 7.4 s) purely in per-round task scheduling.
+      // Letting AQE coalesce under caches restores data-sized layouts
+      // everywhere a lineage persist feeds an iterative operator.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

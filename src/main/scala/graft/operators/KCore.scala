@@ -62,4 +62,46 @@ object KCore {
           "peel is not a k-core")
     e.groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("core_deg"))
   }
+
+  /** [[kCore]] specialized to BIPARTITE graphs given as ONE row per
+    * undirected (a, b) pair — the trade-graph shape. Identical
+    * fixpoint: in the both-directions formulation a pair (a, b)
+    * survives a round iff deg(a) >= k AND deg(b) >= k, which is
+    * exactly the two per-side degree filters below — at HALF the row
+    * mass per shuffle, checkpoint and count (the both-directions edge
+    * list exists only as a view the caller never materializes).
+    * KCoreSpec pins pair-list == both-directions output on random
+    * bipartite graphs. Returns (node, core_deg) for both sides. */
+  def kCoreBipartite(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+                     maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "kCoreBipartite: k must be >= 1")
+    var e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    var nPairs = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter && nPairs > 0) {
+      val keepA = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a"))
+      val keepB = e.groupBy(col("b")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("b"))
+      val next = e
+        .join(keepA, Seq("a"), "left_semi")
+        .join(keepB, Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == nPairs
+      e = next
+      nPairs = n
+      iter += 1
+    }
+    if (!converged && nPairs > 0)
+      throw new IllegalStateException(
+        s"kCoreBipartite: peel did not converge within maxIter=$maxIter rounds " +
+          s"($nPairs pairs still shrinking) — raise maxIter; a truncated " +
+          "peel is not a k-core")
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).cast("long").as("core_deg"))
+      .unionByName(
+        e.groupBy(col("b").as("node")).agg(count(lit(1)).cast("long").as("core_deg")))
+  }
 }

@@ -77,10 +77,14 @@ object Analytics extends QueryModule {
     // iterative graph algorithm. Each round is one join + one keyed
     // aggregation; the rank table is one row per node.
     "graph_pagerank" -> ((s, dir) =>
-      // assumeDistinct: pagerankEdges is a distinct pair set unioned in
-      // two disjoint directions ("s*"->"c*" vs "c*"->"s*") — already
-      // duplicate-free, so the operator's dedup shuffle is skipped
-      PageRank.ranks(pagerankEdges(s, dir), iters = 5, assumeDistinct = true)
+      // assumeDistinct: the keyed edge set is a distinct pair set
+      // unioned in two disjoint directions (even->odd vs odd->even) —
+      // already duplicate-free, so the operator's dedup shuffle is
+      // skipped. Ranks iterate on LONG keys; ids decode at output
+      // (rank values are per-node integer arithmetic — key encoding
+      // cannot change a bit of them).
+      PageRank.ranks(TradeGraph.edgesKeyed(s, dir), iters = 5, assumeDistinct = true)
+        .select(TradeGraph.decode(col("node")).as("node"), col("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("node"))),
 
     // k-core of the supplier-customer graph: iteratively peel nodes of
@@ -94,18 +98,22 @@ object Analytics extends QueryModule {
     // depth (kCore now throws past maxIter, the oracle cannot) before
     // trusting a changed fixture. See operators/KCore.scala for the
     // per-round shape and the monotone-count convergence proof.
+    // bipartite peel on the long-keyed PAIR list (half the row mass of
+    // the both-directions edge list every round); ids decode at output
     "graph_kcore" -> ((s, dir) =>
-      graft.operators.KCore.kCore(TradeGraph.edges(s, dir), "src", "dst", k = 40)
+      graft.operators.KCore.kCoreBipartite(TradeGraph.pairsKeyed(s, dir), "a", "b", k = 40)
+        .select(TradeGraph.decode(col("node")).as("node"), col("core_deg"))
         .orderBy(col("node"))),
 
     // Degree distribution of the same trade graph: the first diagnostic
     // run on any production graph (hubs, dangling mass, skew — the
     // numbers that decide salting and partitioning strategy before an
     // iterative algorithm runs). Two keyed aggregations, no iteration.
+    // runs entirely on the long-encoded keys — the output is a degree
+    // HISTOGRAM, so node ids never even need decoding
     "graph_degrees" -> ((s, dir) =>
-      TradeGraph.pairs(s, dir)
-        .select(col("a").as("src"), col("b").as("dst"))
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      TradeGraph.pairsKeyed(s, dir)
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("deg"))),
 

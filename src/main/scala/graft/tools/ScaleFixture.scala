@@ -19,7 +19,18 @@ import org.apache.spark.sql.functions._
   *     a real corpus grows.
   *   - dims (customer, supplier, part): replicate with offset keys so
   *     fact foreign keys stay valid per replica; region/nation stay
-  *     fixed (dims that genuinely don't scale).
+  *     fixed (dims that genuinely don't scale). NAME columns (p_name,
+  *     c_name, s_name) get a per-replica 3-char suffix so the name
+  *     VOCABULARY scales with the data — without it the fuzzy/linkage
+  *     family measured the fixture, not the engine (64 distinct
+  *     p_name at every scale, copies×probes output fan-out ≈900× at
+  *     30×: the round-11 SCALING.md worst row). Suffixes are one
+  *     base-36 char repeated 3× (pairwise edit distance 3), so
+  *     cross-replica names can NEVER fuzzy-match at the family's
+  *     maxDist=2 — each replica is its own clean vocabulary, the way
+  *     a real catalog grows. Pass `fixed-vocab-dims` as a 4th arg to
+  *     keep the old unchanged-name behavior as an explicit skew /
+  *     fan-out stress case.
   *   - documents: token-shuffle each replica with a replica-seeded
   *     deterministic permutation — same token mass and length
   *     distribution, but different 5-gram shingles, so near-dup pair
@@ -28,47 +39,69 @@ import org.apache.spark.sql.functions._
   *     hashes — fresh directions per replica, no planted cos≈1 pairs.
   *
   * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <outDir> <replicas>
+  *        [fixed-vocab-dims]
   */
 object ScaleFixture {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleFixture <srcSfDir> <outDir> <replicas>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleFixture <srcSfDir> <outDir> <replicas> [fixed-vocab-dims]")
     val (src, out, reps) = (args(0), args(1), args(2).toInt)
+    val fixedVocab = args.length == 4 && args(3) == "fixed-vocab-dims"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    try generate(spark, src, out, reps)
+    try generate(spark, src, out, reps, fixedVocab)
     finally spark.stop()
   }
 
   /** Key stride between replicas — far above any key in the source. */
   private val Stride = 100000000L
 
-  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  /** Per-replica name suffix: one base-36 char repeated 3× (replica 0
+    * unchanged), so any two replicas' suffixes differ in all 3
+    * positions — pairwise edit distance 3, above every fuzzy query's
+    * maxDist=2. */
+  private def nameSuffix(r: Int): String =
+    if (r == 0) "" else s" ${Character.forDigit(r % 36, 36).toString * 3}"
+
+  def generate(spark: SparkSession, src: String, out: String, reps: Int,
+               fixedVocab: Boolean = false): Unit = {
+    require(fixedVocab || reps <= 36,
+      "ScaleFixture: name suffixes are single base-36 chars; > 36 replicas " +
+        "would collide (pass fixed-vocab-dims or extend nameSuffix)")
     def tbl(n: String): DataFrame = Tables(spark, src, n)
-    def rep(df: DataFrame, f: (DataFrame, Long) => DataFrame): DataFrame =
-      (0 until reps).map(r => f(df, r.toLong * Stride)).reduce(_ unionByName _)
+    def rep(df: DataFrame, f: (DataFrame, Long, Int) => DataFrame): DataFrame =
+      (0 until reps).map(r => f(df, r.toLong * Stride, r)).reduce(_ unionByName _)
+    def suffixed(c: String, r: Int) =
+      if (fixedVocab || r == 0) col(c) else concat(col(c), lit(nameSuffix(r)))
 
     // fixed dims: copied through once
     Seq("region", "nation").foreach { n =>
       tbl(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
 
-    rep(tbl("customer"), (d, o) => d.withColumn("c_custkey", col("c_custkey") + o))
+    rep(tbl("customer"), (d, o, r) => d
+      .withColumn("c_custkey", col("c_custkey") + o)
+      .withColumn("c_name", suffixed("c_name", r)))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    rep(tbl("supplier"), (d, o) => d.withColumn("s_suppkey", col("s_suppkey") + o))
+    rep(tbl("supplier"), (d, o, r) => d
+      .withColumn("s_suppkey", col("s_suppkey") + o)
+      .withColumn("s_name", suffixed("s_name", r)))
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
-    rep(tbl("part"), (d, o) => d.withColumn("p_partkey", col("p_partkey") + o))
+    rep(tbl("part"), (d, o, r) => d
+      .withColumn("p_partkey", col("p_partkey") + o)
+      .withColumn("p_name", suffixed("p_name", r)))
       .write.mode("overwrite").parquet(s"$out/part.parquet")
-    rep(tbl("orders"), (d, o) => d
+    rep(tbl("orders"), (d, o, _) => d
       .withColumn("o_orderkey", col("o_orderkey") + o)
       .withColumn("o_custkey", col("o_custkey") + o))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    rep(tbl("lineitem"), (d, o) => d
+    rep(tbl("lineitem"), (d, o, _) => d
       .withColumn("l_orderkey", col("l_orderkey") + o)
       .withColumn("l_partkey", col("l_partkey") + o)
       .withColumn("l_suppkey", col("l_suppkey") + o))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    rep(tbl("events"), (d, o) => d
+    rep(tbl("events"), (d, o, _) => d
       .withColumn("event_id", col("event_id") + o)
       .withColumn("user_id", col("user_id") + o))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
@@ -76,7 +109,7 @@ object ScaleFixture {
     // documents: replica-seeded token shuffle (deterministic: sort
     // tokens by xxhash64(token, position, replica)), same token mass,
     // different shingles
-    rep(tbl("documents"), (d, o) => d
+    rep(tbl("documents"), (d, o, _) => d
       .withColumn("doc_id", col("doc_id") + o)
       .withColumn("text",
         when(lit(o) === 0, col("text")).otherwise(
@@ -86,7 +119,7 @@ object ScaleFixture {
 
     // embeddings: fresh deterministic directions per (vec_id, dim)
     val dim = 64
-    rep(tbl("embeddings"), (d, o) => d
+    rep(tbl("embeddings"), (d, o, _) => d
       .withColumn("vec_id", col("vec_id") + o)
       .withColumn("embedding",
         when(lit(o) === 0, col("embedding")).otherwise(

@@ -283,4 +283,30 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("x" -> 1L, "y" -> 2L, "z" -> 1L), got.toString)
   }
+
+  test("kCoreBipartite == kCore on the both-directions edge list (random bipartite graphs)") {
+    // the half-row-mass specialization must be output-identical to the
+    // general peel at several k on graphs with genuine peel cascades
+    val rnd = new scala.util.Random(21)
+    val pairs = (for (_ <- 1 to 400) yield
+      (s"s${rnd.nextInt(25)}", s"c${rnd.nextInt(40)}")).distinct
+    for (k <- Seq(1, 2, 4, 8)) {
+      val viaPairs = graft.operators.KCore
+        .kCoreBipartite(pairs.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaEdges = graft.operators.KCore
+        .kCore(undirected(pairs), "src", "dst", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaPairs == viaEdges, s"k=$k: ${viaPairs.size} vs ${viaEdges.size}")
+    }
+  }
+
+  test("kCore throws loudly when maxIter is exhausted before the fixpoint") {
+    // a 6-node pendant chain at k=2 needs > 2 rounds to fully peel
+    val chain = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "6"))
+    val e = intercept[IllegalStateException] {
+      graft.operators.KCore.kCore(undirected(chain), "src", "dst", k = 2, maxIter = 2)
+    }
+    assert(e.getMessage.contains("not a k-core"), e.getMessage)
+  }
 }

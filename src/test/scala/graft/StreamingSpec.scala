@@ -748,4 +748,45 @@ class StreamingSpec extends SparkSpecBase {
       assert(kept1 == Set(300L), kept1.toString)
     } finally q.stop()
   }
+
+  test("semanticDedupSink warns exactly once when streamed rows pass the index's training size") {
+    // The retrain-cadence contract: the frozen codebook was sized for
+    // builtN vectors (the auto-nlist derivation); once the stream has
+    // landed more than builtN new rows the corpus has doubled and
+    // verdicts degrade silently — the sink must say so, loudly, once.
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 4L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val index = graft.operators.SimilaritySearch
+      .buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 2)
+    assert(index.builtN == 4L)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("semw-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semw-ck").toString
+    val errBuf = new java.io.ByteArrayOutputStream
+    val origErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    val q = try {
+      val q0 = StreamOps.semanticDedupSink(
+        ms.toDF().toDF("vec_id", "embedding"), index, out, ck,
+        "vec_id", "embedding")
+      // batch 0: 3 rows (under builtN=4 -> no warning yet)
+      ms.addData((100L, vec()), (101L, vec()), (102L, vec()))
+      q0.processAllAvailable()
+      val afterB0 = errBuf.toString
+      // batch 1: 3 more (total 6 > 4 -> the warning fires)
+      ms.addData((103L, vec()), (104L, vec()), (105L, vec()))
+      q0.processAllAvailable()
+      // batch 2: more rows, but the warning must NOT repeat
+      ms.addData((106L, vec()), (107L, vec()))
+      q0.processAllAvailable()
+      val all = errBuf.toString
+      assert(!afterB0.contains("corpus has doubled"), "warned too early")
+      val hits = "corpus has doubled".r.findAllIn(all).size
+      assert(hits == 1, s"expected exactly one staleness warning, saw $hits")
+      q0
+    } finally System.setErr(origErr)
+    q.stop()
+  }
 }
