@@ -463,15 +463,23 @@ object StreamOps {
     *
     * Batching contract, precisely: STORE-vs-row verdicts are
     * batching-invariant (the frozen index never changes), and so is
-    * the drop-higher-id rule WITHIN one micro-batch — but a near-dup
-    * pair among NEW rows that lands in two different micro-batches is
-    * kept TWICE, because the comparison set never grows with prior
-    * batches' keepers (StreamingSpec's batch-1 case demonstrates
-    * exactly this). Kept-set parity with the batch operator therefore
-    * holds per micro-batch, not across the whole stream; a stream that
-    * must also catch cross-batch duplicates periodically re-dedups the
-    * landed shards (or rebuilds the index from them — see the
-    * signature-store compaction discipline, Dedup.compactSignatureStore).
+    * the drop-higher-id rule WITHIN one micro-batch — but by default a
+    * near-dup pair among NEW rows that lands in two different
+    * micro-batches is kept TWICE, because the comparison set never
+    * grows with prior batches' keepers (StreamingSpec's batch-1 case
+    * demonstrates exactly this). Kept-set parity with the batch
+    * operator therefore holds per micro-batch, not across the whole
+    * stream.
+    *
+    * `crossBatch = true` closes that leak: each batch's comparison set
+    * is the frozen store UNION every PRIOR batch's landed keepers
+    * (cluster assignment stays frozen — only the kept set grows, so
+    * the cost per batch is still the cluster-keyed join against
+    * what's landed). The current batch's own shard is excluded from
+    * the comparison so a checkpoint REPLAY stays idempotent (a
+    * replayed batch must not drop its rows against their own previous
+    * landing). The codebook itself still never retrains — the
+    * staleness warning below is the signal to do that.
     *
     * RETRAIN CADENCE: the frozen codebook was sized for the corpus it
     * trained on (index.builtN vectors — the auto-nlist derivation in
@@ -487,7 +495,8 @@ object StreamOps {
                         index: graft.operators.SimilaritySearch.SemanticIndex,
                         outDir: String, checkpointDir: String,
                         idCol: String, vecCol: String,
-                        threshold: Double = 0.99) = {
+                        threshold: Double = 0.99,
+                        crossBatch: Boolean = false) = {
     // driver-side running total; foreachBatch bodies run on the driver
     val landed = new java.util.concurrent.atomic.AtomicLong(0L)
     val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -495,8 +504,21 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hasPrior = Option(new java.io.File(outDir).listFiles())
+          .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+        val cmp =
+          if (!crossBatch || !hasPrior) index
+          else {
+            // prior keepers join the comparison set; the current
+            // batch's own shard is excluded so a replay is idempotent
+            val prior = spark.read.option("basePath", outDir).parquet(outDir)
+              .filter(col("batch") =!= batchId)
+              .select(col(idCol), col("cluster_id"), col(vecCol))
+            index.copy(kept = index.kept.unionByName(prior))
+          }
         val verdicts = graft.operators.SimilaritySearch
-          .semanticDedupAgainstIndex(batch, idCol, vecCol, index, threshold)
+          .semanticDedupAgainstIndex(batch, idCol, vecCol, cmp, threshold)
         batch.join(verdicts.filter(!col("is_dropped"))
             .select(col(idCol), col("cluster_id")), Seq(idCol))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

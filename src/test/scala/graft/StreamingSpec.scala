@@ -749,6 +749,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("semanticDedupSink crossBatch mode catches duplicates split across micro-batches") {
+    // The default keeps a cross-batch near-dup pair twice (frozen
+    // comparison set); crossBatch = true unions prior keepers in, so
+    // the batch-1 copy of a batch-0 keeper IS caught — while copies of
+    // STORED vectors and intra-batch pairs behave exactly as before.
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 32L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val index = graft.operators.SimilaritySearch
+      .buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 4)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("semx-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semx-ck").toString
+    val q = StreamOps.semanticDedupSink(
+      ms.toDF().toDF("vec_id", "embedding"), index, out, ck,
+      "vec_id", "embedding", crossBatch = true)
+    try {
+      val fresh1 = vec(); val fresh2 = vec()
+      ms.addData(210L -> fresh1, 211L -> fresh2)
+      q.processAllAvailable()
+      val kept0 = spark.read.parquet(s"$out/batch=0")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept0 == Set(210L, 211L), kept0.toString)
+      // batch 1: a copy of batch-0 keeper 210 (caught ONLY in
+      // crossBatch mode), a copy of a stored vector (always caught),
+      // and a genuinely novel row
+      val c0 = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      ms.addData(300L -> fresh1, 301L -> c0(5L), 302L -> vec())
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$out/batch=1")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(302L), kept1.toString)
+    } finally q.stop()
+  }
+
   test("semanticDedupSink warns exactly once when streamed rows pass the index's training size") {
     // The retrain-cadence contract: the frozen codebook was sized for
     // builtN vectors (the auto-nlist derivation); once the stream has
