@@ -21,7 +21,9 @@ object Bench {
     // scale with DATA on a real cluster — the override lets scale runs
     // turn the same knob (AQE coalesces the other direction).
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
-    val spark = GraftSession.builder(s"local[$cpus]", shuf).getOrCreate()
+    // the sf dir sizes the initial shuffle width (bytes-derived AQE
+    // start — see GraftSession); the env override still moves the floor
+    val spark = GraftSession.builder(s"local[$cpus]", shuf, Some(sfDir)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // One untimed warmup at the smallest SF: absorbs session init, codegen

@@ -8,15 +8,20 @@ import org.apache.spark.sql.SparkSession
   *
   *  - AQE + skew-join splitting stay explicitly on (runtime re-plans,
   *    post-shuffle coalescing, skewed-partition splitting);
-  *  - shuffle-partition sizing is AUTOMATIC in both directions: every
-  *    shuffle STARTS at `initialPartitionNum` (16x the configured
-  *    floor, min 512) and AQE coalesces down to the runtime data size
-  *    — so a 100x input gets 100x-appropriate reduce parallelism with
-  *    NO env knob, and a laptop-scale input coalesces back to
-  *    core-count partitions. This replaced the manual
-  *    SPARK_GRAFT_SHUFFLE_PARTITIONS escalation the round-11 100x
-  *    sweep needed for sql_q5-class queries (8.4x super-linear at 32
-  *    fixed partitions, linear at 128): the knob now turns itself.
+  *  - shuffle-partition sizing is AUTOMATIC in both directions and
+  *    DATA-DERIVED: when the caller names its data directory, every
+  *    shuffle STARTS at ~one partition per 4 MiB of on-disk input
+  *    (floored at `shufflePartitions`, capped one order above it) and
+  *    AQE coalesces down to the runtime data size — so a 100x input
+  *    gets 100x-appropriate reduce parallelism with NO env knob, and
+  *    a laptop-scale input keeps core-count partitions. This replaced
+  *    the manual SPARK_GRAFT_SHUFFLE_PARTITIONS escalation the
+  *    round-11 100x sweep needed for sql_q5-class queries (8.4x
+  *    super-linear at 32 fixed partitions, linear at 128). A STATIC
+  *    wide start was measured and rejected: initialPartitionNum=512
+  *    cost +30% on the sf0.1 small-query surface (tiny shuffles pay
+  *    512-bucket overhead for nothing) while bytes-derived sizing
+  *    keeps both ends of the scale on their measured best plans.
   *    `shufflePartitions` stays the non-AQE fallback (streaming,
   *    plans AQE cannot touch);
   *  - 128 MiB file split size keeps scan tasks balanced;
@@ -25,15 +30,48 @@ import org.apache.spark.sql.SparkSession
   *  - the graft SQL extension (native sketch expressions).
   */
 object GraftSession {
+
+  /** ~bytes of COMPRESSED input per initial shuffle partition: 4 MiB
+    * parquet ≈ 12-20 MiB of in-memory rows — sized so per-partition
+    * sort/hash state stays well inside executor memory at any scale
+    * (the round-11 sweep's spill boundary was ~6M fact rows per
+    * partition-set; this targets well under it). Calibrated on the
+    * 100× fixture: sql_q5 22.9 s at the fixed 32-partition floor,
+    * 7.6 s at 8 MiB/partition (195 initial), 4.8 s at 4 MiB (390) —
+    * while sf-scale directories still derive to the floor, so the
+    * small-query surface pays nothing. */
+  val BytesPerInitialPartition: Long = 4L << 20
+
+  /** Cap the derived width one-plus order above the floor: a derived
+    * 100k-partition start on a 32-core laptop is pure scheduling
+    * overhead, and a real cluster raises the FLOOR (cores) instead. */
+  def maxInitialPartitions(floor: Int): Long = math.max(16L * floor, 4096L)
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    builder(master, shufflePartitions, None)
+
+  /** `dataDir`: the directory whose tables this session will read
+    * (the sf dir for Verify/Bench); its on-disk size derives the
+    * initial shuffle width. None = the plain floor (unit tests,
+    * sessions with no single home directory). */
+  def builder(master: String, shufflePartitions: Int,
+              dataDir: Option[String]): SparkSession.Builder = {
+    val initial = dataDir.map { d =>
+      val bytes = dirBytes(d)
+      val derived = math.min(maxInitialPartitions(shufflePartitions),
+        math.max(shufflePartitions.toLong, bytes / BytesPerInitialPartition))
+      if (derived > shufflePartitions)
+        System.err.println(s"[graft-session] $d: ${bytes >> 20} MiB input -> " +
+          s"initial shuffle partitions $derived (floor $shufflePartitions)")
+      derived
+    }.getOrElse(shufflePartitions.toLong)
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(16 * shufflePartitions, 512))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial)
       // Without this, persist()/cache() pins the UNCOALESCED
       // initialPartitionNum layout (AQE refuses to change cached-plan
       // output partitioning by default) — measured: the TradeGraph
@@ -47,4 +85,19 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+  }
+
+  /** Total bytes under `dir` (driver-side walk; 0 if unreadable —
+    * sizing degrades to the floor, never fails the session). */
+  private def dirBytes(dir: String): Long =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    } catch { case _: Throwable => 0L }
 }

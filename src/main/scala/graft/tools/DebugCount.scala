@@ -11,7 +11,7 @@ object DebugCount {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DebugCount <sfDir> <query>...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, args.headOption).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try args.tail.foreach { name =>
       val t0 = System.nanoTime()

@@ -12,7 +12,7 @@ object DebugExec {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DebugExec <sfDir> <query>...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, args.headOption).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
       val df = SparkEntry.queries(name)(spark, args.head)

@@ -15,7 +15,7 @@ object PrefixScale {
     val (sfDir, t) = (args(0), args(1).toDouble)
     val mode = args.lift(2).getOrElse("both")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, args.headOption).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables(spark, sfDir, "documents")
 

@@ -49,7 +49,7 @@ object ScaleFixture {
     val (src, out, reps) = (args(0), args(1), args(2).toInt)
     val fixedVocab = args.length == 4 && args(3) == "fixed-vocab-dims"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, Some(src)).getOrCreate()
     try generate(spark, src, out, reps, fixedVocab)
     finally spark.stop()
   }

@@ -16,7 +16,7 @@ object SemDedupScale {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: SemDedupScale <sfDir> <nlist>...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, args.headOption).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"${args.head}/embeddings.parquet")
       .select("vec_id", "embedding")
