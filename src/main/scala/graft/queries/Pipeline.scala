@@ -50,6 +50,86 @@ object Pipeline extends QueryModule {
 
   private[queries] val nearPairsSql = nearPairsSqlAt(0.5)
 
+  /** The dedup_eval oracle replays the ENTIRE banded-minhash pipeline in
+    * DuckDB — portable md5-derived 64-bit base hashes (two 8-hex folds,
+    * HUGEINT-combined, sign-corrected to the BIGINT two's-complement
+    * value Spark's shiftleft|OR produces), the k=64 permutation
+    * signature with the SAME (a, b) literals minhashParams(42-seeded)
+    * generates, 16 raw 4-slice band keys, the candidate self-join, and
+    * the exact-Jaccard ground truth over the planted-mutant fixture. */
+  private lazy val dedupEvalOracleSql: String = {
+    val P = graft.functions.TextFunctions.MinHashPrime
+    val params = graft.functions.TextFunctions.minhashParams(64)
+      .map { case (a, b) => s"{'a': ${a}, 'b': ${b}}" }.mkString("[", ", ", "]")
+    def hexFold(start: Int): String =
+      (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, ${start + i}, 1)) - 1) * " +
+          BigInt(16).pow(7 - i)).mkString(" + ")
+    val mutants = Seq(4, 6, 10, 20, 40).map { m =>
+      s"""UNION ALL SELECT doc_id + ${m * 100000L},
+            array_to_string([CASE WHEN i % $m = 0 THEN 'zz$m' ELSE w[i] END
+                             for i in generate_series(1, len(w))], ' ')
+          FROM bw"""
+    }.mkString("\n          ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        bw AS (SELECT doc_id, string_split(text, ' ') w FROM base),
+        du AS (SELECT doc_id, text FROM base
+          $mutants),
+        t AS (SELECT doc_id, $toksSql toks FROM du),
+        shx AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                       for i in generate_series(1, len(toks) - 2)])) s
+          FROM t WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) n FROM shx GROUP BY 1),
+        prs AS (
+          SELECT a.doc_id i, b.doc_id j, count(*) c
+          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT prs.i AS i, prs.j AS j,
+                 round(c::DOUBLE / (na.n + nb.n - c), 6) + 0.0 AS jac
+          FROM prs
+          JOIN sizes na ON na.doc_id = prs.i
+          JOIN sizes nb ON nb.doc_id = prs.j
+          WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.05),
+        ex2 AS (SELECT i, j, CAST(floor(jac * 10) AS BIGINT) bucket FROM exact),
+        shl AS (SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in generate_series(1, len(toks) - 2)]) sl
+                FROM t WHERE len(toks) >= 3),
+        hsx AS (SELECT doc_id,
+                  [((CAST(CASE WHEN hv >= 9223372036854775808
+                          THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)
+                     % $P) + $P) % $P
+                   for hv in [CAST(${""}(${hexFold(1)})${""} AS HUGEINT) * 4294967296
+                              + (${hexFold(9)})
+                              for m in [md5(s) for s in sl]]] hs
+                FROM shl),
+        sg AS (SELECT doc_id,
+                 [coalesce(list_min([(p['a'] * h + p['b']) % $P for h in hs]), $P)
+                  for p in $params] sig
+               FROM hsx),
+        bd0 AS (SELECT doc_id,
+                  unnest([{'p': b, 'bk': array_to_string(sig[b*4+1:b*4+4], ',')}
+                          for b in generate_series(0, 15)]) bd
+                FROM sg),
+        bd2 AS (SELECT doc_id, bd.p p, bd.bk bk FROM bd0),
+        cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
+                 FROM bd2 a JOIN bd2 b
+                   ON a.p = b.p AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        fnd AS (SELECT bucket, count(*) nf FROM ex2
+                WHERE EXISTS (SELECT 1 FROM cand
+                              WHERE cand.i = ex2.i AND cand.j = ex2.j)
+                GROUP BY 1),
+        tru AS (SELECT bucket, count(*) nt FROM ex2 GROUP BY 1)
+        SELECT tru.bucket AS bucket, CAST(nt AS BIGINT) AS n_true,
+          CAST(coalesce(nf, 0) AS BIGINT) AS n_found,
+          round(coalesce(nf, 0)::DOUBLE / nt, 6) + 0.0 AS recall
+        FROM tru LEFT JOIN fnd ON tru.bucket = fnd.bucket
+        ORDER BY bucket"""
+  }
+
   /** Shared CTE chain for the C4-style duplicate-span rewrite
     * (mirrors Dedup.rewriteDupSpans at chunkTokens = 10): ends in
     * `rewritten(doc_id, n_spans, n_dropped, kept_text)`. Used by the
@@ -268,6 +348,63 @@ object Pipeline extends QueryModule {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupPairsMinhash(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("i"), col("j"))),
+
+    // Dedup-quality EVAL — the ann_eval of the text-dedup family: the
+    // banded-LSH candidate recall the `lsh-band-recall` route trades
+    // for, MEASURED per Jaccard bucket against exact ground truth. The
+    // fixture plants mutants of 200 docs at five mutation periods
+    // (every m-th token replaced, m in {4,6,10,20,40}) so true pairs
+    // spread across the Jaccard range; the exact inverted-index join
+    // at J >= 0.05 is ground truth; the LSH arm is the reroute's own
+    // banding (k=64, r=4 -> 16 bands) built on PORTABLE md5-derived
+    // base hashes so the DuckDB oracle replays signatures, bands and
+    // the candidate join bit-for-bit. Output: per-bucket n_true /
+    // n_found / recall — the measured S-curve that tells a pipeline
+    // which thresholds the reroute is safe at (recall ~1 at J >= 0.8,
+    // materially lossy near J ~ 0.3, exactly as 1-(1-J^4)^16
+    // predicts).
+    "dedup_eval" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{portableHash64, MinHashPrime}
+      val base = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      def mutate(m: Int) = base.select(
+        (col("doc_id") + m * 100000L).as("doc_id"),
+        array_join(expr(
+          s"transform(split(text, ' '), (t, i) -> IF((i + 1) % $m = 0, 'zz$m', t))"),
+          " ").as("text"))
+      val u = Seq(4, 6, 10, 20, 40).map(mutate).foldLeft(base)(_ unionByName _)
+      val exact = Dedup.nearDupPairsExact(u, "doc_id", "text", n = 3, threshold = 0.05)
+        .withColumn("bucket", floor(col("jac") * 10).cast("long"))
+      val withSig = Dedup.shingleSets(u, "doc_id", "text", 3)
+        .repartition(col("doc_id"))
+        .withColumn("hs",
+          transform(col("sh"), x => pmod(portableHash64(x), lit(MinHashPrime))))
+        .withColumn("sig",
+          org.apache.spark.sql.graft.NativeExpressions.minhashSignature(col("hs"), 64))
+        .repartition(col("doc_id"))
+      // band key = the raw 4-value slice (not its hash): identical
+      // candidate semantics, and the oracle joins on the same string
+      val bandKeys = withSig.select(col("doc_id"), posexplode_outer(expr(
+          "transform(sequence(0, 15), b -> " +
+            "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))))"))
+          .as(Seq("p", "bk")))
+        .filter(col("bk").isNotNull)
+      val cand = bandKeys.as("a").join(bandKeys.as("b"),
+          col("a.p") === col("b.p") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val found = exact.join(cand, Seq("i", "j"), "left_semi")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nf"))
+      exact.groupBy(col("bucket")).agg(count(lit(1)).as("nt"))
+        .join(found, Seq("bucket"), "left")
+        .select(col("bucket"),
+          col("nt").cast("long").as("n_true"),
+          coalesce(col("nf"), lit(0L)).cast("long").as("n_found"),
+          (round(coalesce(col("nf"), lit(0L)).cast("double") / col("nt"), 6)
+            + lit(0.0)).as("recall"))
+        .orderBy(col("bucket"))
+    }),
 
     // SimHash chunk-bucket near-dup pair list (ids only — Hamming radius
     // 3 over 64-bit fingerprints of the shingle sets). A deliberately
@@ -1246,6 +1383,7 @@ object Pipeline extends QueryModule {
                  min(doc_id) AS keep_id
           FROM d GROUP BY 1 HAVING count(*) >= 2 ORDER BY chunk_md5""",
     "dedup_minhash" -> (nearPairsSql + " ORDER BY i, j"),
+    "dedup_eval" -> dedupEvalOracleSql,
     // dedup_simhash: the oracle rebuilds the ENTIRE simhash pipeline —
     // md5-derived 64-bit shingle hashes (hex fold in HUGEINT), per-bit
     // strict-majority votes folded into the fingerprint, 4x16-bit

@@ -227,6 +227,24 @@ class DedupSpec extends SparkSpecBase {
     assert(viaExact.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("dedup_eval measures the banded-LSH S-curve: near-1 recall high, lossy low") {
+    // the registered eval must reproduce the 1-(1-J^4)^16 shape: the
+    // reroute is safe at the thresholds it fires at (J >= 0.7-0.8) and
+    // measurably lossy near J ~ 0.2 — exactly what the route tag warns
+    val rows = SparkEntry.queries("dedup_eval")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val high = rows.filter { case (b, (nt, _, _)) => b >= 7 && nt > 0 }
+    assert(high.nonEmpty)
+    high.foreach { case (b, (_, _, rec)) =>
+      assert(rec >= 0.99, s"bucket $b recall $rec — the reroute regime must be near-lossless")
+    }
+    rows.filter { case (b, (nt, _, _)) => b <= 2 && nt >= 20 }.foreach {
+      case (b, (_, _, rec)) =>
+        assert(rec <= 0.3, s"bucket $b recall $rec — low-J recall should be visibly lossy")
+    }
+  }
+
   test("nearDupPairsRouted surfaces the engaged plan as a machine-readable tag") {
     // All four tiers, on the same fixtures the dispatch tests above
     // use; only the LSH tag marks a CONTRACT change (band recall).

@@ -78,27 +78,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(cart.getString(1) == "ok" && cart.getLong(2) == 0L, cart.toString)
   }
 
-  test("the join-shaped query surface sweeps clean of cartesian products") {
-    // every TPC-H query, every join_* family member, and the
-    // graph/interval/asof/warehouse operators: none may plan a genuine
-    // row-product join at sf0.001. (PlanSpec pins chosen shapes in
-    // detail; this is the breadth gate.)
-    val names = SparkEntry.queries.keys.filter { n =>
-      n.startsWith("sql_q") || n.startsWith("join_") ||
-        n.startsWith("graph_") || n.startsWith("interval_") ||
-        n.startsWith("asof_") || n == "range_join" || n == "pit_lookup" ||
-        n == "scd2_merge" || n == "cdc_apply" || n == "table_diff" ||
-        n == "fuzzy_match" || n == "term_drift" || n == "source_overlap" ||
-        n == "lang_id" || n == "pmi_bigrams" || n == "novelty_score" ||
-        n == "ann_ivf_rerank" || n == "split_cluster_safe" ||
-        n == "dedup_attrition" || n == "shard_rebalance" ||
-        n == "bpe_fertility" || n == "pack_efficiency" ||
-        n == "curation_pipeline_v2" || n == "record_linkage" ||
-        n == "hybrid_rrf" || n == "ivm_merge" || n == "target_encode" ||
-        n == "feature_buckets" || n == "sample_topk_weighted" ||
-        n == "dedup_signature_store"
-    }.toSeq.sorted
-    assert(names.size >= 40, s"sweep unexpectedly small: $names")
+  test("the FULL query surface sweeps clean of cartesian products") {
+    // Every registered query: none may plan a genuine row-product join
+    // at sf0.001 (scalar/one-row cross joins are already excluded by
+    // the check itself; corpus x broadcast-set products surface as
+    // `warn`, not `fail`). This replaces the round-10 join-shaped
+    // subset — the manual claim "crossJoin only against broadcast
+    // one-row/probe/centroid frames" is now a machine check over the
+    // whole surface, like the window sweep below. (PlanSpec pins
+    // chosen shapes in detail; this is the breadth gate.)
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val dirty = names.filterNot { n =>
       PlanAudit.clean(SparkEntry.queries(n)(spark, dir))
     }
