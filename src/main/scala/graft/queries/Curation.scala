@@ -418,6 +418,54 @@ object Curation extends QueryModule {
     // still runs the real regex pipeline over the full text. One
     // projection + one tiny keyed shuffle; RE2-safe patterns shared
     // verbatim with the oracle.
+    // URL canonicalization + canonical-key dedup — the crawl-frontier
+    // stage in front of any web-corpus pipeline: the same page arrives
+    // as HTTPS://Host.COM:443/p?utm_source=x&b=2&a=1#frag and
+    // https://host.com/p?a=1&b=2, and content-level dedup should never
+    // pay for what key normalization catches free. Rules (each a
+    // deterministic string op both engines run verbatim): drop the
+    // fragment; lowercase scheme://authority (path case preserved);
+    // strip default ports (:443 https, :80 http); drop utm_* tracking
+    // params; SORT surviving params (binary order); re-attach '?' only
+    // if params remain. The fixture plants four raw variants per page
+    // key so every rule fires; output is the canonical-key dedup
+    // rollup (canonical_url, n_raw, min_doc).
+    "url_canonical" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val page = (col("doc_id") % 50).cast("string")
+      val raw = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443/Page/"), page,
+            lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://www.example.com/Page/"), page, lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://Blog.Example.ORG:80/post/"), page,
+            lit("?utm_campaign=x")))
+        .otherwise(
+          concat(lit("http://blog.example.org/post/"), page, lit("#top")))
+        .as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val base = regexp_replace(noFrag, "\\?.*$", "")
+      val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+      val lowered = concat(
+        lower(regexp_extract(base, "^([^/]*//[^/]*)", 1)),
+        regexp_replace(base, "^[^/]*//[^/]*", ""))
+      val noPort = regexp_replace(
+        regexp_replace(lowered, "^(https://[^/:]*):443(?=(/|$))", "$1"),
+        "^(http://[^/:]*):80(?=(/|$))", "$1")
+      val params = array_join(array_sort(
+        filter(split(q, "&"),
+          p => !p.startsWith("utm_") && p =!= "")), "&")
+      raw
+        .withColumn("canonical_url",
+          concat(noPort, when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).cast("long").as("n_raw"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("canonical_url"))
+    }),
+
     "url_domains" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val planted = docs.select(col("doc_id"),
@@ -1399,6 +1447,37 @@ object Curation extends QueryModule {
          SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM d GROUP BY domain ORDER BY domain""",
+    // url_canonical: every rule is a plain RE2-safe string op, so the
+    // oracle applies the IDENTICAL regexes (DuckDB backrefs are \1
+    // where Spark's are $1 — same automaton, different escape)
+    "url_canonical" ->
+      """WITH r AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+               WHEN 1 THEN 'https://www.example.com/Page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+               WHEN 2 THEN 'http://Blog.Example.ORG:80/post/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_campaign=x'
+               ELSE 'http://blog.example.org/post/' || CAST(doc_id % 50 AS VARCHAR) || '#top' END AS url
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') nf FROM r),
+         s2 AS (SELECT doc_id, regexp_replace(nf, '\?.*$', '') base,
+                  coalesce(regexp_extract(nf, '\?(.*)$', 1), '') q FROM s1),
+         s3 AS (SELECT doc_id, q,
+                  lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+                    regexp_replace(base, '^[^/]*//[^/]*', '') low FROM s2),
+         s4 AS (SELECT doc_id, q,
+                  regexp_replace(regexp_replace(low,
+                    '^(https://[^/:]*):443(/|$)', '\1\2'),
+                    '^(http://[^/:]*):80(/|$)', '\1\2') np FROM s3),
+         s5 AS (SELECT doc_id, np,
+                  array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') ps FROM s4),
+         c AS (SELECT doc_id,
+                 np || CASE WHEN ps <> '' THEN '?' || ps ELSE '' END AS canonical_url
+               FROM s5)
+         SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+           min(doc_id) AS min_doc
+         FROM c GROUP BY 1 ORDER BY 1""",
     "split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
