@@ -50,6 +50,34 @@ object Pipeline extends QueryModule {
 
   private[queries] val nearPairsSql = nearPairsSqlAt(0.5)
 
+  /** The planted-HTML fixture page run through the HtmlBlocksExpr
+    * tokenizer → (doc_id, block_no, block). Shared by html_extract
+    * (raw block emission) and html_block_dedup (keep-first block
+    * dedup); the surviving blocks are a CLOSED FORM of the raw
+    * columns, which is what makes both oracles plain SQL. */
+  private def plantedHtmlBlocks(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = split(col("text"), " ")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "),
+      col("doc_id").cast("string"),
+      lit("</title><style>p { color: #333; }</style>" +
+        "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+        "<body data-x=\"a>b\"><!-- boilerplate -->" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><h1>"),
+      array_join(slice(tok, 1, 3), " "),
+      lit("</h1><p>"),
+      array_join(slice(tok, 1, 20), " "),
+      lit(" &amp; more&#33;</p>" +
+        "<div><a href=\"/x\">one</a> <a href=\"/y\">two</a> x</div>" +
+        "<p>Tail &lt;end&gt;</p><br>" +
+        "<footer>&copy; 2026 Example</footer></body></html>"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.HtmlExpressions.htmlBlocks(html))
+          .as(Seq("block_no", "block")))
+  }
+
   /** The dedup_eval oracle replays the ENTIRE banded-minhash pipeline in
     * DuckDB — portable md5-derived 64-bit base hashes (two 8-hex folds,
     * HUGEINT-combined, sign-corrected to the BIGINT two's-complement
@@ -1155,27 +1183,34 @@ object Pipeline extends QueryModule {
     // HtmlBlocksExpr tokenizer; the oracle computes the expected
     // blocks directly from the raw columns. One codegen'd projection +
     // posexplode — no shuffle at all.
-    "html_extract" -> ((s, dir) => {
-      val tok = split(col("text"), " ")
-      val html = concat(
-        lit("<!DOCTYPE html><html><head><title>Doc "),
-        col("doc_id").cast("string"),
-        lit("</title><style>p { color: #333; }</style>" +
-          "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
-          "<body data-x=\"a>b\"><!-- boilerplate -->" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><h1>"),
-        array_join(slice(tok, 1, 3), " "),
-        lit("</h1><p>"),
-        array_join(slice(tok, 1, 20), " "),
-        lit(" &amp; more&#33;</p>" +
-          "<div><a href=\"/x\">one</a> <a href=\"/y\">two</a> x</div>" +
-          "<p>Tail &lt;end&gt;</p><br>" +
-          "<footer>&copy; 2026 Example</footer></body></html>"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(org.apache.spark.sql.graft.HtmlExpressions.htmlBlocks(html))
-            .as(Seq("block_no", "block")))
-        .orderBy(col("doc_id"), col("block_no"))
+    "html_extract" -> ((s, dir) =>
+      plantedHtmlBlocks(s, dir).orderBy(col("doc_id"), col("block_no"))),
+
+    // C4-style LINE-level dedup at DOM-block granularity — the
+    // composition a web pipeline actually runs: extract blocks
+    // (html_extract's tokenizer), then keep every distinct block text
+    // only at its globally FIRST (doc_id, block_no) occurrence and
+    // reassemble documents from the survivors. Boilerplate shared by
+    // every page (the planted tail paragraph) survives exactly once
+    // corpus-wide; short h1 prefixes collide across docs and dedup
+    // too; unique blocks pass untouched. One block-keyed window
+    // shuffle (full key-cardinality parallelism — the span_rewrite
+    // shape at block granularity) + one doc-keyed aggregation.
+    "html_block_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("block")).orderBy(col("doc_id"), col("block_no"))
+      plantedHtmlBlocks(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          // collect_list skips the nulls the unmatched `when` leaves,
+          // so only survivors enter; struct sort restores block order
+          array_join(transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("block_no"), col("block"))))),
+            b => b("block")), " ").as("kept_text"))
+        .orderBy(col("doc_id"))
     }),
 
     // Repetition signals (Gopher-style quality filters): distinct-token
@@ -1490,6 +1525,24 @@ object Pipeline extends QueryModule {
              array_to_string(w[1:20], ' ') || ' & more!' FROM w
            UNION ALL SELECT doc_id, CAST(3 AS INT), 'Tail <end>' FROM w)
          ORDER BY doc_id, block_no""",
+    "html_block_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         hb AS (
+           SELECT doc_id, CAST(0 AS INT) AS block_no,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS block FROM w
+           UNION ALL SELECT doc_id, CAST(1 AS INT),
+             array_to_string(w[1:3], ' ') FROM w
+           UNION ALL SELECT doc_id, CAST(2 AS INT),
+             array_to_string(w[1:20], ' ') || ' & more!' FROM w
+           UNION ALL SELECT doc_id, CAST(3 AS INT), 'Tail <end>' FROM w),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY block
+                                             ORDER BY doc_id, block_no) rk
+                FROM hb)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN block END, ' '
+                               ORDER BY block_no), '') AS kept_text
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
     "text_repetition" ->
       s"""WITH t AS (
             SELECT doc_id, $toksSql toks FROM documents

@@ -78,6 +78,28 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(out(2L) == Seq("only"))
   }
 
+  test("html_block_dedup keeps each block text once corpus-wide, first (doc, pos) wins") {
+    val rows = SparkEntry.queries("html_block_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    val minDoc = rows.map(_._1).min
+    // every doc has its 4 extracted blocks; the globally-first doc
+    // keeps all of them (every block is its own first occurrence)
+    assert(rows.forall(_._2 == 4L))
+    assert(byDoc(minDoc)._3 == 4L, byDoc(minDoc).toString)
+    // the shared boilerplate block survives ONLY in the first doc
+    val tailKeepers = rows.filter(_._4.contains("Tail <end>")).map(_._1)
+    assert(tailKeepers.toSeq == Seq(minDoc), tailKeepers.mkString(","))
+    // unique per-doc blocks always survive: every doc keeps its title
+    rows.foreach { case (id, _, _, text) =>
+      assert(text.startsWith(s"Doc $id"), s"doc $id lost its unique title block")
+    }
+    // and the kept counts reconcile with a global distinct-block census
+    val allBlocks = SparkEntry.queries("html_extract")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(2))
+    assert(rows.map(_._3).sum == allBlocks.distinct.length)
+  }
+
   test("registered html_extract emits exactly the oracle's closed-form blocks") {
     val rows = SparkEntry.queries("html_extract")(spark, "/root/testdata/sf0.001")
       .collect()
