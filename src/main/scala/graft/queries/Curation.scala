@@ -466,6 +466,80 @@ object Curation extends QueryModule {
         .orderBy(col("canonical_url"))
     }),
 
+    // Crawl-frontier composition — the stage pipeline in FRONT of
+    // content curation, built from this file's own pieces:
+    //   (1) URL canonicalization (url_canonical's exact rules) collapses
+    //       raw crawl variants onto canonical keys before anything
+    //       touches text;
+    //   (2) URL-level dedup keeps the first doc per canonical key
+    //       (n_raw recorded as provenance);
+    //   (3) a per-domain quality cap keeps the top 40 survivors per
+    //       registered domain by content length (rank filter after a
+    //       domain-keyed window — the quota_sample shape, so Catalyst's
+    //       WindowGroupLimit pushes the limit into the shuffle);
+    //   (4) exact content dedup (normalized fingerprint, keep-first)
+    //       drops recrawl mirrors stage 1 CANNOT see because they
+    //       arrive under different urls.
+    // The fixture plants all three duplicate classes: two raw
+    // decoration variants per page (stage-1 work), colliding
+    // (domain,page) cycles at lcm(17,100)=1700 < corpus size (stage-2
+    // work), and shouting re-keyed mirror copies of doc_id<100 under
+    // shifted domains (stage-4 work). Output = survivors with their
+    // stage-3 rank, so rank GAPS witness content-dups removed after
+    // the cap. Three keyed shuffles total (canonical / domain /
+    // fingerprint), each fully key-parallel at 100 TB; nothing is
+    // all-pairs and no stage re-reads the corpus.
+    "crawl_frontier" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mirror = base.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      val docs = base.unionByName(mirror)
+      val k = (col("doc_id") % 17).cast("string")
+      val m = (col("doc_id") % 100).cast("string")
+      val raw = docs.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://Site-"), k, lit(".Example.COM:443/p/"), m,
+            lit("?utm_source=crawl&x=1#sec")))
+        .otherwise(
+          concat(lit("https://site-"), k, lit(".example.com/p/"), m, lit("?x=1")))
+        .as("url"))
+      // canonicalization: url_canonical's rules, verbatim
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val base2 = regexp_replace(noFrag, "\\?.*$", "")
+      val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+      val lowered = concat(
+        lower(regexp_extract(base2, "^([^/]*//[^/]*)", 1)),
+        regexp_replace(base2, "^[^/]*//[^/]*", ""))
+      val noPort = regexp_replace(
+        regexp_replace(lowered, "^(https://[^/:]*):443(?=(/|$))", "$1"),
+        "^(http://[^/:]*):80(?=(/|$))", "$1")
+      val params = array_join(array_sort(
+        filter(split(q, "&"), p => !p.startsWith("utm_") && p =!= "")), "&")
+      val canon = raw.withColumn("canonical_url",
+        concat(noPort, when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))))
+      val wUrlPart = Window.partitionBy(col("canonical_url"))
+      val urlKept = canon
+        .withColumn("n_raw", count(lit(1)).over(wUrlPart).cast("long"))
+        .withColumn("ru", row_number().over(wUrlPart.orderBy(col("doc_id"))))
+        .filter(col("ru") === 1)
+        .withColumn("domain",
+          regexp_extract(col("canonical_url"), "^https://([^/]+)", 1))
+      val wDom = Window.partitionBy(col("domain"))
+        .orderBy(length(col("text")).desc, col("doc_id"))
+      val capped = urlKept
+        .withColumn("rn", row_number().over(wDom))
+        .filter(col("rn") <= 40)
+      val fp = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      capped.withColumn("fp", fp)
+        .withColumn("rf", row_number().over(wFp))
+        .filter(col("rf") === 1)
+        .select(col("domain"), col("rn"), col("doc_id"),
+          col("canonical_url"), col("n_raw"))
+        .orderBy(col("domain"), col("rn"))
+    }),
+
     "url_domains" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val planted = docs.select(col("doc_id"),
@@ -1478,6 +1552,56 @@ object Curation extends QueryModule {
          SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
            min(doc_id) AS min_doc
          FROM c GROUP BY 1 ORDER BY 1""",
+    // crawl_frontier: the full four-stage replay — planted mirrors,
+    // the url_canonical regex chain, keep-first per canonical,
+    // per-domain length cap, normalized-fingerprint keep-first
+    "crawl_frontier" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, concat('  ', upper(text), '   ')
+           FROM documents WHERE doc_id < 100),
+         r AS (SELECT doc_id, text,
+                 CASE WHEN doc_id % 2 = 0
+                   THEN 'HTTPS://Site-' || CAST(doc_id % 17 AS VARCHAR) ||
+                        '.Example.COM:443/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+                        '?utm_source=crawl&x=1#sec'
+                   ELSE 'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+                        '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '?x=1'
+                 END AS url
+               FROM all_docs),
+         s1 AS (SELECT doc_id, text, regexp_replace(url, '#.*$', '') nf FROM r),
+         s2 AS (SELECT doc_id, text, regexp_replace(nf, '\?.*$', '') base,
+                  coalesce(regexp_extract(nf, '\?(.*)$', 1), '') q FROM s1),
+         s3 AS (SELECT doc_id, text, q,
+                  lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+                    regexp_replace(base, '^[^/]*//[^/]*', '') low FROM s2),
+         s4 AS (SELECT doc_id, text, q,
+                  regexp_replace(regexp_replace(low,
+                    '^(https://[^/:]*):443(/|$)', '\1\2'),
+                    '^(http://[^/:]*):80(/|$)', '\1\2') np FROM s3),
+         s5 AS (SELECT doc_id, text, np,
+                  array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') ps FROM s4),
+         c AS (SELECT doc_id, text,
+                 np || CASE WHEN ps <> '' THEN '?' || ps ELSE '' END AS canonical_url
+               FROM s5),
+         u AS (SELECT doc_id, text, canonical_url,
+                 count(*) OVER (PARTITION BY canonical_url) AS n_raw,
+                 row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS ru
+               FROM c),
+         k AS (SELECT doc_id, text, canonical_url, n_raw,
+                 regexp_extract(canonical_url, '^https://([^/]+)', 1) AS domain
+               FROM u WHERE ru = 1),
+         d AS (SELECT *, row_number() OVER (PARTITION BY domain
+                 ORDER BY length(text) DESC, doc_id) AS rn FROM k),
+         e AS (SELECT * FROM d WHERE rn <= 40),
+         f AS (SELECT *, row_number() OVER (PARTITION BY
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                 ORDER BY doc_id) AS rf FROM e)
+         SELECT domain, CAST(rn AS INTEGER) AS rn, doc_id, canonical_url,
+           CAST(n_raw AS BIGINT) AS n_raw
+         FROM f WHERE rf = 1 ORDER BY domain, rn""",
     "split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'

@@ -23,6 +23,20 @@ object Training extends QueryModule {
   private val PackBudget  = 2048L
   private val PackShards  = 4
 
+  /** Shared feature frame for the trained-classifier queries
+    * (quality_logreg fit/confusion, quality_calibration reliability).
+    * x1/x2 are exactly-rounded IEEE divisions of integer counts —
+    * bit-identical cross-engine with no rounding step needed. */
+  private def logregFeatures(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+      .select(col("n_chars"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        (col("n_chars").cast("double") / lit(500.0)).as("x1"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
   /** Fixed merge table for `bpe_encode` (rank order matters: `the`
     * builds on `th`, `and` on `an`; `er` before `re` decides which of
     * the two claims a shared `e`). Counts are irrelevant to encoding. */
@@ -199,16 +213,7 @@ object Training extends QueryModule {
     // literal-weight confusion matrix (prediction = margin >= 0 needs
     // no exp, so it is exactly deterministic given the weights).
     "quality_logreg" -> ((s, dir) => {
-      // x1/x2 are exactly-rounded IEEE divisions of integer counts —
-      // bit-identical cross-engine with no rounding step needed.
-      val f = Tables(s, dir, "documents")
-        .select(col("n_chars"), col("lang"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(
-          (col("n_chars").cast("double") / lit(500.0)).as("x1"),
-          (size(array_distinct(col("toks"))).cast("double") /
-            size(col("toks")).cast("double")).as("x2"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val f = logregFeatures(s, dir)
       val wts = graft.operators.LogisticRegression.fit(f, Seq("x1", "x2"), "y")
       val z = graft.operators.LogisticRegression.margin(wts, Seq("x1", "x2"))
       f.agg(
@@ -223,6 +228,66 @@ object Training extends QueryModule {
           col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
           (round((col("tp") + col("tn")).cast("double") / col("n"), 6) + lit(0.0))
             .as("accuracy"))
+    }),
+
+    // Calibration / reliability curve of the trained quality classifier
+    // — the fourth member of the eval family (ann_eval measures the ANN
+    // index, dedup_eval the LSH reroute, ann_eval_tuned the autotuner,
+    // this one the model the curation gate trusts): predicted
+    // probabilities are binned at 0.02 width and each bin reports mean
+    // predicted vs empirical positive rate, their gap, and the Brier
+    // contribution. The label is PLANTED with a positive rate linear in
+    // the length feature (see PlantedLabelSql — the lang label is
+    // text-independent by fixture construction, which would leave any
+    // model near-chance and every score in one bin), so the fit has
+    // genuine signal and the diagram shows the real sigmoid-vs-linear
+    // miscalibration at the score ends. Numeric discipline: the sigmoid
+    // is anchored at 6 dp per row (the quality_score precedent), then
+    // ALL bin arithmetic runs in exact integer micro-units — bucket =
+    // pe div 2e4, mean_p = sum(pe)/1e6/n, brier from (pe-ye)^2 — so no
+    // summation-order flicker can reach the hash (the v2/v3 lesson).
+    // One corpus pass per GD round over the PERSISTED feature frame
+    // (20 rounds — measured as where the score spread fills the
+    // diagram) plus one tiny bucket-keyed aggregation: the fit's only
+    // driver crossing is the (k+1)-double gradient per round.
+    "quality_calibration" -> ((s, dir) => {
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(
+          (col("n_chars").cast("double") / lit(500.0)).as("x1"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("x2"),
+          when(((col("doc_id") * lit(2654435761L)) % lit(1048576L)).cast("double")
+                 / lit(1048576.0) <
+               lit(0.1) + lit(0.7) *
+                 least(col("n_chars").cast("double") / lit(500.0), lit(1.0)),
+            1.0).otherwise(0.0).as("y"))
+        .persist()
+      val wts = graft.operators.LogisticRegression.fit(f, Seq("x1", "x2"), "y",
+        iters = 20)
+      val z = graft.operators.LogisticRegression.margin(wts, Seq("x1", "x2"))
+      f.select(col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+        .select(col("y"),
+          round(col("p") * lit(1e6)).cast("long").as("pe"),
+          (col("y") * lit(1e6)).cast("long").as("ye"))
+        .withColumn("bucket",
+          least(floor(col("pe") / lit(20000.0)).cast("int"), lit(49)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (sum(col("ye")) / lit(1000000L)).cast("long").as("n_pos"),
+          (round(sum(col("pe")) / lit(1e6) / count(lit(1)), 6) + lit(0.0))
+            .as("mean_p"),
+          (round(sum(col("ye")) / lit(1e6) / count(lit(1)), 6) + lit(0.0))
+            .as("frac_pos"),
+          (round(sum((col("pe") - col("ye")) * (col("pe") - col("ye")))
+            / lit(1e12) / count(lit(1)), 6) + lit(0.0)).as("brier"))
+        .select(col("bucket"), col("n"), col("n_pos"), col("mean_p"),
+          col("frac_pos"),
+          (round(col("mean_p") - col("frac_pos"), 6) + lit(0.0)).as("gap"),
+          col("brier"))
+        .orderBy(col("bucket"))
     }),
 
     // Context-window chunking with overlap: every document is cut into
@@ -560,6 +625,58 @@ object Training extends QueryModule {
         .orderBy(col("rank"))
     }))
 
+  /** The `iters`-round full-batch GD fit unrolled as DuckDB CTEs —
+    * shared by the quality_logreg and quality_calibration oracles (the
+    * literal twin of LogisticRegression.fit's per-round 6-dp gradient
+    * rounding, so both engines land on identical weight doubles). The
+    * label expression is a parameter; the final weights CTE is named
+    * `w${iters}t`. */
+  private def logregFitCtes(labelSql: String, iters: Int): String = {
+    // f is MATERIALIZED: each GD round cross-joins f, and without the
+    // hint DuckDB inlines the CTE — re-tokenizing the corpus and
+    // re-opening the parquet once per round (21 scans hit EMFILE at
+    // iters=20; it is also the honest twin of the Spark side's persist)
+    val head =
+      s"""f AS MATERIALIZED (
+            SELECT CAST(n_chars AS DOUBLE) / 500.0 AS x1,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS x2,
+                   $labelSql AS y
+            FROM (SELECT doc_id, lang, n_chars, ${Pipeline.toksSql} AS toks
+                  FROM documents)
+            WHERE len(toks) > 0),
+          w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b)"""
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}t"
+      s""",
+          g$i AS MATERIALIZED (SELECT
+              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
+              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
+              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
+            FROM f CROSS JOIN $prev),
+          w${i}t AS MATERIALIZED (SELECT $prev.w1 - g$i.d1 AS w1, $prev.w2 - g$i.d2 AS w2,
+                         $prev.b - g$i.db AS b FROM $prev CROSS JOIN g$i)"""
+    }.mkString
+    head + rounds
+  }
+
+  private val LangLabelSql = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+
+  /** quality_calibration's planted label: positive with probability
+    * 0.1 + 0.7·min(x1, 1) — LINEAR in the length feature, with the
+    * Bernoulli draw from a Knuth multiplicative hash of doc_id (pure
+    * integer arithmetic, so both engines draw the identical bit). The
+    * logistic fit has genuine signal to learn (the lang label is
+    * text-independent by fixture construction, leaving any model
+    * near-chance and its scores in a single bin), and the calibration
+    * curve measures a REAL mismatch: a sigmoid fitted to a linear
+    * positive rate is over-confident at the ends — exactly what a
+    * reliability diagram exists to show. */
+  private val PlantedLabelSql =
+    """CASE WHEN CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0
+              < 0.1 + 0.7 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+            THEN 1.0 ELSE 0.0 END"""
+
   val oracle: Map[String, String] = Map(
     // DuckDB's built-in strip_accents/nfc_normalize ARE the reference
     // implementation here; the planted phrases splice from the same
@@ -614,35 +731,7 @@ object Training extends QueryModule {
             round(avg(y), 4) + 0.0 AS enc_naive
           FROM j CROSS JOIN g GROUP BY p_brand, mu ORDER BY p_brand""",
     "quality_logreg" ->
-      s"""WITH f AS (
-            SELECT CAST(n_chars AS DOUBLE) / 500.0 AS x1,
-                   CAST(len(list_distinct(toks)) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE) AS x2,
-                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-            FROM (SELECT lang, n_chars, ${Pipeline.toksSql} AS toks FROM documents)
-            WHERE len(toks) > 0),
-          w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
-          g1 AS (SELECT
-              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
-              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
-              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
-            FROM f CROSS JOIN w0),
-          w1t AS (SELECT w0.w1 - g1.d1 AS w1, w0.w2 - g1.d2 AS w2,
-                         w0.b - g1.db AS b FROM w0 CROSS JOIN g1),
-          g2 AS (SELECT
-              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
-              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
-              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
-            FROM f CROSS JOIN w1t),
-          w2t AS (SELECT w1t.w1 - g2.d1 AS w1, w1t.w2 - g2.d2 AS w2,
-                         w1t.b - g2.db AS b FROM w1t CROSS JOIN g2),
-          g3 AS (SELECT
-              round(avg(x1 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d1,
-              round(avg(x2 * (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS d2,
-              round(avg(     (1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))) - y)), 6) + 0.0 AS db
-            FROM f CROSS JOIN w2t),
-          w3t AS (SELECT w2t.w1 - g3.d1 AS w1, w2t.w2 - g3.d2 AS w2,
-                         w2t.b - g3.db AS b FROM w2t CROSS JOIN g3),
+      s"""WITH ${logregFitCtes(LangLabelSql, 3)},
           cm AS (SELECT
               any_value(w1) + 0.0 AS w_len, any_value(w2) + 0.0 AS w_ttr,
               any_value(b) + 0.0 AS bias,
@@ -659,6 +748,30 @@ object Training extends QueryModule {
           SELECT w_len, w_ttr, bias, n, tp, fp, fn, tn,
             round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS accuracy
           FROM cm""",
+    // quality_calibration: the identical 20-round fit chain on the
+    // planted linear-rate label, then the 6-dp sigmoid anchor and
+    // exact integer micro-unit bin arithmetic
+    "quality_calibration" ->
+      s"""WITH ${logregFitCtes(PlantedLabelSql, 20)},
+          scored AS (SELECT y,
+              round(1.0/(1.0+exp(-(x1*w1 + x2*w2 + b))), 6) + 0.0 AS p
+            FROM f CROSS JOIN w20t),
+          m AS (SELECT CAST(round(p * 1000000) AS BIGINT) AS pe,
+                  CAST(y * 1000000 AS BIGINT) AS ye
+                FROM scored),
+          bk AS (SELECT LEAST(CAST(floor(pe / 20000.0) AS INT), 49) AS bucket,
+                   pe, ye FROM m),
+          agg AS (SELECT bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(ye) / 1000000 AS BIGINT) AS n_pos,
+              round(sum(pe) / 1000000.0 / count(*), 6) + 0.0 AS mean_p,
+              round(sum(ye) / 1000000.0 / count(*), 6) + 0.0 AS frac_pos,
+              round(sum((pe - ye) * (pe - ye)) / 1000000000000.0 / count(*), 6)
+                + 0.0 AS brier
+            FROM bk GROUP BY 1)
+          SELECT bucket, n, n_pos, mean_p, frac_pos,
+            round(mean_p - frac_pos, 6) + 0.0 AS gap, brier
+          FROM agg ORDER BY bucket""",
     "bpe_merges" -> BpeTrainer.learnSql("documents", "text", numMerges = 12),
     "bpe_encode" ->
       """WITH w AS (SELECT doc_id,

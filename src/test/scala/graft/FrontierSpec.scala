@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-12 composition queries: the
+  * crawl-frontier stage chain (canonicalize → url-dedup → domain cap →
+  * content-dedup) and the trained-classifier calibration diagram. The
+  * registered oracles cover the cross-engine value replay; these pin
+  * the stage CONTRACTS on the small fixture.
+  */
+class FrontierSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("crawl_frontier: canonical urls are normalized, unique, and capped per domain") {
+    val out = SparkEntry.queries("crawl_frontier")(spark, dir).cache()
+    val n = out.count()
+    assert(n > 0)
+
+    // stage-1 contract: every surviving url is canonical — lowercase
+    // https authority, no default port, no utm_ param, no fragment
+    val bad = out.filter(
+      !col("canonical_url").rlike("^https://site-[0-9]+\\.example\\.com/p/[0-9]+\\?x=1$"))
+      .count()
+    assert(bad == 0, s"$bad non-canonical survivors")
+
+    // stage-2 contract: canonical keys are unique among survivors
+    assert(out.select("canonical_url").distinct().count() == n)
+
+    // stage-3 contract: at most 40 survivors per domain and every rank
+    // within the cap (gaps allowed: stage 4 removes AFTER the cap)
+    val overCap = out.groupBy(col("domain")).count().filter(col("count") > 40).count()
+    assert(overCap == 0)
+    assert(out.filter(col("rn") > 40 || col("rn") < 1).count() == 0)
+  }
+
+  test("crawl_frontier: content dedup removes recrawl mirrors the url stage cannot see") {
+    val out = SparkEntry.queries("crawl_frontier")(spark, dir).cache()
+    // survivors' normalized fingerprints are unique — a mirror
+    // (doc_id>=10000) and its original never both survive
+    val fp = md5(lower(trim(regexp_replace(
+      // recover text by joining survivors back to the planted corpus
+      col("text"), "\\s+", " "))))
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val mirror = base.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+    val joined = out.join(base.unionByName(mirror), Seq("doc_id"))
+    assert(joined.count() == out.count(), "every survivor maps back to a planted row")
+    val nFp = joined.select(fp.as("fp")).distinct().count()
+    assert(nFp == out.count(), "normalized fingerprints must be unique among survivors")
+  }
+
+  test("crawl_frontier is deterministic") {
+    val a = SparkEntry.queries("crawl_frontier")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("crawl_frontier")(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("quality_calibration: bin identities and monotone mean prediction") {
+    val out = SparkEntry.queries("quality_calibration")(spark, dir)
+      .orderBy(col("bucket")).collect().toSeq
+    assert(out.nonEmpty)
+    val round6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+
+    // bins partition the scored corpus
+    val scored = Tables(spark, dir, "documents")
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) > 0).count()
+    assert(out.map(_.getAs[Long]("n")).sum == scored)
+
+    var lastMean = -1.0
+    for (r <- out) {
+      val bucket = r.getAs[Int]("bucket")
+      val n = r.getAs[Long]("n"); val nPos = r.getAs[Long]("n_pos")
+      val meanP = r.getAs[Double]("mean_p"); val fracPos = r.getAs[Double]("frac_pos")
+      assert(bucket >= 0 && bucket <= 49)
+      assert(nPos >= 0 && nPos <= n)
+      // frac_pos and gap are exact derivations of the counts/means
+      assert(fracPos == round6(nPos.toDouble / n))
+      assert(r.getAs[Double]("gap") == round6(meanP - fracPos) + 0.0)
+      // mean prediction sits inside its own 0.02 bin (6-dp slack at the
+      // edges from the per-row anchor; top bucket is open-ended)
+      assert(meanP >= bucket * 0.02 - 1e-6)
+      if (bucket < 49) assert(meanP <= (bucket + 1) * 0.02 + 1e-6)
+      // value-binned means are monotone across buckets by construction
+      assert(meanP > lastMean, s"mean_p not monotone at bucket $bucket")
+      lastMean = meanP
+      val brier = r.getAs[Double]("brier")
+      assert(brier >= 0.0 && brier <= 1.0)
+    }
+  }
+}
