@@ -445,21 +445,9 @@ object Curation extends QueryModule {
         .otherwise(
           concat(lit("http://blog.example.org/post/"), page, lit("#top")))
         .as("url"))
-      val noFrag = regexp_replace(col("url"), "#.*$", "")
-      val base = regexp_replace(noFrag, "\\?.*$", "")
-      val q = regexp_extract(noFrag, "\\?(.*)$", 1)
-      val lowered = concat(
-        lower(regexp_extract(base, "^([^/]*//[^/]*)", 1)),
-        regexp_replace(base, "^[^/]*//[^/]*", ""))
-      val noPort = regexp_replace(
-        regexp_replace(lowered, "^(https://[^/:]*):443(?=(/|$))", "$1"),
-        "^(http://[^/:]*):80(?=(/|$))", "$1")
-      val params = array_join(array_sort(
-        filter(split(q, "&"),
-          p => !p.startsWith("utm_") && p =!= "")), "&")
       raw
         .withColumn("canonical_url",
-          concat(noPort, when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))))
+          graft.functions.UrlFunctions.canonicalizeUrl(col("url")))
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).cast("long").as("n_raw"),
           min(col("doc_id")).as("min_doc"))
@@ -504,27 +492,15 @@ object Curation extends QueryModule {
         .otherwise(
           concat(lit("https://site-"), k, lit(".example.com/p/"), m, lit("?x=1")))
         .as("url"))
-      // canonicalization: url_canonical's rules, verbatim
-      val noFrag = regexp_replace(col("url"), "#.*$", "")
-      val base2 = regexp_replace(noFrag, "\\?.*$", "")
-      val q = regexp_extract(noFrag, "\\?(.*)$", 1)
-      val lowered = concat(
-        lower(regexp_extract(base2, "^([^/]*//[^/]*)", 1)),
-        regexp_replace(base2, "^[^/]*//[^/]*", ""))
-      val noPort = regexp_replace(
-        regexp_replace(lowered, "^(https://[^/:]*):443(?=(/|$))", "$1"),
-        "^(http://[^/:]*):80(?=(/|$))", "$1")
-      val params = array_join(array_sort(
-        filter(split(q, "&"), p => !p.startsWith("utm_") && p =!= "")), "&")
       val canon = raw.withColumn("canonical_url",
-        concat(noPort, when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))))
+        graft.functions.UrlFunctions.canonicalizeUrl(col("url")))
       val wUrlPart = Window.partitionBy(col("canonical_url"))
       val urlKept = canon
         .withColumn("n_raw", count(lit(1)).over(wUrlPart).cast("long"))
         .withColumn("ru", row_number().over(wUrlPart.orderBy(col("doc_id"))))
         .filter(col("ru") === 1)
         .withColumn("domain",
-          regexp_extract(col("canonical_url"), "^https://([^/]+)", 1))
+          graft.functions.UrlFunctions.urlDomain(col("canonical_url")))
       val wDom = Window.partitionBy(col("domain"))
         .orderBy(length(col("text")).desc, col("doc_id"))
       val capped = urlKept

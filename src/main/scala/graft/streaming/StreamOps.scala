@@ -546,6 +546,52 @@ object StreamOps {
     * corpus once (the ann_ivf_pq store shape) and only the probe side
     * streams. StreamingSpec pins shard parity with the batch operator
     * run on the same probes. */
+  /** Streaming crawl-frontier sink — the arriving-crawl face of the
+    * batch `crawl_frontier` chain's url stages: each micro-batch of
+    * (id, url) rows is canonicalized
+    * ([[graft.functions.UrlFunctions.canonicalizeUrl]]), deduped
+    * within the batch (keep the MIN id per canonical key — one keyed
+    * aggregate, no window), then anti-joined against every canonical
+    * key already ACCEPTED (the store = batchId-keyed parquet shards,
+    * the dedup_signature_store discipline: restart-safe, compactable,
+    * and per-batch cost scales with increment × store lookup, never
+    * frontier²). Accepted (id, canonical_url) rows land as the batch's
+    * own shard, idempotently — a replay recomputes identically because
+    * the store read EXCLUDES the replaying batch's shard. Kept-set
+    * semantics are keep-FIRST in ARRIVAL order with min-id as the
+    * intra-batch tiebreak; they intentionally depend on batch order
+    * (a frontier accepts the url it crawls first), unlike the
+    * batch query's global min-id rule. */
+  def frontierSink(newPages: DataFrame, storeDir: String,
+                   checkpointDir: String, idCol: String, urlCol: String) =
+    newPages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val firstPer = batch
+          .withColumn("canonical_url",
+            graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)))
+          .groupBy(col("canonical_url"))
+          .agg(min(col(idCol)).as(idCol))
+        val hasPrior = Option(new java.io.File(storeDir).listFiles())
+          .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+        val accepted =
+          if (!hasPrior) firstPer
+          else firstPer.join(
+            spark.read.option("basePath", storeDir).parquet(storeDir)
+              .filter(col("batch") =!= batchId)
+              .select(col("canonical_url")),
+            Seq("canonical_url"), "left_anti")
+        accepted.select(col(idCol), col("canonical_url"))
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      }
+      .start()
+
+  /** Every (id, canonical_url, batch) the frontier has accepted. */
+  def readFrontier(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("basePath", storeDir).parquet(storeDir)
+
   def retrievalSink(probes: DataFrame, corpus: DataFrame, outDir: String,
                     checkpointDir: String, probeIdCol: String, idCol: String,
                     vecCol: String, k: Int = 3) =

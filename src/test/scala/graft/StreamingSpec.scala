@@ -677,6 +677,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("frontierSink accepts each canonical url once, in arrival order") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+    val ms = MemoryStream[(Long, String)]
+    val pages = ms.toDF().toDF("page_id", "url")
+    val q = StreamOps.frontierSink(pages, s"$tmp/store", s"$tmp/ckpt",
+      "page_id", "url")
+    try {
+      // batch 0: two raw variants of the same page (decoration dedup
+      // inside the batch, min id wins) plus a distinct page
+      ms.addData((2L, "HTTPS://A.Example.COM:443/x?utm_src=f&b=2#frag"),
+        (1L, "https://a.example.com/x?b=2"),
+        (3L, "https://b.example.com/y?k=1"))
+      q.processAllAvailable()
+      val s0 = StreamOps.readFrontier(spark, s"$tmp/store").collect()
+        .map(r => r.getAs[Long]("page_id") -> r.getAs[String]("canonical_url")).toMap
+      assert(s0 == Map(
+        1L -> "https://a.example.com/x?b=2",
+        3L -> "https://b.example.com/y?k=1"))
+      // batch 1: a recrawl of an accepted page under a decorated url
+      // (rejected — the store remembers across batches, and the EARLIER
+      // arrival stays accepted even though 0 < 1) and a new page
+      ms.addData((0L, "https://a.example.com/x?b=2&utm_x=9"),
+        (4L, "https://c.example.com/z"))
+      q.processAllAvailable()
+      val s1 = StreamOps.readFrontier(spark, s"$tmp/store").collect()
+        .map(_.getAs[Long]("page_id")).toSet
+      assert(s1 == Set(1L, 3L, 4L))
+      // shards are batch-keyed: batch 1 contributed exactly one row
+      val b1 = spark.read.parquet(s"$tmp/store/batch=1").collect()
+      assert(b1.map(_.getAs[Long]("page_id")).toSeq == Seq(4L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("retrievalSink shards equal the batch IVF operator per micro-batch") {
     implicit val ctx = spark.sqlContext
     val rnd = new scala.util.Random(3)
