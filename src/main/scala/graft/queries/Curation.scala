@@ -516,6 +516,39 @@ object Curation extends QueryModule {
         .orderBy(col("domain"), col("rn"))
     }),
 
+    // Domain blocklist derivation — the governance output a web
+    // pipeline feeds back to its crawler: per-domain mean lexical
+    // quality (type-token ratio — repetition-spam's sharpest signal)
+    // with a minimum-support gate, domains below the bar flagged
+    // blocked. The corpus text is domain-independent by construction,
+    // so two domains are PLANTED as content farms (30 repeated filler
+    // tokens appended — the pii_scrub planting discipline) and exactly
+    // those must flag. Mean TTR uses the integer-scaled averaging
+    // discipline (per-row 6-dp anchor → exact integer sum → one
+    // divide). One projection + one domain-keyed aggregate with
+    // map-side combine: nothing here grows faster than the input, and
+    // the output is domain-cardinality (tiny) at any corpus size.
+    "domain_blocklist" -> ((s, dir) => {
+      val domId = col("doc_id") % 17
+      val spammed = when(domId.isin(3, 11),
+        concat(col("text"), lit(" lowq" * 30))).otherwise(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("site-"), domId.cast("string"), lit(".example.com"))
+            .as("domain"),
+          tokens(spammed).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("domain"),
+          round((size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")) * lit(1e6)).cast("long").as("ttr6"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          (round(sum(col("ttr6")) / lit(1e6) / count(lit(1)), 6) + lit(0.0))
+            .as("avg_ttr"))
+        .withColumn("blocked", col("n_docs") >= 20 && col("avg_ttr") < 0.4)
+        .orderBy(col("domain"))
+    }),
+
     "url_domains" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val planted = docs.select(col("doc_id"),
@@ -1578,6 +1611,26 @@ object Curation extends QueryModule {
          SELECT domain, CAST(rn AS INTEGER) AS rn, doc_id, canonical_url,
            CAST(n_raw AS BIGINT) AS n_raw
          FROM f WHERE rf = 1 ORDER BY domain, rn""",
+    // domain_blocklist: identical planting, tokenizer and
+    // integer-scaled mean; blocked recomputed from the same rounded mean
+    "domain_blocklist" ->
+      """WITH t AS (
+           SELECT doc_id % 17 AS dom,
+             CASE WHEN doc_id % 17 IN (3, 11)
+                  THEN text || repeat(' lowq', 30) ELSE text END AS tx
+           FROM documents),
+         w AS (SELECT dom,
+                 string_split(lower(trim(regexp_replace(tx, '\s+', ' ', 'g'))), ' ') toks
+               FROM t),
+         f AS (SELECT 'site-' || CAST(dom AS VARCHAR) || '.example.com' AS domain,
+                 CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) * 1000000) AS BIGINT) AS ttr6
+               FROM w WHERE len(toks) > 0)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(ttr6) / 1000000.0 / count(*), 6) + 0.0 AS avg_ttr,
+           count(*) >= 20 AND round(sum(ttr6) / 1000000.0 / count(*), 6) < 0.4
+             AS blocked
+         FROM f GROUP BY 1 ORDER BY 1""",
     "split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'

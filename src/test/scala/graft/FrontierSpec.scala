@@ -57,6 +57,21 @@ class FrontierSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("domain_blocklist flags exactly the planted content farms") {
+    val out = SparkEntry.queries("domain_blocklist")(spark, dir).collect().toSeq
+    assert(out.size == 17)
+    val blocked = out.filter(_.getAs[Boolean]("blocked"))
+      .map(_.getAs[String]("domain")).toSet
+    assert(blocked == Set("site-3.example.com", "site-11.example.com"))
+    // the per-domain doc counts partition the tokenized corpus
+    val scored = Tables(spark, dir, "documents")
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) > 0).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == scored)
+    // every mean is a genuine ratio
+    assert(out.forall(r => r.getAs[Double]("avg_ttr") > 0.0 &&
+      r.getAs[Double]("avg_ttr") <= 1.0))
+  }
+
   test("quality_calibration: bin identities and monotone mean prediction") {
     val out = SparkEntry.queries("quality_calibration")(spark, dir)
       .orderBy(col("bucket")).collect().toSeq
