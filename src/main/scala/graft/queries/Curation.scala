@@ -1057,6 +1057,72 @@ object Curation extends QueryModule {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // The round-12 composition — curation for the WEB CRAWL, where v2
+    // curates a clean corpus and v3 repairs one: (1) crawl frontier —
+    // URL canonicalization + keep-first per canonical key kills the
+    // planted recrawls (a tenth of the corpus re-arrives re-keyed
+    // under the OPPOSITE url decoration) before anything parses — the
+    // pipeline's real argument: the cheapest stage runs first; (2)
+    // HTML block extraction of the surviving pages (the shared
+    // plantedHtmlBlocksOf page); (3) C4-style block-level keep-first
+    // dedup hollows out corpus-wide boilerplate; (4) a token-budget
+    // gate drops docs the dedup hollowed below 10 tokens; (5)
+    // leakage-safe md5 split + per-(split, domain) rollup. Per-stage
+    // work FRACTIONS are SF-invariant by construction (recrawls are a
+    // fixed tenth; page keys are doc-unique so the url stage removes
+    // exactly the planted recrawls at every scale). Shuffles: one
+    // canonical-keyed window, one block-keyed window, one doc-keyed
+    // agg + doc-keyed domain join, one tiny rollup — each at full key
+    // cardinality. All counting is INTEGER token counts: the oracle
+    // replay carries no floating point anywhere.
+    "curation_pipeline_v4" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      def urlOf(flip: Boolean) = {
+        val k = (col("doc_id") % 17).cast("string")
+        val decorated = concat(lit("HTTPS://Site-"), k,
+          lit(".Example.COM:443/p/"), col("doc_id").cast("string"),
+          lit("?utm_source=crawl&x=1#sec"))
+        val plain = concat(lit("https://site-"), k, lit(".example.com/p/"),
+          col("doc_id").cast("string"), lit("?x=1"))
+        val even = col("doc_id") % 2 === 0
+        if (!flip) when(even, decorated).otherwise(plain)
+        else when(even, plain).otherwise(decorated)
+      }
+      val base = docs.select(col("doc_id"), col("text"), urlOf(false).as("url"))
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), urlOf(flip = true).as("url"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("url"))
+      val wUrl = Window.partitionBy(col("canonical_url")).orderBy(col("doc_id"))
+      val frontier = base.unionByName(recrawl)
+        .withColumn("canonical_url",
+          graft.functions.UrlFunctions.canonicalizeUrl(col("url")))
+        .withColumn("ru", row_number().over(wUrl))
+        .filter(col("ru") === 1)
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.urlDomain(col("canonical_url"))
+            .as("domain"),
+          col("text"))
+      val blocks = Pipeline.plantedHtmlBlocksOf(
+        frontier.select(col("doc_id"), col("text")))
+      val wB = Window.partitionBy(col("block"))
+        .orderBy(col("doc_id"), col("block_no"))
+      val perDoc = blocks
+        .withColumn("rk", row_number().over(wB))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("rk") === 1, size(split(col("block"), " ")))
+          .otherwise(0)).cast("long").as("n_toks_kept"))
+      val sp = substring(md5(col("doc_id").cast("string")), 1, 4)
+      perDoc.filter(col("n_toks_kept") >= 10)
+        .join(frontier.select(col("doc_id"), col("domain")), Seq("doc_id"))
+        .withColumn("split",
+          when(sp < "cccc", "train").when(sp < "e666", "val").otherwise("test"))
+        .groupBy(col("split"), col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_toks_kept")).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("split"), col("domain"))
+    }),
+
     // Corpus-lineage diagnostic: pairwise 8-gram Jaccard BETWEEN
     // SOURCES — which crawl shards are re-serving each other's content.
     // Scale shape: distinct (source, shingle) pairs, then a
@@ -2065,6 +2131,83 @@ object Curation extends QueryModule {
          FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, n
          WHERE bi.cab >= 10
          ORDER BY pmi DESC, bi.a, bi.b LIMIT 20""",
+    // curation_pipeline_v4: the full web-crawl replay — planted
+    // recrawls, the url_canonical regex chain, keep-first per
+    // canonical, the closed-form planted-page blocks, block keep-first,
+    // integer token budget, md5 split, rollup. No floating point.
+    "curation_pipeline_v4" ->
+      """WITH r0 AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'HTTPS://Site-' || CAST(doc_id % 17 AS VARCHAR) ||
+                    '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR) ||
+                    '?utm_source=crawl&x=1#sec'
+               ELSE 'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+                    '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?x=1'
+             END AS url
+           FROM documents),
+         rec AS (
+           SELECT doc_id + 1000000 AS doc_id, text, url FROM (
+             SELECT doc_id, text,
+               CASE WHEN doc_id % 2 = 0
+                 THEN 'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+                      '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?x=1'
+                 ELSE 'HTTPS://Site-' || CAST(doc_id % 17 AS VARCHAR) ||
+                      '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR) ||
+                      '?utm_source=crawl&x=1#sec'
+               END AS url
+             FROM documents WHERE doc_id % 10 = 0)),
+         r AS (SELECT * FROM r0 UNION ALL SELECT * FROM rec),
+         s1 AS (SELECT doc_id, text, regexp_replace(url, '#.*$', '') nf FROM r),
+         s2 AS (SELECT doc_id, text, regexp_replace(nf, '\?.*$', '') base,
+                  coalesce(regexp_extract(nf, '\?(.*)$', 1), '') q FROM s1),
+         s3 AS (SELECT doc_id, text, q,
+                  lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+                    regexp_replace(base, '^[^/]*//[^/]*', '') low FROM s2),
+         s4 AS (SELECT doc_id, text, q,
+                  regexp_replace(regexp_replace(low,
+                    '^(https://[^/:]*):443(/|$)', '\1\2'),
+                    '^(http://[^/:]*):80(/|$)', '\1\2') np FROM s3),
+         s5 AS (SELECT doc_id, text, np,
+                  array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') ps FROM s4),
+         c AS (SELECT doc_id, text,
+                 np || CASE WHEN ps <> '' THEN '?' || ps ELSE '' END AS canonical_url
+               FROM s5),
+         u AS (SELECT doc_id, text, canonical_url,
+                 row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) ru
+               FROM c),
+         fr AS (SELECT doc_id, text,
+                  regexp_extract(canonical_url, '^https://([^/]+)', 1) AS domain
+                FROM u WHERE ru = 1),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM fr),
+         hb AS (
+           SELECT doc_id, CAST(0 AS INT) AS block_no,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS block FROM w
+           UNION ALL SELECT doc_id, CAST(1 AS INT),
+             array_to_string(w[1:3], ' ') FROM w
+           UNION ALL SELECT doc_id, CAST(2 AS INT),
+             array_to_string(w[1:20], ' ') || ' & more!' FROM w
+           UNION ALL SELECT doc_id, CAST(3 AS INT), 'Tail <end>' FROM w),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY block
+                                             ORDER BY doc_id, block_no) rk
+                FROM hb),
+         kt AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN rk = 1
+                    THEN len(string_split(block, ' ')) ELSE 0 END) AS BIGINT)
+                    AS n_toks_kept
+                FROM rk GROUP BY doc_id),
+         g AS (SELECT kt.doc_id, kt.n_toks_kept, fr.domain,
+                 CASE WHEN substr(md5(CAST(kt.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                        THEN 'train'
+                      WHEN substr(md5(CAST(kt.doc_id AS VARCHAR)), 1, 4) < 'e666'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+               FROM kt JOIN fr ON fr.doc_id = kt.doc_id
+               WHERE kt.n_toks_kept >= 10)
+         SELECT split, domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks_kept) AS BIGINT) AS n_tokens, min(doc_id) AS min_doc
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "novelty_score" ->
       """WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
          f AS (SELECT * FROM s WHERE len(w) >= 8),

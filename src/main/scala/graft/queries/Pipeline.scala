@@ -52,11 +52,13 @@ object Pipeline extends QueryModule {
 
   /** The planted-HTML fixture page run through the HtmlBlocksExpr
     * tokenizer → (doc_id, block_no, block). Shared by html_extract
-    * (raw block emission) and html_block_dedup (keep-first block
-    * dedup); the surviving blocks are a CLOSED FORM of the raw
-    * columns, which is what makes both oracles plain SQL. */
-  private def plantedHtmlBlocks(s: org.apache.spark.sql.SparkSession,
-                                dir: String): org.apache.spark.sql.DataFrame = {
+    * (raw block emission), html_block_dedup (keep-first block dedup)
+    * and Curation's curation_pipeline_v4 (which renders the page for
+    * its frontier survivors); the surviving blocks are a CLOSED FORM
+    * of the raw columns, which is what makes all three oracles plain
+    * SQL. `docs` must carry (doc_id, text). */
+  private[queries] def plantedHtmlBlocksOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tok = split(col("text"), " ")
     val html = concat(
       lit("<!DOCTYPE html><html><head><title>Doc "),
@@ -72,11 +74,15 @@ object Pipeline extends QueryModule {
         "<div><a href=\"/x\">one</a> <a href=\"/y\">two</a> x</div>" +
         "<p>Tail &lt;end&gt;</p><br>" +
         "<footer>&copy; 2026 Example</footer></body></html>"))
-    Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(org.apache.spark.sql.graft.HtmlExpressions.htmlBlocks(html))
-          .as(Seq("block_no", "block")))
+    docs.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graft.HtmlExpressions.htmlBlocks(html))
+        .as(Seq("block_no", "block")))
   }
+
+  private def plantedHtmlBlocks(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    plantedHtmlBlocksOf(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
 
   /** The dedup_eval oracle replays the ENTIRE banded-minhash pipeline in
     * DuckDB — portable md5-derived 64-bit base hashes (two 8-hex folds,

@@ -72,6 +72,22 @@ class FrontierSpec extends SparkSpecBase {
       r.getAs[Double]("avg_ttr") <= 1.0))
   }
 
+  test("curation_pipeline_v4: recrawls die at the frontier, gate floor holds") {
+    val out = SparkEntry.queries("curation_pipeline_v4")(spark, dir).collect().toSeq
+    assert(out.nonEmpty)
+    // stage-1 contract: no re-keyed recrawl (doc_id >= 1000000) ever
+    // survives to the rollup — the original always wins its canonical
+    assert(out.forall(_.getAs[Long]("min_doc") < 1000000L))
+    // stage-4 contract: every rolled-up doc carried >= 10 kept tokens
+    assert(out.forall(r =>
+      r.getAs[Long]("n_tokens") >= 10L * r.getAs[Long]("n_docs")))
+    // split x domain keys are unique and splits are the md5 trio
+    assert(out.map(r => (r.getAs[String]("split"), r.getAs[String]("domain")))
+      .distinct.size == out.size)
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("quality_calibration: bin identities and monotone mean prediction") {
     val out = SparkEntry.queries("quality_calibration")(spark, dir)
       .orderBy(col("bucket")).collect().toSeq
