@@ -56,9 +56,13 @@ object Pipeline extends QueryModule {
     * and Curation's curation_pipeline_v4 (which renders the page for
     * its frontier survivors); the surviving blocks are a CLOSED FORM
     * of the raw columns, which is what makes all three oracles plain
-    * SQL. `docs` must carry (doc_id, text). */
+    * SQL. `docs` must carry (doc_id, text); `carry` names extra
+    * columns to pass through the explode (so callers need not re-join
+    * the source — v4 carries `domain` this way and keeps the frontier
+    * subtree single-use). */
   private[queries] def plantedHtmlBlocksOf(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val tok = split(col("text"), " ")
     val html = concat(
       lit("<!DOCTYPE html><html><head><title>Doc "),
@@ -74,9 +78,9 @@ object Pipeline extends QueryModule {
         "<div><a href=\"/x\">one</a> <a href=\"/y\">two</a> x</div>" +
         "<p>Tail &lt;end&gt;</p><br>" +
         "<footer>&copy; 2026 Example</footer></body></html>"))
-    docs.select(col("doc_id"),
+    docs.select((col("doc_id") +: carry.map(col)) :+
       posexplode(org.apache.spark.sql.graft.HtmlExpressions.htmlBlocks(html))
-        .as(Seq("block_no", "block")))
+        .as(Seq("block_no", "block")): _*)
   }
 
   private def plantedHtmlBlocks(s: org.apache.spark.sql.SparkSession,
