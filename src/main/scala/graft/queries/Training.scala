@@ -258,7 +258,11 @@ object Training extends QueryModule {
           (col("n_chars").cast("double") / lit(500.0)).as("x1"),
           (size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")).cast("double")).as("x2"),
-          when(((col("doc_id") * lit(2654435761L)) % lit(1048576L)).cast("double")
+          // reduce mod 2^20 BEFORE the Knuth multiply: (a mod m)·c mod m
+          // = a·c mod m, and the unreduced product overflows long at the
+          // 100x fixture's re-keyed doc_ids (found by the 100x sweep)
+          when((((col("doc_id") % lit(1048576L)) * lit(2654435761L))
+                 % lit(1048576L)).cast("double")
                  / lit(1048576.0) <
                lit(0.1) + lit(0.7) *
                  least(col("n_chars").cast("double") / lit(500.0), lit(1.0)),
@@ -673,7 +677,8 @@ object Training extends QueryModule {
     * positive rate is over-confident at the ends — exactly what a
     * reliability diagram exists to show. */
   private val PlantedLabelSql =
-    """CASE WHEN CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0
+    """CASE WHEN CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE)
+                   / 1048576.0
               < 0.1 + 0.7 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
             THEN 1.0 ELSE 0.0 END"""
 
