@@ -592,6 +592,69 @@ object StreamOps {
   def readFrontier(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.option("basePath", storeDir).parquet(storeDir)
 
+  /** Frontier-store lifecycle: COMPACTION + GC (the
+    * [[graft.operators.Dedup.compactSignatureStore]] discipline). The
+    * sink appends one shard per micro-batch, so a long-running
+    * frontier shatters into thousands of small files and every
+    * per-batch anti-join pays the listing. This rewrites the store to
+    * one size-targeted base shard under `batch=-1`:
+    *   - keys keep-first by (batch, id) — the sink's own acceptance
+    *     order — with a defensive whole-row distinct, so the surviving
+    *     (id, canonical_url) set is exactly the accepted set;
+    *   - optional `liveKeys` GC: canonical keys absent from it are
+    *     dropped, RE-OPENING those urls for crawl — the eviction
+    *     semantics a frontier wants (blocklisted domains, expired
+    *     pages);
+    *   - `batch=-1` because streaming batchIds are never negative: the
+    *     sink's replay-exclusion filter can never exclude the
+    *     compacted base, even for a FRESH checkpoint whose first batch
+    *     is 0 (a base under batch=0 would be invisible to that batch
+    *     and every previously accepted url would re-enter).
+    * Compact offline (sink stopped), then point the restarted sink —
+    * any checkpoint — at `outDir`. Returns (filesBefore, filesAfter).
+    * StreamingSpec pins set equality, the post-compaction rejection of
+    * previously accepted urls under a fresh checkpoint, and GC
+    * re-opening. */
+  def compactFrontierStore(spark: SparkSession, storeDir: String,
+                           outDir: String,
+                           liveKeys: Option[DataFrame] = None,
+                           targetBytes: Long = 128L << 20): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(conf)
+    def parquetFiles(dir: String): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    def dirBytes(dir: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var b = 0L
+      while (it.hasNext) { val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getLen }
+      b
+    }
+    val before = parquetFiles(storeDir)
+    require(before > 0, s"compactFrontierStore: no parquet files under $storeDir")
+    val nOut = math.max(1,
+      math.ceil(dirBytes(storeDir).toDouble / targetBytes).toInt)
+    val all = readFrontier(spark, storeDir)
+    val idCol = all.columns.filterNot(Set("canonical_url", "batch")).head
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url")).orderBy(col("batch"), col(idCol))
+    val kept = all.distinct()
+      .withColumn("rc", row_number().over(w)).filter(col("rc") === 1)
+      .select(col(idCol), col("canonical_url"))
+    val live = liveKeys match {
+      case Some(lk) => kept.join(lk.select(col("canonical_url")).distinct(),
+        Seq("canonical_url"), "left_semi")
+      case None => kept
+    }
+    live.repartition(nOut, col("canonical_url"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=-1")
+    (before, parquetFiles(outDir))
+  }
+
   def retrievalSink(probes: DataFrame, corpus: DataFrame, outDir: String,
                     checkpointDir: String, probeIdCol: String, idCol: String,
                     vecCol: String, k: Int = 3) =

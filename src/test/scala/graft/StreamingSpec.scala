@@ -714,6 +714,59 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("compactFrontierStore: base shard survives a fresh checkpoint; GC re-opens urls") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_frontcomp").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.frontierSink(ms.toDF().toDF("page_id", "url"),
+      s"$tmp/store", s"$tmp/ckpt", "page_id", "url")
+    try {
+      ms.addData((1L, "https://a.example.com/x?b=2"),
+        (3L, "https://b.example.com/y?k=1"))
+      q.processAllAvailable()
+      ms.addData((4L, "https://c.example.com/z"))
+      q.processAllAvailable()
+      q.stop()
+
+      val (nb, na) = StreamOps.compactFrontierStore(spark, s"$tmp/store",
+        s"$tmp/store2")
+      assert(na < nb, s"compaction must shrink the file count ($nb -> $na)")
+      val keys = StreamOps.readFrontier(spark, s"$tmp/store2").collect()
+        .map(r => r.getAs[Long]("page_id") -> r.getAs[String]("canonical_url"))
+      assert(keys.map(_._1).toSet == Set(1L, 3L, 4L))
+      // the base lands under batch=-1, unreachable by any real batchId
+      assert(new java.io.File(s"$tmp/store2/batch=-1").isDirectory)
+
+      // a FRESH checkpoint restarts batchIds at 0 — the compacted base
+      // must still reject previously accepted urls (a batch=0 base
+      // would be excluded by the replay filter and let them back in)
+      val ms2 = MemoryStream[(Long, String)]
+      val q2 = StreamOps.frontierSink(ms2.toDF().toDF("page_id", "url"),
+        s"$tmp/store2", s"$tmp/ckpt2", "page_id", "url")
+      try {
+        ms2.addData((9L, "HTTPS://A.Example.COM:443/x?b=2&utm_z=1#f"),
+          (5L, "https://d.example.com/w"))
+        q2.processAllAvailable()
+        val after = StreamOps.readFrontier(spark, s"$tmp/store2").collect()
+          .map(_.getAs[Long]("page_id")).toSet
+        assert(after == Set(1L, 3L, 4L, 5L), s"got $after")
+      } finally q2.stop()
+
+      // GC: evicting b.example.com's key re-opens it; others survive
+      import spark.implicits._
+      val live = Seq("https://a.example.com/x?b=2", "https://c.example.com/z",
+        "https://d.example.com/w").toDF("canonical_url")
+      StreamOps.compactFrontierStore(spark, s"$tmp/store2", s"$tmp/store3",
+        liveKeys = Some(live))
+      val gc = StreamOps.readFrontier(spark, s"$tmp/store3").collect()
+        .map(_.getAs[Long]("page_id")).toSet
+      assert(gc == Set(1L, 4L, 5L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("retrievalSink shards equal the batch IVF operator per micro-batch") {
     implicit val ctx = spark.sqlContext
     val rnd = new scala.util.Random(3)
