@@ -516,6 +516,49 @@ object Curation extends QueryModule {
         .orderBy(col("domain"), col("rn"))
     }),
 
+    // Corpus datasheet — the one-row "data card" a dataset release
+    // publishes (Datasheets for Datasets, Gebru et al. 2018,
+    // arXiv:1803.09010): size, vocabulary of langs/sources, token and
+    // char mass, central tendency, a long-doc (>= 64 tokens) fraction, the exact
+    // normalized-fingerprint uniqueness count, and the lang-mix
+    // Shannon entropy. One corpus scan for the wide aggregate + one
+    // lang-keyed subagg for entropy (5 rows, crossed against a
+    // single-row count — the Pipeline.scala broadcast-one-row
+    // pattern); entropy terms use the per-term 6-dp anchor → integer
+    // sum discipline so the 5-term sum cannot flicker. Everything here
+    // is a partial-agg shuffle at 100 TB; the datasheet is what makes
+    // two corpus snapshots comparable at a glance.
+    "corpus_datasheet" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          tokens(col("text")).as("toks"), col("text"))
+      val base = docs.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(size(col("toks"))).cast("long").as("total_tokens"),
+        sum(when(size(col("toks")) >= 64, 1L).otherwise(0L)).as("n_ge"),
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").as("p50"),
+        countDistinct(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+          .cast("long").as("n_unique_fp"))
+      val nRow = docs.agg(count(lit(1)).cast("long").as("n"))
+      val ent = docs.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("c"))
+        .crossJoin(broadcast(nRow))
+        .select(round(round(-(col("c") / col("n")) * log(col("c") / col("n")), 6)
+          * lit(1e6)).cast("long").as("t6"))
+        .agg((round(sum(col("t6")) / lit(1e6), 6) + lit(0.0)).as("lang_entropy"))
+      base.crossJoin(broadcast(ent))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_chars"), col("total_tokens"),
+          (round(col("total_tokens").cast("double") / col("n_docs"), 6) + lit(0.0))
+            .as("mean_doc_tokens"),
+          (round(col("p50"), 2) + lit(0.0)).as("p50_chars"),
+          (round(col("n_ge").cast("double") / col("n_docs"), 6) + lit(0.0))
+            .as("pct_ge_64_toks"),
+          col("n_unique_fp"), col("lang_entropy"))
+    }),
+
     // Domain blocklist derivation — the governance output a web
     // pipeline feeds back to its crawler: per-domain mean lexical
     // quality (type-token ratio — repetition-spam's sharpest signal)
@@ -1681,6 +1724,37 @@ object Curation extends QueryModule {
          SELECT domain, CAST(rn AS INTEGER) AS rn, doc_id, canonical_url,
            CAST(n_raw AS BIGINT) AS n_raw
          FROM f WHERE rf = 1 ORDER BY domain, rn""",
+    // corpus_datasheet: the same wide aggregate + entropy-term anchor
+    "corpus_datasheet" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      ${Pipeline.toksSql} AS toks, text
+                    FROM documents),
+          base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN len(toks) >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ge,
+              quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+              CAST(count(DISTINCT md5(lower(trim(
+                regexp_replace(text, '\\s+', ' ', 'g'))))) AS BIGINT)
+                AS n_unique_fp
+            FROM t),
+          lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+          n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+          terms AS (SELECT CAST(round(round(-(c / n) * ln(c / n), 6) * 1000000)
+                      AS BIGINT) AS t6
+                    FROM lc CROSS JOIN n1),
+          ent AS (SELECT round(sum(t6) / 1000000.0, 6) + 0.0 AS lang_entropy
+                  FROM terms)
+          SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+            round(CAST(total_tokens AS DOUBLE) / n_docs, 6) + 0.0
+              AS mean_doc_tokens,
+            round(p50, 2) + 0.0 AS p50_chars,
+            round(CAST(n_ge AS DOUBLE) / n_docs, 6) + 0.0 AS pct_ge_64_toks,
+            n_unique_fp, lang_entropy
+          FROM base CROSS JOIN ent""",
     // domain_blocklist: identical planting, tokenizer and
     // integer-scaled mean; blocked recomputed from the same rounded mean
     "domain_blocklist" ->

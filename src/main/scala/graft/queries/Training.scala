@@ -507,6 +507,28 @@ object Training extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic epoch shuffle — training-order REPRODUCIBILITY,
+    // the property a 100 TB run cannot retrofit: each epoch orders the
+    // corpus by md5("epoch<e>:" || doc_id) (seed-keyed, so epochs
+    // reshuffle independently but any run of epoch e lands the
+    // identical order), then deals rows round-robin into 8 shards with
+    // a position. The global rank is Ranks.groupRowNumber — the
+    // distributed two-pass rank (range partition on (epoch, key),
+    // local ranks, broadcast offsets), NOT a 2-partition window, so
+    // cluster parallelism is the partition count, not the epoch count.
+    "epoch_shuffle" -> ((s, dir) => {
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
+        .withColumn("k", md5(concat(lit("epoch"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      graft.operators.Ranks
+        .groupRowNumber(keyed, Seq("epoch"), Seq(col("k"), col("doc_id")), "rk")
+        .select(col("epoch"), col("doc_id"), col("rk"),
+          ((col("rk") - 1) % 8).cast("int").as("shard"),
+          floor((col("rk") - 1) / lit(8.0)).cast("long").as("pos"))
+        .orderBy(col("epoch"), col("doc_id"))
+    }),
+
     // Deterministic per-group quota sampling: exactly 50 customers per
     // market segment, chosen by md5 order — the fixed-size-per-stratum
     // complement of Sampling.stratifiedHashSample's fixed-fraction
@@ -956,6 +978,21 @@ object Training extends QueryModule {
           FROM f JOIN w USING (bucket)
           GROUP BY 1 ORDER BY 1"""
     },
+    "epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, epoch
+                    FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS epoch)),
+         k AS (SELECT epoch, doc_id,
+                 md5('epoch' || CAST(epoch AS VARCHAR) || ':' ||
+                     CAST(doc_id AS VARCHAR)) AS k
+               FROM e),
+         r AS (SELECT epoch, doc_id,
+                 CAST(row_number() OVER (PARTITION BY epoch
+                   ORDER BY k, doc_id) AS BIGINT) AS rk
+               FROM k)
+         SELECT CAST(epoch AS INT) AS epoch, doc_id, rk,
+           CAST((rk - 1) % 8 AS INT) AS shard,
+           CAST(floor((rk - 1) / 8.0) AS BIGINT) AS pos
+         FROM r ORDER BY epoch, doc_id""",
     "quota_sample" ->
       """SELECT c_mktsegment, c_custkey, CAST(rn AS INTEGER) AS rn FROM (
            SELECT c_mktsegment, c_custkey,

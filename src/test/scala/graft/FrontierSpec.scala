@@ -88,6 +88,48 @@ class FrontierSpec extends SparkSpecBase {
       Set("train", "val", "test")))
   }
 
+  test("epoch_shuffle: per-epoch permutation, balanced shards, epochs differ") {
+    val out = SparkEntry.queries("epoch_shuffle")(spark, dir).collect().toSeq
+    val byEpoch = out.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(1, 2))
+    for ((_, rows) <- byEpoch) {
+      val n = rows.size
+      // rk is a 1..n permutation
+      assert(rows.map(_.getAs[Long]("rk")).sorted == (1L to n).toSeq)
+      // round-robin shards balance to within one row
+      val counts = rows.groupBy(_.getAs[Int]("shard")).values.map(_.size)
+      assert(counts.max - counts.min <= 1)
+      // pos/shard reconstruct rk exactly
+      assert(rows.forall(r => r.getAs[Long]("pos") * 8 +
+        r.getAs[Int]("shard") + 1 == r.getAs[Long]("rk")))
+    }
+    // the seed key reshuffles: the two epochs order the corpus differently
+    val order1 = byEpoch(1).sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id"))
+    val order2 = byEpoch(2).sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id"))
+    assert(order1 != order2)
+    // ... and re-running an epoch lands the identical order
+    val again = SparkEntry.queries("epoch_shuffle")(spark, dir).collect().toSeq
+      .filter(_.getAs[Int]("epoch") == 1)
+      .sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id"))
+    assert(again == order1)
+  }
+
+  test("corpus_datasheet: one row, internal identities hold") {
+    val r = SparkEntry.queries("corpus_datasheet")(spark, dir).collect().toSeq match {
+      case Seq(only) => only
+      case other => fail(s"expected exactly one datasheet row, got ${other.size}")
+    }
+    val round6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nDocs > 0 && r.getAs[Long]("n_unique_fp") <= nDocs)
+    assert(r.getAs[Double]("mean_doc_tokens") ==
+      round6(r.getAs[Long]("total_tokens").toDouble / nDocs))
+    val pct = r.getAs[Double]("pct_ge_64_toks")
+    assert(pct > 0.0 && pct < 1.0, s"long-doc fraction must discriminate: $pct")
+    val ent = r.getAs[Double]("lang_entropy")
+    assert(ent >= 0.0 && ent <= math.log(r.getAs[Long]("n_langs").toDouble) + 1e-6)
+  }
+
   test("quality_calibration: bin identities and monotone mean prediction") {
     val out = SparkEntry.queries("quality_calibration")(spark, dir)
       .orderBy(col("bucket")).collect().toSeq
