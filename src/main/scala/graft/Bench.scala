@@ -85,7 +85,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      // The codec family's per-row JDK work (ImageIO, javax.sound) is
+      // the bench's noisiest surface — media_pcm swung 2.5..5.5 s
+      // across rounds on unchanged code with a 3.9..14.2 s in-round
+      // spread. Median-of-3 cannot reject an outlier regime that wide;
+      // these rows run median-of-5 so their cross-round comparison has
+      // a defensible center. Everything else keeps the configured
+      // iteration count (the full surface is 244 queries; +2 runs
+      // everywhere would cost minutes to fix a 3-query problem).
+      val qIters =
+        if (name.startsWith("media_")) math.max(iters, 5) else iters
+      val times = (1 to qIters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9

@@ -67,12 +67,14 @@ object HtmlText {
       val body = html.substring(i + 1, semi)
       if (body.startsWith("#x") || body.startsWith("#X")) {
         val hex = body.drop(2)
-        if (hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0))
+        if (hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0) &&
+            Character.isValidCodePoint(Integer.parseInt(hex, 16)))
           (new String(Character.toChars(Integer.parseInt(hex, 16))), semi + 1)
         else ("&", i + 1)
       } else if (body.startsWith("#")) {
         val dec = body.drop(1)
-        if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 7)
+        if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 7 &&
+            Character.isValidCodePoint(dec.toInt))
           (new String(Character.toChars(dec.toInt)), semi + 1)
         else ("&", i + 1)
       } else Entities.get(body.toLowerCase) match {

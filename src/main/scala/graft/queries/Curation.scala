@@ -479,8 +479,13 @@ object Curation extends QueryModule {
     // all-pairs and no stage re-reads the corpus.
     "crawl_frontier" -> ((s, dir) => {
       val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // Mirror ids stride 1,000,000 (the curation_pipeline_v4 offset):
+      // url is derived from doc_id, so a mirror landing on a REAL id
+      // would alias its url and make the keep-first window tie
+      // nondeterministically. 1e6 clears any fixture (base max 4999,
+      // scaled replicas stride 1e8); 10k would collide at 30x.
       val mirror = base.filter(col("doc_id") < 100)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 1000000).as("doc_id"),
           concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
       val docs = base.unionByName(mirror)
       val k = (col("doc_id") % 17).cast("string")
@@ -1681,7 +1686,7 @@ object Curation extends QueryModule {
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000, concat('  ', upper(text), '   ')
+           SELECT doc_id + 1000000, concat('  ', upper(text), '   ')
            FROM documents WHERE doc_id < 100),
          r AS (SELECT doc_id, text,
                  CASE WHEN doc_id % 2 = 0

@@ -40,6 +40,23 @@ object TradeGraph {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Release cached edge extractions. A scale sweep over many sf
+    * dirs (or many short-lived sessions) would otherwise accumulate
+    * MEMORY_AND_DISK storage indefinitely and pin stopped
+    * SparkSession objects through the cache keys. `dir = None`
+    * clears everything; a specific dir evicts just that fixture.
+    * Safe to call mid-session: the next graph query re-extracts and
+    * re-persists. */
+  def evict(dir: Option[String] = None): Unit = {
+    val keys = cache.keys.filter(k => dir.forall(_ == k._2)).toSeq
+    keys.foreach { k =>
+      cache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () } // session may already be stopped
+      }
+    }
+  }
+
   /** Distinct trade pairs, LONG-encoded: `a` = 2·suppkey (supplier,
     * even), `b` = 2·custkey+1 (customer, odd) — one row per undirected
     * pair. Persisted on first use per (session, sf-dir). */

@@ -491,22 +491,33 @@ object StreamOps {
     * corpus has doubled): rebuild the index from store + shards (one
     * buildSemanticIndex over the union — the compactSignatureStore
     * discipline) and restart the sink on the fresh index. */
+  /** True iff `dir` already holds at least one `batch=*` shard —
+    * checked through the Hadoop FileSystem API (NOT java.io.File) so
+    * prior-shard detection works on HDFS/S3 exactly as it does
+    * locally; a local-only check would silently skip the cross-batch
+    * comparison (and the frontier anti-join) on any remote store. */
+  private def hasBatchShards(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+  }
+
   def semanticDedupSink(newVecs: DataFrame,
                         index: graft.operators.SimilaritySearch.SemanticIndex,
                         outDir: String, checkpointDir: String,
                         idCol: String, vecCol: String,
                         threshold: Double = 0.99,
                         crossBatch: Boolean = false) = {
-    // driver-side running total; foreachBatch bodies run on the driver
-    val landed = new java.util.concurrent.atomic.AtomicLong(0L)
+    // once-per-run latch only; the landed COUNT is derived from the
+    // store itself each batch (below), never from driver memory
     val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
     newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hasPrior = Option(new java.io.File(outDir).listFiles())
-          .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+        val hasPrior = hasBatchShards(spark, outDir)
         val cmp =
           if (!crossBatch || !hasPrior) index
           else {
@@ -522,11 +533,19 @@ object StreamOps {
         batch.join(verdicts.filter(!col("is_dropped"))
             .select(col(idCol), col("cluster_id")), Seq(idCol))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val total = landed.addAndGet(batch.count())
+        // Staleness is measured against the STORE, not a driver
+        // counter: an in-memory total resets on sink restart and
+        // double-counts replayed batches, so the "corpus has doubled"
+        // warning would fire spuriously after a checkpoint replay or
+        // never after a restart. Counting the landed shards is a
+        // footer-level parquet count (zero columns read) and is exact
+        // under replay because a replayed batch OVERWRITES its shard.
+        val total = spark.read.option("basePath", outDir)
+          .parquet(outDir).count()
         if (index.builtN > 0 && total > index.builtN &&
             warned.compareAndSet(false, true))
           System.err.println(s"[graft-stream] semanticDedupSink: $total rows " +
-            s"streamed past an index built at ${index.builtN} — the corpus has " +
+            s"landed past an index built at ${index.builtN} — the corpus has " +
             "doubled; rebuild the SemanticIndex from store + landed shards and " +
             "restart the sink (codebook is stale, per-cluster pair work is growing)")
       }
@@ -574,8 +593,7 @@ object StreamOps {
             graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)))
           .groupBy(col("canonical_url"))
           .agg(min(col(idCol)).as(idCol))
-        val hasPrior = Option(new java.io.File(storeDir).listFiles())
-          .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+        val hasPrior = hasBatchShards(spark, storeDir)
         val accepted =
           if (!hasPrior) firstPer
           else firstPer.join(

@@ -35,6 +35,11 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(HtmlText.blocks("<p>n&nbsp;b</p>") == Seq("n b"))
     assert(HtmlText.blocks("<p>&copy; &unknown; &noend</p>") ==
       Seq("&copy; &unknown; &noend"))
+    // numeric references above U+10FFFF are invalid code points —
+    // real crawled HTML contains them; they must stay literal, not
+    // crash the expression (Character.toChars would throw)
+    assert(HtmlText.blocks("<p>a&#9999999;b &#x110000;c &#1114111;d</p>") ==
+      Seq("a&#9999999;b &#x110000;c " + new String(Character.toChars(0x10FFFF)) + "d"))
   }
 
   test("malformed input: bare <, quoted > in attributes, unclosed tags, stray close") {

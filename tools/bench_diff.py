@@ -13,7 +13,17 @@ before flagging a regression. Raw deltas stay in the table — the
 corrected column is for deciding "code or weather", the raw one for
 "what will the next round's total look like".
 
-Usage: bench_diff.py OLD_FILE NEW_FILE [threshold_pct]
+When BOTH files carry per-query [min,max] spreads (BENCH_FULL.json
+shape), regressions are additionally SIGNIFICANCE-GATED: a query is
+flagged REAL only when its new MIN exceeds its old MAX by the margin
+(default 10%) — i.e. the intervals don't overlap, so no draw from the
+old regime explains any draw from the new one. Probes swing +/-30%
+within a run, so single-probe correction is directional only; the
+interval test is what separates "code" from "weather" mechanically
+(round 12's two real findings were exactly non-overlapping intervals,
+and its false alarms were all overlap).
+
+Usage: bench_diff.py OLD_FILE NEW_FILE [threshold_pct] [margin_pct]
 """
 import json
 import math
@@ -23,6 +33,11 @@ import sys
 # a query whose bench run shuffled more than this many bytes is
 # normalized by the shuffle probe; below it, by the cpu probe
 SHUFFLE_HEAVY_BYTES = 5_000_000
+
+# significance margin: new-min must beat old-max by this factor before
+# a regression is called REAL (small enough to catch 1.2x+ shifts,
+# large enough that timer jitter on sub-second rows never trips it)
+DEFAULT_MARGIN = 1.10
 
 
 def load(path: str) -> dict:
@@ -48,9 +63,11 @@ def probe_median(probes: dict, kind: str) -> float:
     return math.sqrt(a * b)
 
 
-def main(old_path: str, new_path: str, threshold: float = 20.0) -> None:
+def main(old_path: str, new_path: str, threshold: float = 20.0,
+         margin: float = DEFAULT_MARGIN) -> None:
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
+    ospread, nspread = old.get("spread") or {}, new.get("spread") or {}
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(oq)} -> {len(nq)} queries)")
 
@@ -97,9 +114,26 @@ def main(old_path: str, new_path: str, threshold: float = 20.0) -> None:
         if abs(flag) >= threshold:
             tag = "SLOWER" if flag > 0 else "faster"
             corr = (f" corrected {cpct:+.0f}% [{cls(name)}]" if factors else "")
+            # significance: intervals [old_min,old_max] / [new_min,new_max]
+            # must be disjoint (by `margin`) in the flagged direction,
+            # else the shift is explainable as in-round variance
+            sig = ""
+            os_, ns_ = ospread.get(name), nspread.get(name)
+            if os_ and ns_:
+                if flag > 0:
+                    real = ns_[0] > os_[1] * margin
+                else:
+                    real = os_[0] > ns_[1] * margin
+                sig = (" REAL (spreads disjoint)" if real
+                       else f" weather? (spreads overlap:"
+                            f" old[{os_[0]:.2f}..{os_[1]:.2f}]"
+                            f" new[{ns_[0]:.2f}..{ns_[1]:.2f}])")
+                if flag > 0 and not real:
+                    # demote unconfirmed regressions below confirmed ones
+                    flag -= 500
             rows.append((flag + 1000 if flag > 0 else -flag,
                          f"  {tag} {name:26s} {a:6.2f} -> {b:6.2f}s "
-                         f"({pct:+.0f}%{corr})"))
+                         f"({pct:+.0f}%{corr}){sig}"))
     if factors and corr_total_old > 0:
         print(f"context-corrected total: {corr_total_old:.1f}s -> "
               f"{corr_total_new:.1f}s "
@@ -110,4 +144,6 @@ def main(old_path: str, new_path: str, threshold: float = 20.0) -> None:
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
-         float(sys.argv[3]) if len(sys.argv) > 3 else 20.0)
+         float(sys.argv[3]) if len(sys.argv) > 3 else 20.0,
+         1.0 + float(sys.argv[4]) / 100.0 if len(sys.argv) > 4
+         else DEFAULT_MARGIN)
