@@ -63,6 +63,70 @@ object Dedup {
     * emptied exact join. */
   val MaxAutoDropKeyFraction: Double = 0.10
 
+  /** Scratch bytes a pair-explosion stage writes per SURVIVING
+    * candidate pair — shuffle files + sort spill + verify traffic,
+    * calibrated from the measured 30x point (1.13e9 candidates wrote
+    * ~250 GB before ENOSPC, SCALING.md round 11/12: ~220 B/pair),
+    * rounded up. Deliberately conservative: the guard this feeds
+    * refuses a job that would die at ENOSPC anyway, so overestimating
+    * by 15% trades a loud early refusal for a JVM kill hours in. */
+  val BytesPerCandidatePair: Long = 256L
+
+  /** Fraction of free scratch space a single near-dup pair stage may
+    * budget: the stage is not alone on the disk (other queries'
+    * shuffles, the OS, parquet output), and ENOSPC on a shared
+    * spark.local.dir takes down the whole JVM, not just the query. */
+  val MaxScratchFraction: Double = 0.5
+
+  /** Test hook: overrides detected usable scratch bytes so specs can
+    * pin the refusal without filling a disk. */
+  @volatile private[graft] var scratchBytesOverride: Option[Long] = None
+
+  /** Usable bytes on the shuffle scratch volume (first spark.local.dir
+    * entry, else java.io.tmpdir). Unknown → Long.MaxValue: the guard
+    * never refuses on a filesystem it cannot measure. */
+  def usableScratchBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    scratchBytesOverride.getOrElse {
+      val dir = spark.conf.getOption("spark.local.dir")
+        .map(_.split(",").head)
+        .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      try java.nio.file.Files.getFileStore(java.nio.file.Paths.get(dir))
+        .getUsableSpace
+      catch { case _: Throwable => Long.MaxValue }
+    }
+
+  /** True iff `pairMass` surviving candidate pairs would out-spill the
+    * scratch budget. Zero/negative mass (analysis pass not run — below
+    * the corpus gate) never trips: a sub-gate corpus cannot produce
+    * hundreds of GB of pair spill. */
+  private def exceedsScratchBudget(spark: org.apache.spark.sql.SparkSession,
+                                   pairMass: Double): Boolean =
+    pairMass > 0 &&
+      pairMass * BytesPerCandidatePair >
+        usableScratchBytes(spark) * MaxScratchFraction
+
+  /** Loud fail-fast for the PINNED-exact paths when the predicted pair
+    * spill cannot fit: round 12's 30x sweep hit ENOSPC *inside* the
+    * exact grind and the cascade killed the whole bench JVM — a
+    * refusal with the reroute recommendation BEFORE the join is the
+    * graceful degradation a shared cluster needs. */
+  private def refuseForScratch(spark: org.apache.spark.sql.SparkSession,
+                               pairMass: Double, tag: String): Unit =
+    if (exceedsScratchBudget(spark, pairMass)) {
+      val predicted = (pairMass * BytesPerCandidatePair / (1L << 30)).toLong
+      val budget =
+        (usableScratchBytes(spark) * MaxScratchFraction / (1L << 30)).toLong
+      throw new IllegalStateException(
+        f"[graft-dedup] $tag REFUSED: ~$pairMass%.3g surviving candidate " +
+          s"pairs predict ~$predicted GiB of shuffle/spill against a " +
+          s"~$budget GiB scratch budget (${BytesPerCandidatePair} B/pair " +
+          "calibration, half of free spark.local.dir). Running anyway " +
+          "would die at ENOSPC and can take the executor JVM with it. " +
+          "Use the banded path — Dedup.nearDupPairsMinhash (MinHash-LSH " +
+          "candidates + exact rerank, flat across measured scale decades) " +
+          "or the nearDupPairs front door, which reroutes automatically.")
+    }
+
   /** Largest doc frequency whose cumulative pair mass fits the budget.
     * `hist` is (df value → number of shingles at that df) — tiny
     * (distinct df values), safe to fold on the driver. */
@@ -177,12 +241,15 @@ object Dedup {
       val exploded = shingleSets(df, idCol, textCol, n)
         .select(col("doc_id"), explode_outer(col("sh")).as("s"))
         .filter(col("s").isNotNull)
-      val (cutoff, refused) =
+      val (cutoff, refused, mass) =
         cutoffDecision(exploded, nDocs, maxDocFreq, autoGateDocs, "nearDupPairs")
-      if (refused) {
+      if (refused || exceedsScratchBudget(df.sparkSession, mass)) {
+        val why =
+          if (refused) "no separable hot head"
+          else f"~$mass%.3g surviving pairs exceed the scratch budget"
         System.err.println(s"[graft-dedup] nearDupPairs: routing $nDocs docs " +
-          s"at t=$threshold to MinHash-LSH + exact rerank (pass strictExact=true " +
-          "to force the exact posting-list join)")
+          s"at t=$threshold to MinHash-LSH + exact rerank ($why; pass " +
+          "strictExact=true to force the exact posting-list join)")
         (nearDupPairsMinhash(df, idCol, textCol, n, threshold = threshold),
           RouteLshReroute)
       } else
@@ -204,19 +271,26 @@ object Dedup {
     * shingle-key/pair mass are reported on stderr so production runs
     * can see the guard fire instead of inferring it from runtimes. */
   private def resolveCutoff(exploded: DataFrame, nDocs: Long, userCutoff: Long,
-                            autoGateDocs: Long, tag: String): Long =
-    cutoffDecision(exploded, nDocs, userCutoff, autoGateDocs, tag)._1
+                            autoGateDocs: Long, tag: String): (Long, Double) = {
+    val (cut, _, mass) =
+      cutoffDecision(exploded, nDocs, userCutoff, autoGateDocs, tag)
+    (cut, mass)
+  }
 
   /** The analysis behind [[resolveCutoff]], exposed with its refusal
     * verdict so [[nearDupPairs]] can dispatch on it: returns
-    * (effective cutoff, refused). `refused = true` means the histogram
-    * found NO separable hot head — cutting to budget would drop >
+    * (effective cutoff, refused, surviving candidate-pair mass under
+    * that cutoff). `refused = true` means the histogram found NO
+    * separable hot head — cutting to budget would drop >
     * [[MaxAutoDropKeyFraction]] of distinct shingle keys, i.e. the
     * pair mass is irreducibly in the bulk and the exact join is
-    * quadratic no matter the cutoff. */
+    * quadratic no matter the cutoff. The surviving mass is what the
+    * pair stage will actually explode — the disk-budget guard's input
+    * (0.0 below the corpus gate: no histogram, no prediction). */
   private def cutoffDecision(exploded: DataFrame, nDocs: Long, userCutoff: Long,
-                             autoGateDocs: Long, tag: String): (Long, Boolean) = {
-    if (nDocs < autoGateDocs) (userCutoff, false)
+                             autoGateDocs: Long,
+                             tag: String): (Long, Boolean, Double) = {
+    if (nDocs < autoGateDocs) (userCutoff, false, 0.0)
     else {
       val hist = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .groupBy(col("df")).agg(count(lit(1)).as("n"))
@@ -227,6 +301,10 @@ object Dedup {
       val dropped = hist.collect { case (d, c) if d > eff => c }.sum
       val droppedMass = hist.collect { case (d, c) if d > eff =>
         c.toDouble * d.toDouble * (d - 1).toDouble / 2 }.sum
+      // pair mass SURVIVING a cutoff: what the pair stage will explode
+      def survivingMass(cut: Long): Double = hist.collect {
+        case (d, c) if cut <= 0 || d <= cut =>
+          c.toDouble * d.toDouble * (d - 1).toDouble / 2 }.sum
       if (totalKeys > 0 &&
           dropped.toDouble / totalKeys > MaxAutoDropKeyFraction) {
         // No separable hot head: the effective cutoff — whether the
@@ -245,12 +323,12 @@ object Dedup {
           "pairs); the pair mass lives in the bulk, not a hot head. " +
           "Keeping the caller's cutoff; for corpora like this use the " +
           "MinHash-LSH path (Dedup.nearDupPairsMinhash).")
-        (userCutoff, true)
+        (userCutoff, true, survivingMass(userCutoff))
       } else {
         System.err.println(f"[graft-dedup] $tag: auto hot-shingle cutoff " +
           f"df<=$eff engaged at $nDocs docs (dropped $dropped of " +
           f"$totalKeys shingle keys, ~$droppedMass%.3g candidate pairs)")
-        (eff, false)
+        (eff, false, survivingMass(eff))
       }
     }
   }
@@ -350,8 +428,14 @@ object Dedup {
     // Above the gate the histogram pass recomputes the shingle chain
     // once (linear) — an acceptable price exactly where the quadratic
     // pair mass it bounds dominates; below the gate it costs nothing.
-    val cutoff = resolveCutoff(exploded, nDocs, maxDocFreq, autoGateDocs,
-      "nearDupPairsExact")
+    val (cutoff, pairMass) = resolveCutoff(exploded, nDocs, maxDocFreq,
+      autoGateDocs, "nearDupPairsExact")
+    // Disk-budget refusal (round-12 lesson): the PINNED-exact contracts
+    // used to grind ~1.1e9 candidates into ~250 GB of spill and die at
+    // ENOSPC, taking the JVM (and every co-resident query) with them.
+    // The histogram already knows the surviving pair mass — fail fast
+    // with the reroute recommendation instead.
+    refuseForScratch(df.sparkSession, pairMass, "nearDupPairsExact")
     exploded.groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("nsh")))).as("ds"))
       .filter(size(col("ds")) >= 2 &&
@@ -448,8 +532,15 @@ object Dedup {
     // from the df histogram (see resolveCutoff) — here it bounds the
     // PREFIX posting lists too, since those are a subset of the full
     // lists this filter caps.
-    val cutoff = resolveCutoff(exploded, nDocs, maxDocFreq, autoGateDocs,
-      "nearDupPairsPrefix")
+    val (cutoff, fullMass) = resolveCutoff(exploded, nDocs, maxDocFreq,
+      autoGateDocs, "nearDupPairsPrefix")
+    // The prefix pair stage explodes only each doc's rarest ~(1-t)
+    // fraction of shingles, so its pair mass scales ~(1-t)^2 of the
+    // full-list mass — exactly the measured ~25x collapse at t=0.8.
+    // Budget-check that scaled mass; the same ENOSPC cascade hit this
+    // path at 30x (the verify join streams multi-KB shingle arrays).
+    refuseForScratch(df.sparkSession,
+      fullMass * (1.0 - threshold) * (1.0 - threshold), "nearDupPairsPrefix")
     val withDf = exploded.groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
       .filter(if (cutoff > 0) size(col("ds")) <= cutoff else lit(true))

@@ -564,6 +564,78 @@ object Curation extends QueryModule {
           col("n_unique_fp"), col("lang_entropy"))
     }),
 
+    // The SKETCH-backed datasheet — corpus_datasheet's 100 TB form.
+    // The exact sheet's one-scan wide aggregate carries THREE
+    // countDistincts, which Catalyst plans as an Expand: every corpus
+    // row (text + token array included) is quadrupled through the
+    // shuffle — measured 21x at the 100x fixture, the sheet's whole
+    // scale cost. Here NDVs ride as HLL++ sketches and the char
+    // median as a KLL sketch inside ONE partial-agg scan (fixed-size
+    // mergeable buffers, sum()-shaped shuffle, no row multiplication);
+    // the exact NDVs the hash gate needs are three SEPARATE distinct
+    // pipelines — each a key-parallel dedup shuffle over just its own
+    // column, never the whole row — and the profile_sketch bound-
+    // boolean pattern turns the sketch-vs-exact comparison into
+    // oracle-checkable TRUEs (abs err <= 5% for rsd=0.01 HLL at >4
+    // sigma, +1 for tiny cardinalities; KLL rank within 2x its
+    // published bound). A sketch regression flips a boolean and
+    // hash-mismatches. Entropy stays on the exact sheet; this is the
+    // recurring-profiling face, where NDV mass dominates.
+    "corpus_datasheet_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.KllFunctions
+      val docs = Tables(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          tokens(col("text")).as("toks"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
+      val base = docs.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(size(col("toks"))).cast("long").as("total_tokens"),
+        sum(when(size(col("toks")) >= 64, 1L).otherwise(0L)).as("n_ge"),
+        approx_count_distinct(col("lang"), 0.01).as("hl_lang"),
+        approx_count_distinct(col("source"), 0.01).as("hl_source"),
+        approx_count_distinct(col("fp"), 0.01).as("hl_fp"),
+        element_at(KllFunctions.kllQuantiles(
+          KllFunctions.kllSketchAgg(col("n_chars").cast("double")),
+          Seq(0.5)), 1).as("p50k"))
+      // exact NDV payloads: column-pruned distinct pipelines (lang and
+      // source scans read one dictionary-encoded column; fp's is the
+      // only corpus-mass shuffle, and it carries 32 bytes/row)
+      val nl = docs.select(col("lang")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_langs"))
+      val ns = docs.select(col("source")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_sources"))
+      val nf = docs.select(col("fp")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_unique_fp"))
+      // rank-audit the KLL median: one extra n_chars-only scan against
+      // the broadcast single-row estimate
+      val ranks = docs.select(col("n_chars"))
+        .crossJoin(broadcast(base.select(col("p50k"), col("n_docs").as("nn"))))
+        .agg(
+          sum(when(col("n_chars") < col("p50k"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("n_chars") <= col("p50k"), 1L).otherwise(0L)).as("le50"),
+          first(col("nn")).as("nn"))
+      val tol = ceil(col("nn") * lit(2.0 * eps)) + lit(2.0)
+      base.crossJoin(broadcast(nl)).crossJoin(broadcast(ns))
+        .crossJoin(broadcast(nf)).crossJoin(broadcast(ranks))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_chars"), col("total_tokens"),
+          (round(col("total_tokens").cast("double") / col("n_docs"), 6) + lit(0.0))
+            .as("mean_doc_tokens"),
+          (round(col("n_ge").cast("double") / col("n_docs"), 6) + lit(0.0))
+            .as("pct_ge_64_toks"),
+          col("n_unique_fp"),
+          (abs(col("hl_lang") - col("n_langs")) <=
+            col("n_langs") * lit(0.05) + lit(1.0)).as("lang_ndv_ok"),
+          (abs(col("hl_source") - col("n_sources")) <=
+            col("n_sources") * lit(0.05) + lit(1.0)).as("source_ndv_ok"),
+          (abs(col("hl_fp") - col("n_unique_fp")) <=
+            col("n_unique_fp") * lit(0.05) + lit(1.0)).as("fp_ndv_ok"),
+          ((col("lt50") <= ceil(col("nn") * lit(0.5)) + tol) &&
+            (col("le50") >= floor(col("nn") * lit(0.5)) - tol)).as("kll_p50_ok"))
+    }),
+
     // Domain blocklist derivation — the governance output a web
     // pipeline feeds back to its crawler: per-domain mean lexical
     // quality (type-token ratio — repetition-spam's sharpest signal)
@@ -1760,6 +1832,28 @@ object Curation extends QueryModule {
             round(CAST(n_ge AS DOUBLE) / n_docs, 6) + 0.0 AS pct_ge_64_toks,
             n_unique_fp, lang_entropy
           FROM base CROSS JOIN ent""",
+    // corpus_datasheet_sketch: exact payload recomputed closed-form;
+    // the sketch-within-bound booleans are literal TRUE here and
+    // computed for real on the Spark side (profile_sketch pattern)
+    "corpus_datasheet_sketch" ->
+      s"""WITH t AS (SELECT lang, source, n_chars,
+                      ${Pipeline.toksSql} AS toks,
+                      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                        AS fp
+                    FROM documents)
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+            round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) + 0.0
+              AS mean_doc_tokens,
+            round(CAST(sum(CASE WHEN len(toks) >= 64 THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) + 0.0 AS pct_ge_64_toks,
+            CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+            TRUE AS lang_ndv_ok, TRUE AS source_ndv_ok, TRUE AS fp_ndv_ok,
+            TRUE AS kll_p50_ok
+          FROM t""",
     // domain_blocklist: identical planting, tokenizer and
     // integer-scaled mean; blocked recomputed from the same rounded mean
     "domain_blocklist" ->

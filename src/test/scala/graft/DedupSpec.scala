@@ -163,6 +163,67 @@ class DedupSpec extends SparkSpecBase {
     assert(strict == exact)
   }
 
+  test("disk-budget refusal: pinned-exact paths fail fast, naming the MinHash reroute") {
+    // Round-12 failure shape: the pinned-exact contracts ground ~1.1e9
+    // candidates into ~250 GB of spill and died at ENOSPC, killing the
+    // JVM. The cutoff analysis already knows the surviving pair mass;
+    // with a mocked low scratch budget the refusal must fire BEFORE the
+    // pair join, and the error must hand the operator the way out.
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    Dedup.scratchBytesOverride = Some(1L << 20) // 1 MiB "free disk"
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.nearDupPairsExact(docs, "doc_id", "text", autoGateDocs = 1L)
+          .collect()
+      }
+      assert(e.getMessage.contains("nearDupPairsMinhash"),
+        s"refusal must name the banded reroute: ${e.getMessage}")
+      assert(e.getMessage.contains("REFUSED"))
+      val ep = intercept[IllegalStateException] {
+        Dedup.nearDupPairsPrefixPinned(docs, "doc_id", "text",
+          threshold = 0.5, autoGateDocs = 1L)._1.collect()
+      }
+      assert(ep.getMessage.contains("nearDupPairsMinhash"))
+    } finally Dedup.scratchBytesOverride = None
+  }
+
+  test("disk-budget reroute: the front door degrades to banded LSH, not an error") {
+    // Same mocked budget, but through nearDupPairs: production traffic
+    // must keep flowing on the flat-scaling path instead of failing.
+    // At J=1 banded recall is exact, so the rerouted answer is still
+    // bit-identical to the grind it replaced.
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Dedup.scratchBytesOverride = Some(1L << 20)
+    try {
+      val (pairs, route) = Dedup.nearDupPairsRouted(docs, "doc_id", "text",
+        autoGateDocs = 1L)
+      assert(route == Dedup.RouteLshReroute)
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exact)
+    } finally Dedup.scratchBytesOverride = None
+  }
+
+  test("disk-budget guard stays quiet when the budget fits (and below the gate)") {
+    // Ample budget: the same corpus grinds through the exact path
+    // unchanged. Below the corpus gate no histogram runs, so even a
+    // zero budget cannot refuse — fixture-scale runs never see it.
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    Dedup.scratchBytesOverride = Some(Long.MaxValue)
+    try assert(Dedup.nearDupPairsExact(docs, "doc_id", "text",
+      autoGateDocs = 1L).count() == 60L * 59 / 2)
+    finally Dedup.scratchBytesOverride = None
+    Dedup.scratchBytesOverride = Some(0L)
+    try assert(Dedup.nearDupPairsExact(docs, "doc_id", "text").count() ==
+      60L * 59 / 2) // default gate 50k docs: analysis pass never runs
+    finally Dedup.scratchBytesOverride = None
+  }
+
   test("LSH reroute recall holds at a realistic threshold (J≈0.9, not just J=1)") {
     // Ten true near-dup pairs at J≈0.90 (60-token docs, one token
     // swapped mid-document kills 3 trigrams: |A∩B|=55, |A∪B|=61,
