@@ -298,19 +298,50 @@ object SimilaritySearch {
     p.toInt
   }
 
-  /** Resolve a caller's nlist: explicit values pass through untouched
-    * (the oracle-pinned queries stay bit-stable); [[AutoNlist]] runs
-    * ONE count pass and derives the knob, reporting the decision on
-    * stderr like the text-dedup front door. */
-  private def resolveNlist(corpus: DataFrame, nlist: Int, tag: String): Int =
-    if (nlist != AutoNlist) nlist
+  /** Row-mass ceiling for the FLAT exploded assignment: the wide-
+    * codebook formulation materializes N·nlist candidate rows through
+    * a (sort-based — struct buffer) aggregate, and that row mass, not
+    * the cosine flops, is what kills it: MEASURED at 1M×4096 the agg
+    * wanted multi-hundred-GB of sort scratch and ENOSPC-killed the
+    * JVM, while 2e8 rows (the 100× fixture at nlist=256) ran clean at
+    * 19.8 s (SCALING.md rounds 12–13). 1e9 sits an order of magnitude
+    * under the measured death with the measured-good regime well
+    * inside it. */
+  val FlatAssignRowBudget: Long = 1000000000L
+
+  /** The tier ABOVE the flat quantizer: dispatch to two-level and
+    * return Some((coarseK, subK)) when EITHER (a) the corpus wants
+    * more leaves than the flat codebook should carry (raw = N /
+    * [[TargetClusterSize]] > [[MaxAutoNlist]], i.e. past ~4M vectors),
+    * or (b) the flat assignment's candidate row mass N·deriveNlist(N)
+    * exceeds [[FlatAssignRowBudget]] (past ~1M vectors at the default
+    * target — the flat plan would sort-spill toward ENOSPC long before
+    * the leaf count caps). coarseK·subK >= raw leaves at
+    * N·(coarseK + subK) assignment row mass instead of the flat N·raw
+    * (a flat 16384-leaf codebook costs 85x more per vector than
+    * 128x128). coarseK is the largest power of two with coarseK² <=
+    * raw (>= 16), subK the smallest power of two that covers raw —
+    * both land on measured [[withBestCent]] JIT regimes like
+    * [[deriveNlist]]'s snapping. Below both bounds: None (the flat
+    * path is the right plan — one codebook, no second pass). */
+  def deriveTwoLevel(n: Long,
+                     targetClusterSize: Long = TargetClusterSize): Option[(Int, Int)] = {
+    require(targetClusterSize > 0, "deriveTwoLevel: targetClusterSize must be > 0")
+    val raw = math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
+    val flatNlist = deriveNlist(n, targetClusterSize)
+    val flatRows = n * flatNlist
+    // the flat fold regime (nlist <= 32) never materializes candidate
+    // rows at all — the budget only governs the exploded formulation
+    if (raw <= MaxAutoNlist &&
+        (flatNlist <= ArgmaxFoldMaxCentroids || flatRows <= FlatAssignRowBudget)) None
     else {
-      val n = corpus.count()
-      val derived = deriveNlist(n)
-      System.err.println(s"[graft-ann] $tag: auto nlist=$derived for $n vectors " +
-        s"(~${n / math.max(derived, 1)} per cluster)")
-      derived
+      var c = 16L
+      while (c * 2 * c * 2 <= raw) c *= 2
+      var s = c
+      while (c * s < raw) s *= 2
+      Some((c.toInt, s.toInt))
     }
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster with the IVF coarse quantizer
@@ -334,8 +365,27 @@ object SimilaritySearch {
     * duplicates does not depend on the knob. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int = AutoNlist, threshold: Double = 0.99): DataFrame = {
-    val eff = resolveNlist(corpus, nlist, "semanticDedup")
-    val cents = lloydCentroids(corpus, idCol, vecCol, eff, LloydIters)
+    if (nlist == AutoNlist) {
+      // one count pass drives BOTH tiers: flat below MaxAutoNlist,
+      // two-level above it (deriveTwoLevel) — the knob ladder turns
+      // itself all the way up.
+      val n = corpus.count()
+      deriveTwoLevel(n) match {
+        case Some((c, s)) =>
+          System.err.println(s"[graft-ann] semanticDedup: auto TWO-LEVEL " +
+            s"coarseK=$c subK=$s (${c * s} leaves) for $n vectors " +
+            s"(~${n / math.max(c.toLong * s, 1L)} per leaf)")
+          return semanticDedupTwoLevel(corpus, idCol, vecCol, c, s, threshold)
+        case None =>
+          val derived = deriveNlist(n)
+          System.err.println(s"[graft-ann] semanticDedup: auto nlist=$derived " +
+            s"for $n vectors (~${n / math.max(derived, 1)} per cluster)")
+          val cents = lloydCentroids(corpus, idCol, vecCol, derived, LloydIters)
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+          return semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
+      }
+    }
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
   }
@@ -345,11 +395,19 @@ object SimilaritySearch {
     * each cluster, drop the higher id at cos >= threshold. */
   private def semanticDedupWithCents(corpus: DataFrame, idCol: String,
       vecCol: String, cents: Seq[(Long, Seq[Double])],
-      threshold: Double): DataFrame = {
-    val assigned = withBestCent(
-        corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
-        "_mid", "_mv", cents)
-      .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
+      threshold: Double): DataFrame =
+    dedupWithAssignment(corpus, idCol, vecCol,
+      withBestCent(
+          corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
+          "_mid", "_mv", cents)
+        .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id")),
+      threshold)
+
+  /** The dedup pair stage both tiers share: pairwise cosine WITHIN each
+    * assigned cluster, drop the higher id at cos >= threshold.
+    * `assigned` = (idCol, cluster_id). */
+  private def dedupWithAssignment(corpus: DataFrame, idCol: String,
+      vecCol: String, assigned: DataFrame, threshold: Double): DataFrame = {
     val av = corpus.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
     val dropped = av.as("a")
       .join(av.as("b"),
@@ -363,6 +421,155 @@ object SimilaritySearch {
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
 
+  /** Two-level (hierarchical) coarse quantizer codebook: `coarse`
+    * top-level cells plus per-cell sub-centroid `leaves` — (cell_id,
+    * leaf_id, vec), leaf ids globally unique (they stay the seed
+    * vector ids, like the flat codebook's). The tier above
+    * [[MaxAutoNlist]] (public design: Faiss IVF's two-level / IMI
+    * family): assignment costs N·(coarseK + subK) cosines instead of
+    * the flat N·(coarseK·subK). */
+  case class TwoLevelCodebook(coarse: Seq[(Long, Seq[Double])],
+                              leaves: Seq[(Long, Long, Seq[Double])]) {
+    def leafCount: Int = leaves.size
+  }
+
+  /** Train the two-level codebook: coarse k-means via
+    * [[lloydCentroids]] (the identical discipline — hash seeds, 6-dp
+    * re-anchoring, id tiebreaks), assign every vector to its coarse
+    * cell ONCE (persisted), then train subK sub-centroids INSIDE each
+    * cell — seeds are the subK smallest-md5 ids per cell
+    * (WindowGroupLimit prunes the seed scan in-shuffle, so only
+    * ~partitions·coarseK·subK rows ever cross the exchange), and each
+    * sub-Lloyd round is ONE broadcast-join scan keyed on the cell (a
+    * vector meets only its own cell's subK leaves) + one mergeable
+    * moment aggregate per leaf. Only the coarseK·subK × d model
+    * crosses the driver boundary between rounds.
+    *
+    * With coarseK = 1 this is EXACTLY the flat quantizer at nlist =
+    * subK — one cell holds everything, the per-cell seed order is the
+    * global md5 order, and the sub-Lloyd rounds are the flat Lloyd
+    * rounds (AnnSpec pins the equivalence). Exact/scaled twins land in
+    * the same cell AND the same leaf at any codebook (identical
+    * direction ⇒ identical argmax at both levels), so dedup recall on
+    * true duplicates does not depend on the tier. */
+  def trainTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                    coarseK: Int, subK: Int,
+                    iters: Int = LloydIters): TwoLevelCodebook = {
+    import org.apache.spark.storage.StorageLevel
+    require(coarseK >= 1 && subK >= 1, "trainTwoLevel: coarseK and subK must be >= 1")
+    val d = dimOf(corpus, vecCol)
+    val coarse: Seq[(Long, Seq[Double])] =
+      lloydCentroids(corpus, idCol, vecCol, coarseK, iters)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val cells = cellAssign(corpus, idCol, vecCol, coarse)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-cell seeds: subK smallest md5(id) in each cell — the
+      // hashCentroids sample, partitioned. rk <= subK is pruned by
+      // WindowGroupLimit before the exchange.
+      val wSeed = Window.partitionBy(col("_cell"))
+        .orderBy(md5(col("_vid").cast("string")), col("_vid"))
+      var leaves: Seq[(Long, Long, Seq[Double])] = cells
+        .withColumn("_rk", row_number().over(wSeed))
+        .filter(col("_rk") <= subK)
+        .select(col("_cell"), col("_vid"), col("_vv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toVector)).toSeq
+        .sortBy(l => (l._1, l._2))
+      for (_ <- 1 to iters) {
+        // moments need the vectors back: join the slim assignment to
+        // the PERSISTED cell frame by id (a cache read, not a rescan)
+        val sums = bestLeaf(cells, leaves)
+          .select(col("_vid"), col("_leaf"))
+          .join(cells.select(col("_vid"), col("_vv")), Seq("_vid"))
+          .select(col("_leaf"), col("_vv"))
+          .groupBy(col("_leaf"))
+          .agg(org.apache.spark.sql.graft.GramianFunctions
+            .vecSumAgg(col("_vv"), d).as("_s"))
+          .select(col("_leaf"),
+            expr(s"transform(slice(_s, 2, $d), x -> round(x / _s[0], 6))").as("_nv"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        leaves = leaves.map { case (cell, lid, prev) =>
+          (cell, lid, sums.getOrElse(lid, prev))
+        }
+      }
+      TwoLevelCodebook(coarse, leaves)
+    } finally { cells.unpersist(); () }
+  }
+
+  /** (idCol -> _vid, double vec -> _vv, coarse cell -> _cell): the
+    * one-pass coarse assignment both training and search share. */
+  private def cellAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                         coarse: Seq[(Long, Seq[Double])]): DataFrame =
+    withBestCent(
+        corpus.select(col(idCol).as("_vid"),
+          expr(s"transform($vecCol, x -> cast(x as double))").as("_vv")),
+        "_vid", "_vv", coarse)
+      .select(col("_vid"), col("_vv"), (-col("_best")("negid")).as("_cell"))
+
+  /** Per-vector best leaf WITHIN its coarse cell: broadcast the leaf
+    * table keyed by cell, join on the cell (each vector meets only its
+    * own cell's <= subK leaves — never the full codebook), then
+    * max(struct) per vector over SLIM (c, negid) rows — the vector
+    * payload never rides the aggregate (the withBestCent lesson: a
+    * d-dim payload in the max struct plans a sort aggregate over fat
+    * rows and spills terabytes at scale; callers that need the vector
+    * re-join it by id). Same contract as [[withBestCent]]: 6-dp
+    * rounded cosine, smallest leaf id wins ties. Returns
+    * (_vid, _leaf, _lcos). */
+  private def bestLeaf(cells: DataFrame,
+                       leaves: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val leafDf = broadcast(leaves.toDF("_cell", "_lcid", "_lcv"))
+    cells.join(leafDf, "_cell")
+      .select(col("_vid"),
+        struct(round(cosine(col("_vv"), col("_lcv")), 6).as("c"),
+          (-col("_lcid")).as("negid")).as("_sb"))
+      .groupBy(col("_vid"))
+      .agg(max(col("_sb")).as("_sbb"))
+      .select(col("_vid"), (-col("_sbb")("negid")).as("_leaf"),
+        col("_sbb")("c").as("_lcos"))
+  }
+
+  /** Flat-clustering face of the two-level quantizer (the
+    * [[assignClusters]] contract at the hierarchical tier): every
+    * vector labeled with its leaf cluster. Two broadcast-join scans —
+    * coarse cell then within-cell leaf — and the corpus is never
+    * shuffled on the cluster key. Returns (idCol, cluster_id,
+    * cent_cos). */
+  def assignClustersTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                             coarseK: Int, subK: Int): DataFrame = {
+    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    assignLeaves(corpus, idCol, vecCol, cb)
+      .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"),
+        col("_lcos").as("cent_cos"))
+  }
+
+  /** Assignment against a FROZEN two-level codebook (no retraining). */
+  def assignLeaves(corpus: DataFrame, idCol: String, vecCol: String,
+                   cb: TwoLevelCodebook): DataFrame =
+    bestLeaf(cellAssign(corpus, idCol, vecCol, cb.coarse), cb.leaves)
+
+  /** [[semanticDedup]] at the hierarchical tier: cluster with the
+    * two-level quantizer, compare pairs ONLY within each LEAF, drop
+    * the higher id at cos >= threshold. Pair work is leaf-bounded
+    * (~N²/(coarseK·subK) cosines) while assignment stays
+    * N·(coarseK + subK) — the shape that keeps BOTH stages flat as
+    * the corpus grows past the flat quantizer's 4M-vector ceiling.
+    * Same output contract as [[semanticDedup]]: (idCol, cluster_id,
+    * is_dropped); with coarseK = 1 the result is row-identical to the
+    * flat path at nlist = subK. */
+  def semanticDedupTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                            coarseK: Int, subK: Int,
+                            threshold: Double = 0.99): DataFrame = {
+    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    dedupWithAssignment(corpus, idCol, vecCol,
+      assignLeaves(corpus, idCol, vecCol, cb)
+        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
+      threshold)
+  }
+
   /** Frozen semantic-dedup index: the trained centroid codebook plus
     * the KEPT (deduplicated) corpus vectors labeled with their
     * clusters — the signature-store contract for embeddings. Build
@@ -370,18 +577,31 @@ object SimilaritySearch {
     * ([[semanticDedupAgainstIndex]]) without retraining centroids or
     * rescanning anything but the matching clusters. */
   case class SemanticIndex(cents: Seq[(Long, Seq[Double])], kept: DataFrame,
-                           builtN: Long = -1L)
+                           builtN: Long = -1L,
+                           twoLevel: Option[TwoLevelCodebook] = None)
 
   /** Train centroids on the corpus, drop its internal near-dups, and
     * freeze (codebook, kept vectors) as the [[SemanticIndex]]. The
     * default nlist is the [[AutoNlist]] front door, so a store frozen
     * from a 100× corpus gets a 100×-appropriate codebook without
-    * anyone remembering to turn the knob; `builtN` records the corpus
+    * anyone remembering to turn the knob — and past the flat
+    * quantizer's ceiling ([[deriveTwoLevel]]) the frozen codebook is
+    * the TWO-LEVEL one, so a billion-vector store never grinds its
+    * build on a flat 4096-leaf assignment; `builtN` records the corpus
     * size the codebook was trained at, the staleness denominator
     * downstream consumers (semanticDedupSink) check against. */
   def buildSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
                          nlist: Int = AutoNlist, threshold: Double = 0.99): SemanticIndex = {
     val n = corpus.count()
+    if (nlist == AutoNlist) {
+      deriveTwoLevel(n) match {
+        case Some((c, s)) =>
+          System.err.println(s"[graft-ann] buildSemanticIndex: auto TWO-LEVEL " +
+            s"coarseK=$c subK=$s (${c * s} leaves) for $n vectors")
+          return buildSemanticIndexTwoLevel(corpus, idCol, vecCol, c, s, threshold, n)
+        case None => ()
+      }
+    }
     val eff = if (nlist != AutoNlist) nlist else {
       val derived = deriveNlist(n)
       System.err.println(s"[graft-ann] buildSemanticIndex: auto nlist=$derived " +
@@ -397,6 +617,30 @@ object SimilaritySearch {
     SemanticIndex(cents, kept, builtN = n)
   }
 
+  /** The frozen store at the hierarchical tier (forced shape —
+    * [[buildSemanticIndex]]'s AutoNlist dispatches here past the flat
+    * ceiling): `cents` holds the LEAVES (leaf_id, vec) so consumers
+    * reading the codebook see the same contract, and `twoLevel`
+    * carries the full structure increments are assigned with. At
+    * coarseK = 1 the frozen store is row-identical to the flat one at
+    * nlist = subK (AnnSpec pins it). */
+  def buildSemanticIndexTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                                 coarseK: Int, subK: Int,
+                                 threshold: Double = 0.99,
+                                 knownN: Long = -1L): SemanticIndex = {
+    val n = if (knownN >= 0) knownN else corpus.count()
+    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    val kept = dedupWithAssignment(corpus, idCol, vecCol,
+        assignLeaves(corpus, idCol, vecCol, cb)
+          .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
+        threshold)
+      .filter(!col("is_dropped"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("cluster_id"), col(vecCol))
+    SemanticIndex(cb.leaves.map(l => (l._2, l._3)), kept, builtN = n,
+      twoLevel = Some(cb))
+  }
+
   /** Incremental semantic dedup against a FROZEN index: assign each
     * increment vector with the stored centroids (never retrained — the
     * encodePq discipline, so verdicts are stable as the store grows),
@@ -408,10 +652,19 @@ object SimilaritySearch {
   def semanticDedupAgainstIndex(inc: DataFrame, idCol: String, vecCol: String,
                                 index: SemanticIndex,
                                 threshold: Double = 0.99): DataFrame = {
-    val assigned = withBestCent(
-        inc.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
-        "_mid", "_mv", index.cents)
-      .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
+    // assignment follows the index's tier: two-level stores route the
+    // increment through coarse cell + leaf (same frozen codebook the
+    // store was keyed with), flat stores through the flat argmax
+    val assigned = index.twoLevel match {
+      case Some(cb) =>
+        assignLeaves(inc, idCol, vecCol, cb)
+          .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"))
+      case None =>
+        withBestCent(
+            inc.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
+            "_mid", "_mv", index.cents)
+          .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
+    }
     val av = inc.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
     val vsStore = av.as("a")
       .join(index.kept.select(col("cluster_id"),
@@ -508,9 +761,18 @@ object SimilaritySearch {
     * literal fold below [[ArgmaxFoldMaxCentroids]], and above it the
     * exploded formulation — one cosine per (vector, centroid) ROW
     * against a broadcast centroid table (every expression stays small
-    * and JIT-hot), map-side-combined `max(struct)` per vector. Same
-    * contract either way: 6-dp rounded cosine, smallest cent_id wins
-    * ties. Returns (vidCol, vvCol, _best{c, negid}). */
+    * and JIT-hot), `max(struct)` per vector, then the vector payload
+    * re-joined BY ID. Same contract either way: 6-dp rounded cosine,
+    * smallest cent_id wins ties. Returns (vidCol, vvCol, _best{c,
+    * negid}).
+    *
+    * The payload re-join is load-bearing at scale: max over a struct
+    * CARRYING the d-dim vector plans a sort-based aggregate over
+    * N·nlist ~550-byte rows — measured DEAD at 1M×4096 (the sort
+    * wanted ~2 TB of scratch and ENOSPC-killed the JVM;
+    * SCALING.md round 13). Slim (c, negid) rows keep the same sort
+    * ~20× smaller, and the second corpus scan it buys is the cheap,
+    * pushed-down kind. */
   private def withBestCent(vecs: DataFrame, vidCol: String, vvCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
     if (cents.size <= ArgmaxFoldMaxCentroids)
@@ -520,17 +782,14 @@ object SimilaritySearch {
       val spark = vecs.sparkSession
       import spark.implicits._
       val centDf = broadcast(cents.toDF("_ccid", "_ccv"))
-      // vv rides the struct tail: (c, negid) is unique per row, so the
-      // max never compares it — it just travels with the winner.
-      vecs.crossJoin(centDf)
+      val best = vecs.crossJoin(centDf)
         .select(col(vidCol),
           struct(round(cosine(col(vvCol), col("_ccv")), 6).as("c"),
-            (-col("_ccid")).as("negid"), col(vvCol).as("vv")).as("_sbig"))
+            (-col("_ccid")).as("negid")).as("_sb"))
         .groupBy(col(vidCol))
-        .agg(max(col("_sbig")).as("_sb"))
-        .select(col(vidCol), col("_sb")("vv").as(vvCol),
-          struct(col("_sb")("c").as("c"), col("_sb")("negid").as("negid"))
-            .as("_best"))
+        .agg(max(col("_sb")).as("_best"))
+      vecs.join(best, Seq(vidCol))
+        .select(col(vidCol), col(vvCol), col("_best"))
     }
 
   /** Deterministic coarse-quantizer codebook: the nlist vectors with

@@ -251,6 +251,68 @@ object Pipeline extends QueryModule {
       .mkString(",\n          ")
   }
 
+  /** DuckDB CTE chain rebuilding the HIERARCHICAL tier
+    * (SimilaritySearch.trainTwoLevel + assignLeaves) on top of
+    * `e(vec_id, v)` and the coarse `cents(cent_id, cv)` CTE from
+    * [[lloydCentsSql]]: one coarse assignment, per-cell sub-seeds (the
+    * subK smallest md5 ids within each cell), `iters` unrolled
+    * sub-Lloyd rounds in which a vector meets ONLY its own cell's
+    * leaves, then the final leaf assignment. Terminates in
+    * `tl_assigned(vec_id, v, leaf_id)`. The rounding/tiebreak grid is
+    * identical to the flat chain's — 6-dp cosines, smallest id wins,
+    * per-round 6-dp re-anchored means — so the two engines' nested
+    * iterations stay bit-identical. */
+  private def twoLevelSql(iters: Int, subK: Int, d: Int = 64): String = {
+    def lcos(t: String, l: String) =
+      s"""round(list_dot_product($t.v, $l.cv) /
+                (sqrt(list_dot_product($t.v, $t.v)) * sqrt(list_dot_product($l.cv, $l.cv))), 6)"""
+    val cellAssign =
+      s"""tlc AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+              round(list_dot_product(e.v, c.cv) /
+                    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) ccos
+            FROM e CROSS JOIN cents c),
+          tcell AS (
+            SELECT vec_id, v, cent_id AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cent_id) rk FROM tlc)
+            WHERE rk = 1),
+          lv0 AS (
+            SELECT cell, vec_id AS leaf_id, v AS cv FROM (
+              SELECT *, row_number() OVER (PARTITION BY cell
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rk FROM tcell)
+            WHERE rk <= $subK)"""
+    val rounds = (1 to iters).map { r =>
+      val prev = s"lv${r - 1}"
+      s"""tla$r AS (
+            SELECT t.vec_id, t.v, l.leaf_id, ${lcos("t", "l")} lcs
+            FROM tcell t JOIN $prev l ON t.cell = l.cell),
+          tls$r AS (
+            SELECT vec_id, v, leaf_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY lcs DESC, leaf_id) rk
+              FROM tla$r) WHERE rk = 1),
+          tlm$r AS (
+            SELECT leaf_id, i, round(sum(v[i]) / count(*), 6) + 0.0 AS mv
+            FROM tls$r CROSS JOIN generate_series(1, $d) g(i)
+            GROUP BY 1, 2),
+          tlv$r AS (SELECT leaf_id, list(mv ORDER BY i) nv FROM tlm$r GROUP BY 1),
+          lv$r AS (
+            SELECT p.cell, p.leaf_id, coalesce(n.nv, p.cv) cv
+            FROM $prev p LEFT JOIN tlv$r n ON p.leaf_id = n.leaf_id)"""
+    }
+    val fin =
+      s"""tlfa AS (
+            SELECT t.vec_id, t.v, l.leaf_id, ${lcos("t", "l")} lcs
+            FROM tcell t JOIN lv$iters l ON t.cell = l.cell),
+          tl_assigned AS (
+            SELECT vec_id, v, leaf_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY lcs DESC, leaf_id) rk
+              FROM tlfa) WHERE rk = 1)"""
+    ((cellAssign +: rounds) :+ fin).mkString(",\n          ")
+  }
+
   /** DuckDB CTE block rebuilding ONE PQ subspace over the
     * normalized-vector CTE `en(vec_id, nv)`: hash-ordered seeds +
     * `iters` L2 Lloyd rounds (the lloydCentsSql discipline at subspace
@@ -739,6 +801,31 @@ object Pipeline extends QueryModule {
       SimilaritySearch.semanticDedupAgainstIndex(inc, "vec_id", "embedding",
           index, threshold = 0.99)
         .orderBy(col("vec_id"))
+    }),
+
+    // Semantic dedup at the HIERARCHICAL tier (the quantizer above
+    // AutoNlist's 4096-leaf flat ceiling, forced small here so the
+    // oracle can replay it): coarse k-means cells, per-cell
+    // sub-codebooks (seeds = smallest-md5 ids within the cell,
+    // WindowGroupLimit-pruned), sub-Lloyd rounds in which a vector
+    // meets only its own cell's leaves — assignment N·(coarseK+subK)
+    // instead of the flat N·nlist — then leaf-bounded pair comparison.
+    // Same planted twins as semantic_dedup; the DuckDB oracle rebuilds
+    // BOTH nested trainings bit-for-bit (lloydCentsSql + twoLevelSql).
+    "semantic_dedup_twolevel" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding"))
+      SimilaritySearch.semanticDedupTwoLevel(emb.unionByName(pert),
+          "vec_id", "embedding", coarseK = 4, subK = 4, threshold = 0.99)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(when(col("is_dropped"), 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          sum(when(col("is_dropped"), 0L).otherwise(1L)).cast("long").as("n_kept"),
+          min(when(!col("is_dropped"), col("vec_id"))).as("min_kept_vec"))
+        .orderBy(col("cluster_id"))
     }),
 
     // Corpus mixture report: document and token mass per (source,
@@ -1725,6 +1812,28 @@ object Pipeline extends QueryModule {
             (vec_id IN (SELECT vec_id FROM sivstore)
              OR vec_id IN (SELECT vec_id FROM siintra)) AS is_dropped
           FROM sis ORDER BY vec_id""",
+    "semantic_dedup_twolevel" ->
+      s"""WITH u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+           FROM embeddings WHERE vec_id < 50
+         ), e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u),
+         ${lloydCentsSql(2, 4)},
+         ${twoLevelSql(2, 4)},
+         tdrop AS (
+           SELECT DISTINCT b.vec_id AS j
+           FROM tl_assigned a JOIN tl_assigned b
+             ON a.leaf_id = b.leaf_id AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 >= 0.99)
+         SELECT leaf_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(d.j) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.j) AS BIGINT) AS n_kept,
+           min(CASE WHEN d.j IS NULL THEN tl_assigned.vec_id END) AS min_kept_vec
+         FROM tl_assigned LEFT JOIN tdrop d ON tl_assigned.vec_id = d.j
+         GROUP BY 1 ORDER BY 1""",
     "media_frames" ->
       """WITH f AS (
            SELECT doc_id, k AS frame_idx,

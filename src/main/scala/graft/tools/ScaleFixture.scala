@@ -126,5 +126,29 @@ object ScaleFixture {
           expr(s"transform(sequence(0, ${dim - 1}), i -> " +
             "cast((xxhash64(vec_id, i) % 1000000) / 500000.0 - 1.0 as float))"))))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    writeManifest(src, out, reps, fixedVocab)
+  }
+
+  /** FIXTURE.json manifest in the output dir — provenance for every
+    * SCALING.md measurement row, so cross-round scale comparisons can
+    * never silently mix fixture generations (the round-11→12
+    * vocabulary-scaling change invalidated several historical rows;
+    * this is the guard against a repeat). */
+  private def writeManifest(src: String, out: String, reps: Int,
+                            fixedVocab: Boolean): Unit = {
+    val rev = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val r = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0 && r.matches("[0-9a-f]+")) r else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val tag = if (fixedVocab) s"x${reps}f" else s"x${reps}v"
+    val json =
+      s"""{"src": "$src", "replicas": $reps, "tag": "$tag",
+         | "vocab": "${if (fixedVocab) "fixed-vocab-dims" else "scaled"}",
+         | "generator_rev": "$rev"}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/FIXTURE.json"), json)
   }
 }

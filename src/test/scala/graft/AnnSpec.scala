@@ -383,4 +383,127 @@ class AnnSpec extends SparkSpecBase {
       assert(!r.isNullAt(r.fieldIndex("min_kept_vec")))
     }
   }
+
+  test("two-level quantizer at coarseK=1 is EXACTLY the flat quantizer (codebook and dedup rows)") {
+    // With one coarse cell, the per-cell seed order is the global md5
+    // order and the sub-Lloyd rounds are the flat Lloyd rounds — so
+    // the leaves must equal the flat codebook entry-for-entry, and the
+    // dedup verdicts (including cluster ids, which stay the seed ids)
+    // must be row-identical. This pins the hierarchical tier to the
+    // oracle-verified flat path at the overlap point.
+    val df = clustered.cache()
+    val twins = df.filter(col("vec_id") < 1100)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twins)
+    val cb = SimilaritySearch.trainTwoLevel(corpus, "vec_id", "embedding",
+      coarseK = 1, subK = 16)
+    val flatCents = SimilaritySearch
+      .assignClusters(corpus, "vec_id", "embedding", nlist = 16) // trains flat 16
+    val twoRows = SimilaritySearch
+      .semanticDedupTwoLevel(corpus, "vec_id", "embedding", 1, 16, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val flatRows = SimilaritySearch
+      .semanticDedup(corpus, "vec_id", "embedding", nlist = 16, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(cb.leafCount == 16)
+    assert(cb.leaves.forall(_._1 == cb.coarse.head._1)) // one cell holds every leaf
+    assert(twoRows == flatRows)
+    // and the flat assignment's cluster-id set equals the leaf-id set
+    val leafIds = cb.leaves.map(_._2).toSet
+    val flatIds = flatCents.select("cluster_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flatIds.subsetOf(leafIds))
+  }
+
+  test("two-level dedup drops exactly the planted twins (recall parity with flat on true dups)") {
+    // Identical direction ⇒ identical argmax at BOTH levels, so a
+    // scaled twin always lands in its original's leaf regardless of
+    // codebook shape — recall on true duplicates is tier-independent.
+    val df = clustered.cache()
+    val twins = df.filter(col("vec_id") < 1100)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twins)
+    val expected = twins.collect().map(_.getLong(0)).toSet
+    val dropped = SimilaritySearch
+      .semanticDedupTwoLevel(corpus, "vec_id", "embedding",
+        coarseK = 4, subK = 4, threshold = 0.999)
+      .filter(col("is_dropped"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == expected, s"${dropped.size} vs ${expected.size}")
+  }
+
+  test("trainTwoLevel is deterministic (identical codebook across runs)") {
+    val df = clustered.cache()
+    val a = SimilaritySearch.trainTwoLevel(df, "vec_id", "embedding", 4, 4)
+    val b = SimilaritySearch.trainTwoLevel(df, "vec_id", "embedding", 4, 4)
+    assert(a.coarse == b.coarse)
+    assert(a.leaves == b.leaves)
+    // every leaf's cell is a real coarse cell, and no leaf id repeats
+    val cellIds = a.coarse.map(_._1).toSet
+    assert(a.leaves.forall(l => cellIds.contains(l._1)))
+    assert(a.leaves.map(_._2).distinct.size == a.leaves.size)
+  }
+
+  test("two-level frozen index at coarseK=1 == flat index: kept set and increment verdicts") {
+    val df = clustered.cache()
+    val flat = SimilaritySearch.buildSemanticIndex(df, "vec_id", "embedding",
+      nlist = 16, threshold = 0.999)
+    val two = SimilaritySearch.buildSemanticIndexTwoLevel(df, "vec_id", "embedding",
+      coarseK = 1, subK = 16, threshold = 0.999)
+    assert(two.twoLevel.nonEmpty && two.builtN == flat.builtN)
+    assert(two.cents.toSet == flat.cents.toSet)
+    def keptSet(i: SimilaritySearch.SemanticIndex) = i.kept
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptSet(two) == keptSet(flat))
+    // an increment of twins (dups vs store) + reversed vectors (novel)
+    // must get identical verdicts through either assignment path
+    val inc = df.filter(col("vec_id") < 1010)
+      .select((col("vec_id") + 70000).as("vec_id"), col("embedding"))
+      .unionByName(df.filter(col("vec_id") < 1005)
+        .select((col("vec_id") + 80000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    def verdicts(i: SimilaritySearch.SemanticIndex) = SimilaritySearch
+      .semanticDedupAgainstIndex(inc, "vec_id", "embedding", i, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(verdicts(two) == verdicts(flat))
+  }
+
+  test("deriveTwoLevel: flat in the fold/budget regimes, covering factorization past either bound") {
+    import SimilaritySearch.{deriveTwoLevel, deriveNlist, FlatAssignRowBudget,
+      ArgmaxFoldMaxCentroids, TargetClusterSize}
+    // fold-regime and measured-good exploded sizes stay flat: the 100×
+    // fixture (200k vectors, nlist=256, 5.1e7 candidate rows) is the
+    // SCALING.md 19.8 s row and must keep its plan
+    assert(deriveTwoLevel(0L).isEmpty)
+    assert(deriveTwoLevel(200000L).isEmpty)
+    assert(deriveTwoLevel(500000L).isEmpty) // 512 leaves, 2.6e8 rows: inside budget
+    // the ROW budget dispatches before the leaf cap does: 1M vectors
+    // would be flat nlist=1024 = 1.02e9 candidate rows — just past the
+    // measured-safe mass (flat 4.1e9 at 1M×4096 ENOSPC-died; SCALING.md)
+    assert(deriveTwoLevel(1048577L).nonEmpty)
+    // and the leaf cap alone dispatches even if the budget were huge
+    assert(deriveTwoLevel(100000000L).nonEmpty)
+    // every dispatched shape: powers of two, coarseK² <= raw, coverage,
+    // and a real assignment-mass win over the flat plan it replaces
+    Seq(1500000L, 5000000L, 8L * 1024 * 1024, 100000000L, 1000000000L).foreach { n =>
+      val raw = math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize)
+      val Some((c, s)) = deriveTwoLevel(n)
+      assert((c & (c - 1)) == 0 && (s & (s - 1)) == 0, s"n=$n -> ($c,$s)")
+      assert(c.toLong * c <= raw && c >= 16, s"n=$n coarseK=$c")
+      assert(c.toLong * s >= raw, s"n=$n ($c,$s) covers raw=$raw")
+      // win vs the flat plan it replaces: the capped-4096 codebook in
+      // the budget band, the TRUE (uncapped) leaf need past the cap
+      assert(c.toLong + s < math.max(deriveNlist(n).toLong, raw) / 4,
+        s"n=$n assignment win too small")
+    }
+    // never dispatched INTO the fold regime's replacement while the
+    // fold itself is still the plan (nlist <= 32 materializes no rows)
+    assert(deriveNlist(32L * TargetClusterSize) <= ArgmaxFoldMaxCentroids &&
+      deriveTwoLevel(32L * TargetClusterSize).isEmpty)
+    // the 1B-row shape a 100 TB corpus would dispatch: ~1M leaves
+    val Some((cBig, sBig)) = deriveTwoLevel(1000000000L)
+    assert(cBig.toLong * sBig >= 976563L && cBig + sBig <= 3072,
+      s"1B rows -> ($cBig,$sBig)")
+    assert(FlatAssignRowBudget == 1000000000L)
+  }
 }
