@@ -72,6 +72,19 @@ object Dedup {
     * by 15% trades a loud early refusal for a JVM kill hours in. */
   val BytesPerCandidatePair: Long = 256L
 
+  /** Scratch bytes per PREFIX-path candidate. The prefix path's
+    * surviving-candidate COUNT is ~(1−t)² of the full inverted-index
+    * mass (the All-Pairs prefix fraction), but each of its candidates
+    * is ~40× fatter: the verify join streams both documents' full
+    * shingle ARRAYS (~2 × nsh × ~25 B ≈ 10 KB on a ~250-token doc)
+    * where the full path shuffles slim (i, j, na, nb) rows. MEASURED
+    * (round-13 30× sweep): with the 256 B constant the prefix budget
+    * predicted ~11 GiB and passed — then the run filled > 50 GB of
+    * scratch and died at real ENOSPC, i.e. ≥ 1.2 KB per predicted
+    * candidate as a hard lower bound. 4 KiB carries the same
+    * overestimate margin the full-path constant does. */
+  val PrefixBytesPerCandidatePair: Long = 4096L
+
   /** Fraction of free scratch space a single near-dup pair stage may
     * budget: the stage is not alone on the disk (other queries'
     * shuffles, the OS, parquet output), and ENOSPC on a shared
@@ -95,14 +108,15 @@ object Dedup {
       catch { case _: Throwable => Long.MaxValue }
     }
 
-  /** True iff `pairMass` surviving candidate pairs would out-spill the
-    * scratch budget. Zero/negative mass (analysis pass not run — below
-    * the corpus gate) never trips: a sub-gate corpus cannot produce
-    * hundreds of GB of pair spill. */
+  /** True iff `pairMass` surviving candidate pairs at `bytesPerPair`
+    * would out-spill the scratch budget. Zero/negative mass (analysis
+    * pass not run — below the corpus gate) never trips: a sub-gate
+    * corpus cannot produce hundreds of GB of pair spill. */
   private def exceedsScratchBudget(spark: org.apache.spark.sql.SparkSession,
-                                   pairMass: Double): Boolean =
+                                   pairMass: Double,
+                                   bytesPerPair: Long = BytesPerCandidatePair): Boolean =
     pairMass > 0 &&
-      pairMass * BytesPerCandidatePair >
+      pairMass * bytesPerPair >
         usableScratchBytes(spark) * MaxScratchFraction
 
   /** Loud fail-fast for the PINNED-exact paths when the predicted pair
@@ -111,15 +125,16 @@ object Dedup {
     * refusal with the reroute recommendation BEFORE the join is the
     * graceful degradation a shared cluster needs. */
   private def refuseForScratch(spark: org.apache.spark.sql.SparkSession,
-                               pairMass: Double, tag: String): Unit =
-    if (exceedsScratchBudget(spark, pairMass)) {
-      val predicted = (pairMass * BytesPerCandidatePair / (1L << 30)).toLong
+                               pairMass: Double, tag: String,
+                               bytesPerPair: Long = BytesPerCandidatePair): Unit =
+    if (exceedsScratchBudget(spark, pairMass, bytesPerPair)) {
+      val predicted = (pairMass * bytesPerPair / (1L << 30)).toLong
       val budget =
         (usableScratchBytes(spark) * MaxScratchFraction / (1L << 30)).toLong
       throw new IllegalStateException(
         f"[graft-dedup] $tag REFUSED: ~$pairMass%.3g surviving candidate " +
           s"pairs predict ~$predicted GiB of shuffle/spill against a " +
-          s"~$budget GiB scratch budget (${BytesPerCandidatePair} B/pair " +
+          s"~$budget GiB scratch budget ($bytesPerPair B/pair " +
           "calibration, half of free spark.local.dir). Running anyway " +
           "would die at ENOSPC and can take the executor JVM with it. " +
           "Use the banded path — Dedup.nearDupPairsMinhash (MinHash-LSH " +
@@ -390,7 +405,7 @@ object Dedup {
     // cores/executors (a small parquet file is otherwise ONE input
     // partition doing all the interpreted HOF work) and acts as a
     // materialization barrier for the shingle arrays.
-    val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
+    val d = shingleSets(df, idCol, textCol, n).transform(Spread.byKey(_, "doc_id"))
     // explode_OUTER on purpose: for a plain explode the optimizer infers
     // a `size(sh) > 0` filter and pushes it below every projection,
     // substituting aliases — the pushed predicate then re-evaluates the
@@ -520,7 +535,7 @@ object Dedup {
                                autoGateDocs: Long = AutoCutoffMinDocs,
                                docCount: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val nDocs = if (docCount >= 0) docCount else df.count()
-    val d = shingleSets(df, idCol, textCol, n).repartition(col("doc_id"))
+    val d = shingleSets(df, idCol, textCol, n).transform(Spread.byKey(_, "doc_id"))
     val exploded = d.select(col("doc_id"), size(col("sh")).as("nsh"),
         explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
@@ -536,11 +551,16 @@ object Dedup {
       autoGateDocs, "nearDupPairsPrefix")
     // The prefix pair stage explodes only each doc's rarest ~(1-t)
     // fraction of shingles, so its pair mass scales ~(1-t)^2 of the
-    // full-list mass — exactly the measured ~25x collapse at t=0.8.
-    // Budget-check that scaled mass; the same ENOSPC cascade hit this
-    // path at 30x (the verify join streams multi-KB shingle arrays).
+    // full-list mass — exactly the measured ~25x collapse at t=0.8 —
+    // but each surviving candidate streams BOTH documents' shingle
+    // arrays through the verify join, so the per-pair scratch is
+    // [[PrefixBytesPerCandidatePair]], not the slim-row 256 B (the
+    // round-13 30x sweep measured exactly this gap: an 11 GiB
+    // prediction under the slim constant, then > 50 GB of real spill
+    // and ENOSPC).
     refuseForScratch(df.sparkSession,
-      fullMass * (1.0 - threshold) * (1.0 - threshold), "nearDupPairsPrefix")
+      fullMass * (1.0 - threshold) * (1.0 - threshold), "nearDupPairsPrefix",
+      PrefixBytesPerCandidatePair)
     val withDf = exploded.groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
       .filter(if (cutoff > 0) size(col("ds")) <= cutoff else lit(true))
@@ -684,7 +704,7 @@ object Dedup {
     // (which multiplies the expression tree ~k-fold and stalls the
     // optimizer before a single row is read).
     val d = shingleSets(df, idCol, textCol, n)
-      .repartition(col("doc_id")) // spread signature work; see nearDupPairsExact
+      .transform(Spread.byKey(_, "doc_id")) // spread signature work; see nearDupPairsExact
       .withColumn("hsh", shingleHashes(col("sh")))
       // native codegen'd expression: one fused k x |hsh| loop (the HOF
       // formulation is interpreted at ~µs per lambda step)
@@ -692,7 +712,7 @@ object Dedup {
       .withColumn("bands", minhashBands(col("sig"), k, r))
       // second barrier: both candidate self-join sides hang off this
       // exchange, so ReuseExchange computes the signatures once.
-      .repartition(col("doc_id"))
+      .transform(Spread.byKey(_, "doc_id"))
     // (band position, band hash) is the bucket key: the position must be
     // part of the key or hashes from different bands could collide.
     // posexplode_OUTER + isNotNull instead of posexplode: see
@@ -725,7 +745,7 @@ object Dedup {
   def bandSignatures(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 64, r: Int = 4): DataFrame =
     shingleSets(df, idCol, textCol, n)
-      .repartition(col("doc_id"))
+      .transform(Spread.byKey(_, "doc_id"))
       .withColumn("hsh", shingleHashes(col("sh")))
       .withColumn("sig", NativeExpressions.minhashSignature(col("hsh"), k))
       .select(col("doc_id").as(idCol), minhashBands(col("sig"), k, r).as("bands"))
@@ -840,11 +860,11 @@ object Dedup {
                             n: Int = 3, k: Int = 64, r: Int = 4,
                             threshold: Double = 0.5): DataFrame = {
     def prep(df: DataFrame) = shingleSets(df, idCol, textCol, n)
-      .repartition(col("doc_id"))
+      .transform(Spread.byKey(_, "doc_id"))
       .withColumn("hsh", shingleHashes(col("sh")))
       .withColumn("sig", NativeExpressions.minhashSignature(col("hsh"), k))
       .withColumn("bands", minhashBands(col("sig"), k, r))
-      .repartition(col("doc_id"))
+      .transform(Spread.byKey(_, "doc_id"))
     def explodeBands(d: DataFrame) = d
       .select(col("doc_id"), posexplode_outer(col("bands")).as(Seq("p", "bk")))
       .filter(col("bk").isNotNull)
@@ -877,7 +897,7 @@ object Dedup {
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val d = shingleSets(df, idCol, textCol, n)
-      .repartition(col("doc_id")) // spread fingerprint work; see nearDupPairsExact
+      .transform(Spread.byKey(_, "doc_id")) // spread fingerprint work; see nearDupPairsExact
       // native expression: one compiled pass + thread-local digest per
       // row; semantics pinned to portableHash64 by NativeExprSpec
       .withColumn("hs", NativeExpressions.md5Hashes64(col("sh")))
@@ -886,7 +906,7 @@ object Dedup {
       // array once per bit, interpreted)
       .withColumn("fp", NativeExpressions.simhash64(col("hs")))
       .withColumn("chunks", simhashChunks(col("fp")))
-      .repartition(col("doc_id")) // shared by both join sides via ReuseExchange
+      .transform(Spread.byKey(_, "doc_id")) // shared by both join sides via ReuseExchange
     // outer + isNotNull: see nearDupPairsExact on inferred-filter pushdown
     val ex = d.select(col("doc_id"), col("fp"), posexplode_outer(col("chunks")).as(Seq("p", "ck")))
       .filter(col("ck").isNotNull)
@@ -1056,7 +1076,7 @@ object Dedup {
                        n: Int = 8, maxDocFreq: Long = 64L): DataFrame = {
     val wins = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
-      .repartition(col("doc_id"))
+      .transform(Spread.byKey(_, "doc_id"))
       .select(col("doc_id"),
         posexplode(NativeExpressions.wordNgrams(col("toks"), n)).as(Seq("pos", "w")))
     val shared = wins

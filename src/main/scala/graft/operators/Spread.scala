@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** CPU-spreading repartition that SURVIVES AQE partition coalescing.
+  *
+  * The engine's per-row-expensive stages (shingle/minhash HOFs, the
+  * JDK codec family) spread their work with a keyed repartition —
+  * but `df.repartition(col)` is a REPARTITION_BY_COL exchange, which
+  * adaptive execution is free to coalesce BY BYTES. For these stages
+  * the bytes are tiny (often just doc_id projections) while the
+  * downstream per-row cost is enormous, so AQE's 64 MiB advisory
+  * folds the exchange to ONE partition and the whole stage runs on a
+  * single core: measured in the round-13 30× sweep, media_resize's
+  * PNG chain and media_pcm's sample walk each pinned one core for
+  * minutes with 31 idle (the repartition was in the plan — and
+  * coalesced away).
+  *
+  * `df.repartition(n, col)` is REPARTITION_BY_NUM: an explicit user
+  * width AQE must respect. Width = `defaultParallelism` (local cores,
+  * or total executor cores on a cluster) — the natural unit for
+  * CPU-bound work; data-sized widths belong to the byte-bound stages
+  * AQE already handles well.
+  */
+object Spread {
+
+  /** `df` hash-partitioned on `key` at defaultParallelism width, as a
+    * coalesce-proof exchange. Use ONLY in front of per-row-expensive
+    * work; byte-bound stages should stay AQE-managed. */
+  def byKey(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+}

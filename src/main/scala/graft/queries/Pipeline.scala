@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.MultimodalFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{AsofJoin, Dedup, Pca, SimilaritySearch}
+import graft.operators.{AsofJoin, Dedup, Pca, SimilaritySearch, Spread}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries over `documents` / `embeddings` / `events`:
@@ -476,12 +476,12 @@ object Pipeline extends QueryModule {
       val exact = Dedup.nearDupPairsExact(u, "doc_id", "text", n = 3, threshold = 0.05)
         .withColumn("bucket", floor(col("jac") * 10).cast("long"))
       val withSig = Dedup.shingleSets(u, "doc_id", "text", 3)
-        .repartition(col("doc_id"))
+        .transform(Spread.byKey(_, "doc_id"))
         .withColumn("hs",
           transform(col("sh"), x => pmod(portableHash64(x), lit(MinHashPrime))))
         .withColumn("sig",
           org.apache.spark.sql.graft.NativeExpressions.minhashSignature(col("hs"), 64))
-        .repartition(col("doc_id"))
+        .transform(Spread.byKey(_, "doc_id"))
       // band key = the raw 4-value slice (not its hash): identical
       // candidate semantics, and the oracle joins on the same string
       val bandKeys = withSig.select(col("doc_id"), posexplode_outer(expr(
@@ -1072,7 +1072,7 @@ object Pipeline extends QueryModule {
       // without the spread, all codec work runs on a single core (the
       // same reasoning as the shingle repartition in Dedup)
       val src = Tables(s, dir, "documents").select(col("doc_id"))
-        .repartition(col("doc_id"))
+        .transform(Spread.byKey(_, "doc_id"))
       val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
         org.apache.spark.sql.types.StructField("gif",
           org.apache.spark.sql.types.BinaryType, nullable = false))
@@ -1138,7 +1138,7 @@ object Pipeline extends QueryModule {
       // not the document text
       MultimodalFunctions.decodePcmFeatures(
           Tables(s, dir, "documents").select(col("doc_id"))
-            .repartition(col("doc_id"))
+            .transform(Spread.byKey(_, "doc_id"))
             .withColumn("wav", wav), "wav")
         .select(col("doc_id"), col("n_samples"), col("sum_sq"),
           col("peak"), col("zero_crossings"))
@@ -1156,7 +1156,7 @@ object Pipeline extends QueryModule {
       // spread the PNG encode -> resize -> decode codec chain across
       // cores (single small input split otherwise; see media_gif_frames)
       val src = Tables(s, dir, "documents").select(col("doc_id"))
-        .repartition(col("doc_id"))
+        .transform(Spread.byKey(_, "doc_id"))
       val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
         org.apache.spark.sql.types.StructField("img",
           org.apache.spark.sql.types.BinaryType, nullable = false))
@@ -1198,7 +1198,7 @@ object Pipeline extends QueryModule {
     // comparisons from doc_id math; the codec chain is lossless).
     "media_phash_dedup" -> ((s, dir) => {
       val src = Tables(s, dir, "documents").select(col("doc_id"))
-        .repartition(col("doc_id"))
+        .transform(Spread.byKey(_, "doc_id"))
       val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
         org.apache.spark.sql.types.StructField("img",
           org.apache.spark.sql.types.BinaryType, nullable = false))

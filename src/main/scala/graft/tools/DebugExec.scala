@@ -15,14 +15,17 @@ object DebugExec {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, args.headOption).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, args.head)
+      // plan construction inside the try too: fail-fast guards (the
+      // dedup disk-budget refusal) throw before a plan exists
+      var df: Option[org.apache.spark.sql.DataFrame] = None
       try {
-        df.write.format("noop").mode("overwrite").save()
+        df = Some(SparkEntry.queries(name)(spark, args.head))
+        df.get.write.format("noop").mode("overwrite").save()
         println(s"[exec] $name SUCCEEDED")
       } catch {
         case e: Throwable =>
           println(s"[exec] $name FAILED: ${e.getMessage}")
-          println(df.queryExecution.executedPlan.toString)
+          df.foreach(d => println(d.queryExecution.executedPlan.toString))
       }
       // post-query leak audit: anything still pinned in the block
       // manager shows up here (cached RDDs, lingering localCheckpoints)
