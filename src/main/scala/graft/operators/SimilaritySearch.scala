@@ -551,6 +551,58 @@ object SimilaritySearch {
                    cb: TwoLevelCodebook): DataFrame =
     bestLeaf(cellAssign(corpus, idCol, vecCol, cb.coarse), cb.leaves)
 
+  /** IVF batch ANN at the hierarchical tier — the retrieval face of
+    * the two-level quantizer ([[topKCosineIvf]]'s contract above the
+    * flat codebook ceiling): corpus vectors live in LEAF inverted
+    * lists; a probe ranks the coarse cells (cost coarseK), visits its
+    * `nprobeCells` best, ranks THOSE cells' leaves (cost ≤
+    * nprobeCells·subK), and searches its `nprobeLeaves` best lists —
+    * so probe-side routing costs coarseK + nprobeCells·subK cosines
+    * instead of the flat quantizer's full-codebook scan, mirroring
+    * the corpus-side assignment win. Exact-cosine rerank + per-probe
+    * top-k, every rank on (6-dp rounded cos, id) as in the flat IVF,
+    * so the whole search is engine-portable and the DuckDB oracle
+    * replays it end to end. */
+  def topKCosineIvfTwoLevel(probes: DataFrame, probeIdCol: String,
+                            corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, coarseK: Int = 4, subK: Int = 4,
+                            nprobeCells: Int = 2,
+                            nprobeLeaves: Int = 4): DataFrame = {
+    require(nprobeCells <= coarseK, "topKCosineIvfTwoLevel: nprobeCells <= coarseK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    val assigned = assignLeaves(corpus, idCol, vecCol, cb)
+      .select(col("_vid").as("_cid"), col("_leaf"))
+    val probeD = probes.select(col(probeIdCol).as("_pid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_pv"))
+    // probe -> top nprobeCells coarse cells
+    val wc = Window.partitionBy(col("_pid")).orderBy(col("_ccos").desc, col("_ccell"))
+    val probeCells = probeD.crossJoin(broadcast(cb.coarse.toDF("_ccell", "_ccv")))
+      .select(col("_pid"), col("_pv"), col("_ccell"),
+        round(cosine(col("_pv"), col("_ccv")), 6).as("_ccos"))
+      .withColumn("_crk", row_number().over(wc)).filter(col("_crk") <= nprobeCells)
+      .select(col("_pid"), col("_pv"), col("_ccell").as("_cell"))
+    // -> top nprobeLeaves leaves among those cells' leaves
+    val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
+    val probeLeaves = probeCells
+      .join(broadcast(cb.leaves.toDF("_cell", "_leaf", "_lv")), Seq("_cell"))
+      .select(col("_pid"), col("_pv"), col("_leaf"),
+        round(cosine(col("_pv"), col("_lv")), 6).as("_lcos"))
+      .withColumn("_lrk", row_number().over(wl)).filter(col("_lrk") <= nprobeLeaves)
+      .select(col("_pid"), col("_pv"), col("_leaf"))
+    // candidates = those leaves' inverted lists; exact rerank
+    assigned.join(broadcast(probeLeaves), Seq("_leaf"))
+      .filter(col("_pid") =!= col("_cid"))
+      .join(corpus.select(col(idCol).as("_cid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_cv")), Seq("_cid"))
+      .select(col("_pid").as("probe_id"), col("_cid").as("vec_id"),
+        round(cosine(col("_cv"), col("_pv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** [[semanticDedup]] at the hierarchical tier: cluster with the
     * two-level quantizer, compare pairs ONLY within each LEAF, drop
     * the higher id at cos >= threshold. Pair work is leaf-bounded

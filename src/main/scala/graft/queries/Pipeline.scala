@@ -610,6 +610,23 @@ object Pipeline extends QueryModule {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // The retrieval face of the hierarchical quantizer: probes rank
+    // the coarse cells (cost coarseK), then ONLY their nprobeCells
+    // best cells' leaves (cost nprobeCells·subK), then search the
+    // nprobeLeaves best leaf lists — probe routing never scans the
+    // full codebook, mirroring the corpus-side two-level assignment
+    // win. Every rank on (6-dp cos, id); the oracle replays the
+    // nested training AND the whole search.
+    "ann_ivf_twolevel" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      SimilaritySearch.topKCosineIvfTwoLevel(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 3, coarseK = 4, subK = 4,
+          nprobeCells = 2, nprobeLeaves = 4)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // The memory-bounded production ANN shape: IVF candidates scored
     // against int8-QUANTIZED vectors (the 4x-smaller coarse store a
     // 100 TB deployment keeps hot), exact float re-rank of only the
@@ -1983,6 +2000,36 @@ object Pipeline extends QueryModule {
                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) cos
            FROM plists p JOIN assigned a ON p.cent_id = a.cent_id
            WHERE a.vec_id <> p.probe_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos DESC, vec_id) rk FROM cand)
+         SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3
+         ORDER BY probe_id, rk""",
+    "ann_ivf_twolevel" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         ${lloydCentsSql(2, 4)},
+         ${twoLevelSql(2, 4)},
+         pcell AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rk
+             FROM tlc WHERE vec_id < 5)
+           WHERE rk <= 2),
+         plc AS (
+           SELECT p.probe_id, p.pv, l.leaf_id,
+             round(list_dot_product(p.pv, l.cv) /
+                   (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(l.cv, l.cv))), 6) lcs
+           FROM pcell p JOIN lv2 l ON p.cell = l.cell),
+         pleaf AS (
+           SELECT probe_id, pv, leaf_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY lcs DESC, leaf_id) rk FROM plc)
+           WHERE rk <= 4),
+         cand AS (
+           SELECT pl.probe_id, a.vec_id,
+             round(list_dot_product(a.v, pl.pv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(pl.pv, pl.pv))), 6) cos
+           FROM pleaf pl JOIN tl_assigned a ON pl.leaf_id = a.leaf_id
+           WHERE a.vec_id <> pl.probe_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
                                             ORDER BY cos DESC, vec_id) rk FROM cand)
          SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 3

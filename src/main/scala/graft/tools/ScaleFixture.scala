@@ -57,18 +57,30 @@ object ScaleFixture {
   /** Key stride between replicas — far above any key in the source. */
   private val Stride = 100000000L
 
-  /** Per-replica name suffix: one base-36 char repeated 3× (replica 0
-    * unchanged), so any two replicas' suffixes differ in all 3
-    * positions — pairwise edit distance 3, above every fuzzy query's
-    * maxDist=2. */
+  /** Per-replica name suffix (replica 0 unchanged): for r <= 36, one
+    * base-36 char repeated 3× — byte-identical to every fixture
+    * generated before round 13, so historical x30v measurements stay
+    * comparable. Past 36, TWO base-36 digits each repeated 3×
+    * ("c1c1c1c2c2c2"): any two distinct (c1, c2) pairs differ in at
+    * least one digit, i.e. in >= 3 positions — pairwise edit distance
+    * >= 3, above every fuzzy query's maxDist=2, for up to 1296
+    * replicas. This is what makes a VOCABULARY-SCALED x100 fixture
+    * possible (the round-12 x100 runs had to fall back to
+    * fixed-vocab-dims). */
   private def nameSuffix(r: Int): String =
-    if (r == 0) "" else s" ${Character.forDigit(r % 36, 36).toString * 3}"
+    if (r == 0) ""
+    else if (r <= 36) s" ${Character.forDigit(r % 36, 36).toString * 3}"
+    else {
+      val c1 = Character.forDigit(r / 36, 36).toString
+      val c2 = Character.forDigit(r % 36, 36).toString
+      s" ${c1 * 3}${c2 * 3}"
+    }
 
   def generate(spark: SparkSession, src: String, out: String, reps: Int,
                fixedVocab: Boolean = false): Unit = {
-    require(fixedVocab || reps <= 36,
-      "ScaleFixture: name suffixes are single base-36 chars; > 36 replicas " +
-        "would collide (pass fixed-vocab-dims or extend nameSuffix)")
+    require(fixedVocab || reps <= 1296,
+      "ScaleFixture: two-digit base-36 suffixes cover 1296 replicas; " +
+        "past that pass fixed-vocab-dims or extend nameSuffix")
     def tbl(n: String): DataFrame = Tables(spark, src, n)
     def rep(df: DataFrame, f: (DataFrame, Long, Int) => DataFrame): DataFrame =
       (0 until reps).map(r => f(df, r.toLong * Stride, r)).reduce(_ unionByName _)

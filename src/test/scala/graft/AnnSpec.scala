@@ -468,6 +468,33 @@ class AnnSpec extends SparkSpecBase {
     assert(verdicts(two) == verdicts(flat))
   }
 
+  test("two-level ANN at coarseK=1 == flat IVF (same lists, same ranks), twins at rk=1") {
+    val df = clustered.cache()
+    val probes = df.filter(col("vec_id").isin(1000L, 2000L, 9000L))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // one coarse cell holding all 16 leaves routes exactly like the
+    // flat 16-list codebook at nprobe=4
+    val flat = rows(SimilaritySearch.topKCosineIvf(probes, "probe_id",
+      df, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4))
+    val two = rows(SimilaritySearch.topKCosineIvfTwoLevel(probes, "probe_id",
+      df, "vec_id", "embedding", k = 5, coarseK = 1, subK = 16,
+      nprobeCells = 1, nprobeLeaves = 4))
+    assert(two == flat)
+    // an exact duplicate shares both routing levels with its twin, so
+    // it is always found at rk=1 at ANY codebook shape
+    val twin = df.filter(col("vec_id") === 1000L)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val corpus = df.unionByName(twin)
+    val hit = SimilaritySearch.topKCosineIvfTwoLevel(
+        corpus.filter(col("vec_id") === 91000L)
+          .select(col("vec_id").as("probe_id"), col("embedding")), "probe_id",
+        corpus, "vec_id", "embedding", k = 3, coarseK = 4, subK = 4)
+      .filter(col("rk") === 1).collect().head
+    assert(hit.getLong(1) == 1000L && hit.getDouble(2) == 1.0)
+  }
+
   test("deriveTwoLevel: flat in the fold/budget regimes, covering factorization past either bound") {
     import SimilaritySearch.{deriveTwoLevel, deriveNlist, FlatAssignRowBudget,
       ArgmaxFoldMaxCentroids, TargetClusterSize}

@@ -839,6 +839,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("semanticDedupSink drives a TWO-LEVEL index identically to the flat one at the overlap point") {
+    // A frozen two-level store (coarseK=1, subK=4) must verdict every
+    // arriving batch exactly like the flat nlist=4 store it equals —
+    // the sink's assignment path dispatches on index.twoLevel, and
+    // this pins that the streaming face of the hierarchical tier
+    // changes nothing at the equivalence point.
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 64L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val flat = graft.operators.SimilaritySearch
+      .buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 4)
+    val two = graft.operators.SimilaritySearch
+      .buildSemanticIndexTwoLevel(corpus, "vec_id", "embedding",
+        coarseK = 1, subK = 4)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("semd2-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semd2-ck").toString
+    val q = StreamOps.semanticDedupSink(
+      ms.toDF().toDF("vec_id", "embedding"), two, out, ck,
+      "vec_id", "embedding")
+    try {
+      val c0 = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val pairV = vec()
+      val b0 = Seq(200L -> c0(3L), 210L -> vec(), 220L -> pairV, 221L -> pairV)
+      ms.addData(b0: _*)
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$out/batch=0")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val wantFlat = graft.operators.SimilaritySearch
+        .semanticDedupAgainstIndex(b0.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", flat)
+        .filter(!org.apache.spark.sql.functions.col("is_dropped"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == wantFlat, s"two-level sink vs flat batch: $kept vs $wantFlat")
+      assert(kept == Set(210L, 220L), kept.toString)
+    } finally q.stop()
+  }
+
   test("semanticDedupSink crossBatch mode catches duplicates split across micro-batches") {
     // The default keeps a cross-batch near-dup pair twice (frozen
     // comparison set); crossBatch = true unions prior keepers in, so
