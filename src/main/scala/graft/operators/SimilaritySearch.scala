@@ -693,6 +693,54 @@ object SimilaritySearch {
       twoLevel = Some(cb))
   }
 
+  /** Persist a [[SemanticIndex]] (the writePqIndex discipline): kept
+    * vectors as-is (their column names travel with them), the
+    * codebook as (cent_id, cv) rows, the two-level structure — when
+    * present — as its own (cell, leaf_id, cv) table, and a one-row
+    * meta table carrying builtN. This is what makes the streaming
+    * [[graft.streaming.StreamOps.semanticDedupSink]] RESTARTABLE
+    * without retraining: a restarted driver reads the frozen store
+    * instead of re-running Lloyd on the corpus (whose verdicts a
+    * retrain could silently change). */
+  def writeSemanticIndex(index: SemanticIndex, dir: String): Unit = {
+    val spark = index.kept.sparkSession
+    import spark.implicits._
+    index.kept.write.mode("overwrite").parquet(s"$dir/kept")
+    index.cents.toDF("cent_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+    index.twoLevel.foreach { cb =>
+      cb.coarse.toDF("cent_id", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+      cb.leaves.toDF("cell", "leaf_id", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/leaves")
+    }
+    Seq((index.builtN, index.twoLevel.nonEmpty)).toDF("built_n", "two_level")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted [[SemanticIndex]]. Codebooks come back sorted by
+    * id (argmax ties break on the id itself, so Seq order never
+    * affects verdicts); `kept` stays a lazy parquet read — at
+    * production scale the kept store is corpus-sized and must never
+    * transit the driver. */
+  def readSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): SemanticIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val (builtN, isTwoLevel) = (meta.getLong(0), meta.getBoolean(1))
+    def codebook(path: String): Seq[(Long, Seq[Double])] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double]))
+        .sortBy(_._1).toSeq
+    val two = if (!isTwoLevel) None else Some(TwoLevelCodebook(
+      codebook(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/leaves").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2).toVector: Seq[Double]))
+        .sortBy(l => (l._1, l._2)).toSeq))
+    SemanticIndex(codebook(s"$dir/cents"),
+      spark.read.parquet(s"$dir/kept"), builtN, two)
+  }
+
   /** Incremental semantic dedup against a FROZEN index: assign each
     * increment vector with the stored centroids (never retrained — the
     * encodePq discipline, so verdicts are stable as the store grows),

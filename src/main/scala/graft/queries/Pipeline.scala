@@ -820,6 +820,46 @@ object Pipeline extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // Cross-modal duplicate triage — the judgment SemDeDup-style
+    // pipelines make after embedding near-dup detection: of the pairs
+    // at cosine >= 0.99, which are VERBATIM copies (exact text dedup
+    // would catch them; fingerprints equal) and which are PARAPHRASES
+    // (same meaning vector, different surface text — the class only
+    // the embedding pass can catch)? Planted both ways: ids < 20 get
+    // scaled-embedding verbatim copies, ids in [20, 40) get
+    // scaled-embedding copies whose text is deterministically
+    // token-shuffled (sorted by md5(token) — an oracle-replayable
+    // "paraphrase"). Candidate pairs from the banded sign-LSH path
+    // (identical directions collide in every table — deterministic
+    // for the cos~1 regime this query targets), exact-cosine rerank,
+    // fingerprints joined back by id. The DuckDB oracle uses exact
+    // all-pairs ground truth, so the hash gate also proves the LSH
+    // candidates are lossless here.
+    "paraphrase_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = emb.join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("text"))
+      def scaledEmb = transform(col("embedding"),
+        x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding")
+      val verbatim = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), scaledEmb, col("text"))
+      val para = base.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select((col("vec_id") + 20000).as("vec_id"), scaledEmb,
+          array_join(transform(array_sort(transform(split(col("text"), " "),
+            t => struct(md5(t).as("k"), t.as("t")))), sc => sc("t")), " ").as("text"))
+      val corpus = base.unionByName(verbatim).unionByName(para)
+      val fps = corpus.select(col("vec_id"), md5(col("text")).as("fp"))
+      SimilaritySearch.nearDupPairsLsh(
+          corpus.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 0.99)
+        .join(fps.select(col("vec_id").as("i"), col("fp").as("_fi")), "i")
+        .join(fps.select(col("vec_id").as("j"), col("fp").as("_fj")), "j")
+        .select(col("i"), col("j"), col("cos"),
+          (col("_fi") === col("_fj")).as("textual_dup"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Semantic dedup at the HIERARCHICAL tier (the quantizer above
     // AutoNlist's 4096-leaf flat ceiling, forced small here so the
     // oracle can replay it): coarse k-means cells, per-cell
@@ -1829,6 +1869,34 @@ object Pipeline extends QueryModule {
             (vec_id IN (SELECT vec_id FROM sivstore)
              OR vec_id IN (SELECT vec_id FROM siintra)) AS is_dropped
           FROM sis ORDER BY vec_id""",
+    "paraphrase_dedup" ->
+      s"""WITH base AS (
+           SELECT e.vec_id, e.embedding, d.text
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         shuf AS (
+           SELECT vec_id,
+             (SELECT string_agg(tok, ' ' ORDER BY md5(tok), tok)
+              FROM unnest(string_split(base.text, ' ')) AS t(tok)) AS text
+           FROM base WHERE vec_id >= 20 AND vec_id < 40),
+         u AS (
+           SELECT vec_id, embedding, text FROM base
+           UNION ALL
+           SELECT vec_id + 10000,
+             list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)), text
+           FROM base WHERE vec_id < 20
+           UNION ALL
+           SELECT b.vec_id + 20000,
+             list_transform(b.embedding, x -> CAST(x * 1.01 AS FLOAT)), s.text
+           FROM base b JOIN shuf s ON b.vec_id = s.vec_id),
+         v AS (SELECT vec_id, embedding::DOUBLE[] vv, md5(text) fp FROM u),
+         p AS (
+           SELECT a.vec_id i, b.vec_id j,
+             list_dot_product(a.vv, b.vv) /
+               (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))) cos,
+             a.fp = b.fp AS textual_dup
+           FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT i, j, round(cos, 6) + 0.0 AS cos, textual_dup
+         FROM p WHERE cos >= 0.99 ORDER BY i, j""",
     "semantic_dedup_twolevel" ->
       s"""WITH u AS (
            SELECT vec_id, embedding FROM embeddings

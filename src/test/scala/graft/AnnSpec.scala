@@ -468,6 +468,53 @@ class AnnSpec extends SparkSpecBase {
     assert(verdicts(two) == verdicts(flat))
   }
 
+  test("paraphrase_dedup separates verbatim copies from paraphrases exactly") {
+    // 20 planted verbatim copies (same text -> textual_dup), 20
+    // planted paraphrases (token-shuffled text, same direction ->
+    // semantic-only), nothing else at cos >= 0.99 — and each pair
+    // links a base id to its own planted copy.
+    val out = SparkEntry.queries("paraphrase_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 40, s"${out.length} pairs")
+    val (textual, para) = out.partition(_.getBoolean(3))
+    assert(textual.length == 20 && para.length == 20)
+    textual.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 10000, r.toString)
+      assert(r.getDouble(2) >= 0.99)
+    }
+    para.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 20000, r.toString)
+      assert(r.getDouble(2) >= 0.99)
+    }
+  }
+
+  test("SemanticIndex survives a parquet round-trip: verdicts-from-store == direct (both tiers)") {
+    val df = clustered.cache()
+    val inc = df.filter(col("vec_id") < 1010)
+      .select((col("vec_id") + 70000).as("vec_id"), col("embedding"))
+      .unionByName(df.filter(col("vec_id") < 1005)
+        .select((col("vec_id") + 80000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    def verdicts(i: SimilaritySearch.SemanticIndex) = SimilaritySearch
+      .semanticDedupAgainstIndex(inc, "vec_id", "embedding", i, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    Seq(
+      SimilaritySearch.buildSemanticIndex(df, "vec_id", "embedding",
+        nlist = 8, threshold = 0.999),
+      SimilaritySearch.buildSemanticIndexTwoLevel(df, "vec_id", "embedding",
+        coarseK = 2, subK = 4, threshold = 0.999)
+    ).foreach { idx =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_semidx").toString
+      SimilaritySearch.writeSemanticIndex(idx, dir)
+      val back = SimilaritySearch.readSemanticIndex(spark, dir)
+      assert(back.builtN == idx.builtN)
+      assert(back.cents.toSet == idx.cents.toSet)
+      assert(back.twoLevel.map(_.leaves.toSet) == idx.twoLevel.map(_.leaves.toSet))
+      assert(verdicts(back) == verdicts(idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("two-level ANN at coarseK=1 == flat IVF (same lists, same ranks), twins at rk=1") {
     val df = clustered.cache()
     val probes = df.filter(col("vec_id").isin(1000L, 2000L, 9000L))
