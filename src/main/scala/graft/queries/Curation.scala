@@ -636,6 +636,69 @@ object Curation extends QueryModule {
             (col("le50") >= floor(col("nn") * lit(0.5)) - tol)).as("kll_p50_ok"))
     }),
 
+    // The datasheet's SHARD-MERGE shape — how a 100 TB release card is
+    // actually assembled: each shard (per-source here; per-day/per-
+    // crawl in production) publishes a PARTIAL card — exact counts
+    // plus mergeable HLL/KLL sketches — and the release merges partials
+    // without ever rescanning the corpus. Counts merge EXACTLY
+    // (hash-gated values); the merged sketch estimates are asserted
+    // in-plan against exact arms as bound booleans (the profile_sketch
+    // pattern: the oracle emits literal TRUE, so a sketch-merge
+    // regression flips a boolean and fails the hash gate). This is the
+    // measured answer to SCALING.md §"datasheet forms" — the exact
+    // card cannot merge; this one can.
+    "corpus_datasheet_merged" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.KllFunctions
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
+      // one partial card per shard: the rows a shard job would publish
+      val shards = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("sh_docs"),
+        sum(col("n_chars")).as("sh_chars"),
+        sum(col("n_toks")).as("sh_toks"),
+        sum(when(col("n_toks") >= 64, 1L).otherwise(0L)).as("sh_ge"),
+        hll_sketch_agg(col("lang"), lit(12)).as("h_lang"),
+        hll_sketch_agg(col("fp"), lit(12)).as("h_fp"),
+        KllFunctions.kllSketchAgg(col("n_chars").cast("double")).as("k_chars"))
+      // the merge: sums + hll_union + kll_merge — no corpus rescan
+      val merged = shards.agg(
+        count(lit(1)).cast("long").as("n_shards"),
+        sum(col("sh_docs")).cast("long").as("n_docs"),
+        sum(col("sh_chars")).cast("long").as("total_chars"),
+        sum(col("sh_toks")).cast("long").as("total_tokens"),
+        sum(col("sh_ge")).cast("long").as("n_ge64"),
+        hll_sketch_estimate(hll_union_agg(col("h_lang"), lit(false))).as("e_lang"),
+        hll_sketch_estimate(hll_union_agg(col("h_fp"), lit(false))).as("e_fp"),
+        element_at(KllFunctions.kllQuantiles(
+          KllFunctions.kllMergeAgg(col("k_chars")), Seq(0.5)), 1).as("p50m"))
+      // exact arms (verification only — production ships without them)
+      val nl = docs.select(col("lang")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_langs"))
+      val nf = docs.select(col("fp")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_unique_fp"))
+      val ranks = docs.select(col("n_chars"))
+        .crossJoin(broadcast(merged.select(col("p50m"), col("n_docs").as("nn"))))
+        .agg(
+          sum(when(col("n_chars") < col("p50m"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("n_chars") <= col("p50m"), 1L).otherwise(0L)).as("le50"),
+          first(col("nn")).as("nn"))
+      val tol = ceil(col("nn") * lit(2.0 * eps)) + lit(2.0)
+      merged.crossJoin(broadcast(nl)).crossJoin(broadcast(nf))
+        .crossJoin(broadcast(ranks))
+        .select(col("n_shards"), col("n_docs"), col("n_langs"),
+          col("total_chars"), col("total_tokens"), col("n_ge64"),
+          col("n_unique_fp"),
+          (abs(col("e_lang") - col("n_langs")) <=
+            col("n_langs") * lit(0.05) + lit(1.0)).as("lang_ndv_ok"),
+          (abs(col("e_fp") - col("n_unique_fp")) <=
+            col("n_unique_fp") * lit(0.05) + lit(1.0)).as("fp_ndv_ok"),
+          ((col("lt50") <= ceil(col("nn") * lit(0.5)) + tol) &&
+            (col("le50") >= floor(col("nn") * lit(0.5)) - tol)).as("kll_p50_ok"))
+    }),
+
     // Domain blocklist derivation — the governance output a web
     // pipeline feeds back to its crawler: per-domain mean lexical
     // quality (type-token ratio — repetition-spam's sharpest signal)
@@ -1802,6 +1865,26 @@ object Curation extends QueryModule {
            CAST(n_raw AS BIGINT) AS n_raw
          FROM f WHERE rf = 1 ORDER BY domain, rn""",
     // corpus_datasheet: the same wide aggregate + entropy-term anchor
+    // Exact merged payload (counts merge exactly by associativity);
+    // the sketch-merge estimates are engine-specific, so the oracle
+    // emits literal TRUE for the bound booleans — Spark computes them
+    // for real, and a merge regression flips one and hash-mismatches.
+    "corpus_datasheet_merged" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      ${Pipeline.toksSql} AS toks, text
+                    FROM documents)
+         SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_shards,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN len(toks) >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge64,
+           CAST(count(DISTINCT md5(lower(trim(
+             regexp_replace(text, '\\s+', ' ', 'g'))))) AS BIGINT)
+             AS n_unique_fp,
+           TRUE AS lang_ndv_ok, TRUE AS fp_ndv_ok, TRUE AS kll_p50_ok
+         FROM t""",
     "corpus_datasheet" ->
       s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
                       ${Pipeline.toksSql} AS toks, text

@@ -130,6 +130,29 @@ class FrontierSpec extends SparkSpecBase {
     assert(ent >= 0.0 && ent <= math.log(r.getAs[Long]("n_langs").toDouble) + 1e-6)
   }
 
+  test("corpus_datasheet_merged: shard-merged card == the exact card on every shared field") {
+    // Counts must merge EXACTLY (associativity of sums), the sketch
+    // bounds must hold for real, and the shard count must equal the
+    // source cardinality — the release card assembled from partials
+    // can never drift from the card a full rescan would publish.
+    val m = SparkEntry.queries("corpus_datasheet_merged")(spark, dir)
+      .collect().toSeq match {
+      case Seq(only) => only
+      case other => fail(s"expected one merged card, got ${other.size}")
+    }
+    val e = SparkEntry.queries("corpus_datasheet")(spark, dir).collect().head
+    Seq("n_docs", "n_langs", "total_chars", "total_tokens").foreach { f =>
+      assert(m.getAs[Long](f) == e.getAs[Long](f), f)
+    }
+    assert(m.getAs[Long]("n_unique_fp") == e.getAs[Long]("n_unique_fp"))
+    val nSources = Tables(spark, dir, "documents")
+      .select(col("source")).distinct().count()
+    assert(m.getAs[Long]("n_shards") == nSources)
+    Seq("lang_ndv_ok", "fp_ndv_ok", "kll_p50_ok").foreach { f =>
+      assert(m.getAs[Boolean](f), f)
+    }
+  }
+
   test("quality_calibration: bin identities and monotone mean prediction") {
     val out = SparkEntry.queries("quality_calibration")(spark, dir)
       .orderBy(col("bucket")).collect().toSeq
