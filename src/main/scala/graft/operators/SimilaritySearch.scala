@@ -90,6 +90,66 @@ object SimilaritySearch {
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
   }
 
+  /** [[nearDupPairsLsh]]'s contract at the HIERARCHICAL tier: candidate
+    * pairs from the two-level quantizer's LEAVES (each vector meets
+    * only its leaf-mates — the semanticDedupTwoLevel pair shape), exact
+    * cosine filter at `threshold`, emitted as (i, j, cos), i < j.
+    *
+    * Same recall argument as the dedup face: near-identical vectors
+    * (the cos >= ~0.99 regime this family targets) share their argmax
+    * at BOTH quantizer levels (identical direction ⇒ identical nearest
+    * cell and leaf), so every true near-dup pair is leaf-co-located at
+    * any codebook; precision is exactly 1 via the in-join cosine
+    * filter. Unlike the sign-LSH path, the candidate mass is bounded
+    * by LEAF populations — which the TargetClusterSize invariant holds
+    * constant as the corpus grows — and the pair rows stream through
+    * the leaf-keyed join's iterator instead of being materialized and
+    * re-joined to their vectors (see [[pairsWithAssignment]]). */
+  def nearDupPairsTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.99,
+                           coarseK: Int = 16, subK: Int = 16): DataFrame = {
+    val cb = trainTwoLevel(emb, idCol, vecCol, coarseK, subK)
+    pairsWithAssignment(emb, idCol, vecCol,
+      assignLeaves(emb, idCol, vecCol, cb)
+        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
+      threshold)
+  }
+
+  /** Count-driven front door for embedding near-dup PAIR generation —
+    * the dispatch [[semanticDedup]]'s AutoNlist runs, applied to the
+    * pair face: below the [[deriveTwoLevel]] threshold the banded
+    * sign-LSH path ([[nearDupPairsLsh]]); above it the leaf-bounded
+    * two-level join ([[nearDupPairsTwoLevel]]) at the derived
+    * (coarseK, subK).
+    *
+    * Why the LSH path cannot carry the large regime: its fixed 16-bit
+    * buckets put ~tables·N²/2^16 RANDOM collisions in the candidate
+    * set — quadratic in the corpus — and on real (clustered, not
+    * random) embedding corpora whole clusters share sign patterns, so
+    * buckets collapse far sooner than the random bound; worse, the
+    * candidate (i, j) rows are MATERIALIZED (distinct + two joins back
+    * to the vectors), so the shuffle carries the pair mass itself.
+    * The leaf join's shuffle carries only the corpus (N fat rows,
+    * linear), with leaf populations pinned by TargetClusterSize —
+    * measured at 1M clustered vectors in PairScale (SCALING.md §7).
+    * Both sources feed the same exact-cosine filter, so the emitted
+    * pair set is identical in the near-dup regime (AnnSpec pins
+    * set equality on the planted fixture at both tiers). */
+  def nearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.99): DataFrame = {
+    val n = emb.count()
+    deriveTwoLevel(n) match {
+      case Some((c, s)) =>
+        System.err.println(s"[graft-ann] nearDupPairsAuto: TWO-LEVEL pair " +
+          s"source coarseK=$c subK=$s (${c * s} leaves) for $n vectors")
+        nearDupPairsTwoLevel(emb, idCol, vecCol, threshold, c, s)
+      case None =>
+        System.err.println(s"[graft-ann] nearDupPairsAuto: sign-LSH pair " +
+          s"source for $n vectors (below the two-level dispatch)")
+        nearDupPairsLsh(emb, idCol, vecCol, threshold)
+    }
+  }
+
   /** Batch ANN: a TABLE of probes against a corpus, joined on sign-LSH
     * bucket keys — the cluster-scale retrieval shape (each probe meets
     * only its bucket-mates; nothing is ever all-pairs). Recall comes
@@ -157,6 +217,8 @@ object SimilaritySearch {
                     corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvf: nprobe must be <= nlist")
+    guardFlatExplicit(corpus, nlist, "topKCosineIvf",
+      fatAssignBytesPerRow(dimOf(corpus, vecCol)))
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
@@ -197,6 +259,8 @@ object SimilaritySearch {
                  k: Int, nlist: Int = 16,
                  targetRecall: Double = 0.9): (Int, Double) = {
     import org.apache.spark.storage.StorageLevel
+    guardFlatExplicit(corpus, nlist, "autoNprobe",
+      fatAssignBytesPerRow(dimOf(corpus, vecCol)))
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
@@ -244,6 +308,108 @@ object SimilaritySearch {
     res
   }
 
+  /** The (nprobeCells, nprobeLeaves) doubling ladder the two-level
+    * autotuner walks: leaves double 1, 2, ..., coarseK·subK; the cell
+    * fan-out tracks them at cells = min(coarseK, ceilPow2(2·leaves /
+    * subK)) — enough cells that the leaf pick always has ~2× slack,
+    * snapped to powers of two like every knob in the family. The
+    * terminal step is (coarseK, coarseK·subK): every leaf searched,
+    * recall 1.0, so a ladder walk always terminates with the target
+    * met or the full scan reached. Deterministic and closed-form, so
+    * the DuckDB oracle splices the same ladder as a VALUES table. */
+  def twoLevelLadder(coarseK: Int, subK: Int): Seq[(Int, Int)] = {
+    require(coarseK >= 1 && subK >= 1, "twoLevelLadder: coarseK, subK >= 1")
+    def ceilPow2(x: Int): Int = { var p = 1; while (p < x) p *= 2; p }
+    Iterator.iterate(1)(_ * 2).takeWhile(_ <= coarseK * subK).toVector
+      .map(lv => (math.min(coarseK, math.max(1, ceilPow2(2 * lv / subK))), lv))
+  }
+
+  /** Recall-targeted autotune for the TWO-LEVEL tier — [[autoNprobe]]'s
+    * contract above the flat codebook: the leftmost step of
+    * [[twoLevelLadder]] whose MEAN recall@k against the exact
+    * brute-force top-k reaches `targetRecall` on the probe set.
+    * Returns ((nprobeCells, nprobeLeaves), the mean recall achieved).
+    *
+    * LINEAR ladder walk, not binary search: recall is NOT guaranteed
+    * monotone across the joint ladder — widening the cell set can
+    * re-rank WHICH leaves the probe visits (the top-nprobeLeaves among
+    * more cells' leaves is not a superset of the pick among fewer), so
+    * the flat tier's monotonicity argument does not carry over. The
+    * ladder has log2(coarseK·subK)+1 steps, and the expensive state
+    * (codebook, corpus leaf assignment, exact arm) is built once and
+    * reused by every evaluation — each step re-ranks only the
+    * sample-sized probe set's candidate lists. */
+  def autoNprobeTwoLevel(probes: DataFrame, probeIdCol: String,
+                         corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, coarseK: Int, subK: Int,
+                         targetRecall: Double = 0.9): ((Int, Int), Double) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    val assigned = assignLeaves(corpus, idCol, vecCol, cb)
+      .select(col("_vid").as("_cid"), col("_leaf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusD = corpus.select(col(idCol).as("_cid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_cv"))
+    val probeD = probes.select(col(probeIdCol).as("_pid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_pv"))
+    // probe -> ALL coarse cells ranked once; each ladder step filters
+    // its crk <= cells prefix (probe side is sample-sized: driver-safe)
+    val wc = Window.partitionBy(col("_pid")).orderBy(col("_ccos").desc, col("_ccell"))
+    val probeCellsAll = probeD.crossJoin(broadcast(cb.coarse.toDF("_ccell", "_ccv")))
+      .select(col("_pid"), col("_pv"), col("_ccell"),
+        round(cosine(col("_pv"), col("_ccv")), 6).as("_ccos"))
+      .withColumn("_crk", row_number().over(wc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact arm: brute-force top-k per probe (built once)
+    val we = Window.partitionBy(col("_pid")).orderBy(col("_ecos").desc, col("_cid"))
+    val exact = corpusD
+      .crossJoin(broadcast(probeD.select(col("_pid"), col("_pv").as("_pv0"))))
+      .filter(col("_cid") =!= col("_pid"))
+      .select(col("_pid"), col("_cid"),
+        round(cosine(col("_cv"), col("_pv0")), 6).as("_ecos"))
+      .withColumn("_erk", row_number().over(we))
+      .filter(col("_erk") <= k)
+      .select(col("_pid"), col("_cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nProbes = probeD.count()
+    require(nProbes > 0, "autoNprobeTwoLevel: empty probe set")
+    def recallAt(cells: Int, leaves: Int): Double = {
+      val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
+      val probeLeaves = probeCellsAll.filter(col("_crk") <= cells)
+        .select(col("_pid"), col("_pv"), col("_ccell").as("_cell"))
+        .join(broadcast(cb.leaves.toDF("_cell", "_leaf", "_lv")), Seq("_cell"))
+        .select(col("_pid"), col("_pv"), col("_leaf"),
+          round(cosine(col("_pv"), col("_lv")), 6).as("_lcos"))
+        .withColumn("_lrk", row_number().over(wl)).filter(col("_lrk") <= leaves)
+        .select(col("_pid"), col("_pv"), col("_leaf"))
+      val wi = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
+      val ivf = assigned.join(broadcast(probeLeaves), Seq("_leaf"))
+        .filter(col("_pid") =!= col("_cid"))
+        .join(corpusD, Seq("_cid"))
+        .select(col("_pid"), col("_cid"),
+          round(cosine(col("_cv"), col("_pv")), 6).as("_icos"))
+        .withColumn("_irk", row_number().over(wi))
+        .filter(col("_irk") <= k)
+        .select(col("_pid"), col("_cid"))
+      exact.join(ivf, Seq("_pid", "_cid"), "left_semi").count().toDouble /
+        (k * nProbes)
+    }
+    val ladder = twoLevelLadder(coarseK, subK)
+    var res: Option[((Int, Int), Double)] = None
+    for ((cells, leaves) <- ladder if res.isEmpty) {
+      val r = recallAt(cells, leaves)
+      if (r >= targetRecall) res = Some(((cells, leaves), r))
+    }
+    val out = res.getOrElse {
+      val (c, l) = ladder.last
+      ((c, l), recallAt(c, l))
+    }
+    assigned.unpersist(); probeCellsAll.unpersist(); exact.unpersist()
+    out
+  }
+
   /** The deterministic IVF coarse quantizer on its own: every vector
     * labeled with its nearest k-means centroid (hash-seeded codebook
     * refined by [[LloydIters]] Lloyd rounds) — flat clustering for
@@ -253,6 +419,7 @@ object SimilaritySearch {
     * Returns (idCol, cluster_id, cent_cos). */
   def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int = 16): DataFrame = {
+    guardFlatExplicit(corpus, nlist, "assignClusters")
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     withBestCent(corpus.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
@@ -309,6 +476,65 @@ object SimilaritySearch {
     * inside it. */
   val FlatAssignRowBudget: Long = 1000000000L
 
+  /** Bytes one SLIM exploded-assignment candidate row costs through
+    * [[withBestCent]]'s sort aggregate: an (id, {cos, negid}) tuple —
+    * ~24 B of sort payload. Calibrated against the round-13
+    * measurements: the slim 2e8-row assignment (100× fixture, nlist
+    * 256) ran clean at ~5 GB predicted, while 1M×4096 = 4.1e9 rows
+    * predict ~92 GiB — correctly over any realistic local scratch
+    * budget (the pre-slim FAT form of that arm measured ~2 TB and
+    * ENOSPC-died, SCALING.md round 13). */
+  val FlatAssignBytesPerSlimRow: Long = 24L
+
+  /** Bytes one FAT candidate row costs through [[bestLists]]'s window
+    * sort, where the d-dim double vector rides the rank: ~8·d payload
+    * + ~48 B row overhead (d=64 → ~560 B, the regime the measured
+    * ~2 TB / 4.1e9-row death calibrates). */
+  def fatAssignBytesPerRow(d: Int): Long = 48L + 8L * d
+
+  /** Loud fail-fast for the EXPLICIT-nlist flat assignment paths — the
+    * Dedup.refuseForScratch pattern applied to the ANN family: the
+    * exploded nearest-centroid formulation materializes N·nlist
+    * candidate rows through a sort aggregate (or bestLists' window
+    * sort), and when that mass cannot fit the scratch volume the JVM
+    * dies at ENOSPC mid-sort. The AUTO front door is already guarded
+    * by [[deriveTwoLevel]]/[[FlatAssignRowBudget]]; this guard covers
+    * a caller who PINS nlist past the fold regime on a corpus the
+    * flat plan cannot carry — measured: assignClusters(4096) at 1M
+    * vectors (TwoLevelScale's dead arm). Budget = half of free
+    * spark.local.dir, shared with the dedup family's guard (and its
+    * test override). */
+  private[graft] def refuseForAssignScratch(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long, nCents: Int, bytesPerRow: Long, tag: String): Unit = {
+    val mass = n.toDouble * nCents
+    val budget = Dedup.usableScratchBytes(spark) * Dedup.MaxScratchFraction
+    if (mass > 0 && mass * bytesPerRow > budget) {
+      val predicted = (mass * bytesPerRow / (1L << 30)).toLong
+      throw new IllegalStateException(
+        f"[graft-ann] $tag REFUSED: explicit nlist=$nCents on $n vectors " +
+          f"materializes ~$mass%.3g candidate rows (~$predicted GiB at " +
+          s"$bytesPerRow B/row) against a ~${(budget / (1L << 30)).toLong} GiB " +
+          "scratch budget (half of free spark.local.dir). Running anyway " +
+          "would ENOSPC-die mid-sort and can take the executor JVM with " +
+          "it. Use the hierarchical tier — assignClustersTwoLevel / " +
+          "semanticDedupTwoLevel with coarseK·subK >= nlist leaves " +
+          "(assignment mass N·(coarseK+subK), flat at every measured " +
+          "decade) — or the AutoNlist front door, which dispatches " +
+          "itself past this cliff.")
+    }
+  }
+
+  /** Count-and-guard front for the explicit-nlist entry points. Only
+    * counts when the codebook is past [[ArgmaxFoldMaxCentroids]] — the
+    * fold regime materializes no candidate rows at all, so the
+    * registered small-nlist queries never pay the extra count scan. */
+  private def guardFlatExplicit(corpus: DataFrame, nlist: Int, tag: String,
+      bytesPerRow: Long = FlatAssignBytesPerSlimRow): Unit =
+    if (nlist > ArgmaxFoldMaxCentroids)
+      refuseForAssignScratch(corpus.sparkSession, corpus.count(), nlist,
+        bytesPerRow, tag)
+
   /** The tier ABOVE the flat quantizer: dispatch to two-level and
     * return Some((coarseK, subK)) when EITHER (a) the corpus wants
     * more leaves than the flat codebook should carry (raw = N /
@@ -320,10 +546,15 @@ object SimilaritySearch {
     * N·(coarseK + subK) assignment row mass instead of the flat N·raw
     * (a flat 16384-leaf codebook costs 85x more per vector than
     * 128x128). coarseK is the largest power of two with coarseK² <=
-    * raw (>= 16), subK the smallest power of two that covers raw —
-    * both land on measured [[withBestCent]] JIT regimes like
-    * [[deriveNlist]]'s snapping. Below both bounds: None (the flat
-    * path is the right plan — one codebook, no second pass). */
+    * raw, floored at 16 — best-effort for tiny raw: below raw = 256
+    * the 16 floor exceeds √raw, which is unreachable from the current
+    * dispatch thresholds (a Some() here implies raw ≳ 1000) but would
+    * merely over-split the top level, not break correctness, if the
+    * budget constants were ever lowered. subK is the smallest power of
+    * two with coarseK·subK >= raw. Both land on measured
+    * [[withBestCent]] JIT regimes like [[deriveNlist]]'s snapping.
+    * Below both bounds: None (the flat path is the right plan — one
+    * codebook, no second pass). */
   def deriveTwoLevel(n: Long,
                      targetClusterSize: Long = TargetClusterSize): Option[(Int, Int)] = {
     require(targetClusterSize > 0, "deriveTwoLevel: targetClusterSize must be > 0")
@@ -385,6 +616,7 @@ object SimilaritySearch {
           return semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
       }
     }
+    guardFlatExplicit(corpus, nlist, "semanticDedup")
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
@@ -403,18 +635,34 @@ object SimilaritySearch {
         .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id")),
       threshold)
 
+  /** The cluster-bounded PAIR stage both tiers share: pairwise cosine
+    * WITHIN each assigned cluster, pairs at cos >= threshold emitted as
+    * (i, j, cos), i < j. `assigned` = (idCol, cluster_id). The pair
+    * rows are produced INSIDE the cluster-keyed join's output iterator
+    * and filtered immediately — the shuffle mass is N fat rows (linear
+    * in the corpus), never the pair mass, which is what lets this
+    * shape carry a pair stage the candidate-materializing LSH path
+    * cannot (see [[nearDupPairsAuto]]). */
+  private def pairsWithAssignment(corpus: DataFrame, idCol: String,
+      vecCol: String, assigned: DataFrame, threshold: Double): DataFrame = {
+    val av = corpus.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    av.as("a")
+      .join(av.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("_pcos", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .filter(col("_pcos") >= threshold)
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"),
+        round(col("_pcos"), 6).as("cos"))
+  }
+
   /** The dedup pair stage both tiers share: pairwise cosine WITHIN each
     * assigned cluster, drop the higher id at cos >= threshold.
     * `assigned` = (idCol, cluster_id). */
   private def dedupWithAssignment(corpus: DataFrame, idCol: String,
       vecCol: String, assigned: DataFrame, threshold: Double): DataFrame = {
-    val av = corpus.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
-    val dropped = av.as("a")
-      .join(av.as("b"),
-        col("a.cluster_id") === col("b.cluster_id") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
-      .select(col(s"b.$idCol").as(idCol)).distinct()
+    val dropped = pairsWithAssignment(corpus, idCol, vecCol, assigned, threshold)
+      .select(col("j").as(idCol)).distinct()
       .withColumn("is_dropped", lit(true))
     assigned.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"),
@@ -660,6 +908,12 @@ object SimilaritySearch {
         s"for $n vectors (~${n / math.max(derived, 1)} per cluster)")
       derived
     }
+    // guard the EXPLICIT pin only: the auto path is already bounded by
+    // deriveTwoLevel's FlatAssignRowBudget dispatch (and must keep
+    // dispatching itself, never throwing)
+    if (nlist != AutoNlist && nlist > ArgmaxFoldMaxCentroids)
+      refuseForAssignScratch(corpus.sparkSession, n, nlist,
+        FlatAssignBytesPerSlimRow, "buildSemanticIndex")
     val cents = lloydCentroids(corpus, idCol, vecCol, eff, LloydIters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val kept = semanticDedupWithCents(corpus, idCol, vecCol, cents, threshold)
@@ -872,7 +1126,15 @@ object SimilaritySearch {
     * wanted ~2 TB of scratch and ENOSPC-killed the JVM;
     * SCALING.md round 13). Slim (c, negid) rows keep the same sort
     * ~20× smaller, and the second corpus scan it buys is the cheap,
-    * pushed-down kind. */
+    * pushed-down kind.
+    *
+    * PRECONDITION: `vidCol` must be UNIQUE and NON-NULL. The exploded
+    * arm re-joins the payload by id (an inner join), so a NULL id
+    * would be silently dropped and a duplicate id would emit one row
+    * per input row instead of one per id — a row-count change, not a
+    * loud failure. Every caller feeds a primary-key id (vec_id /
+    * seed-centroid id); a new caller with synthetic ids must
+    * guarantee the same. */
   private def withBestCent(vecs: DataFrame, vidCol: String, vvCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
     if (cents.size <= ArgmaxFoldMaxCentroids)
@@ -924,6 +1186,8 @@ object SimilaritySearch {
                           coarseK: Int = 12): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvfRerank: nprobe must be <= nlist")
     require(coarseK >= k, "topKCosineIvfRerank: coarseK must be >= k")
+    guardFlatExplicit(corpus, nlist, "topKCosineIvfRerank",
+      fatAssignBytesPerRow(dimOf(corpus, vecCol)))
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     // int8 reconstruction qv*qscale as a double array: the coarse store
     val recon = corpus.select(col(idCol).as("_mid"),
@@ -1019,6 +1283,7 @@ object SimilaritySearch {
                    pqIters: Int = 1): PqIndex = {
     val d = dimOf(corpus, vecCol)
     require(d % m == 0, s"buildPqIndex: dim $d must split into $m subspaces")
+    guardFlatExplicit(corpus, nlist, "buildPqIndex", fatAssignBytesPerRow(d))
     val sub = d / m
     val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
     val corpusD = corpus.select(col(idCol).as("_id0"),

@@ -25,9 +25,22 @@ import org.apache.spark.sql.functions.col
   */
 object Spread {
 
-  /** `df` hash-partitioned on `key` at defaultParallelism width, as a
-    * coalesce-proof exchange. Use ONLY in front of per-row-expensive
-    * work; byte-bound stages should stay AQE-managed. */
-  def byKey(df: DataFrame, key: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+  /** `df` hash-partitioned on `key` as a coalesce-proof exchange. Use
+    * ONLY in front of per-row-expensive work; byte-bound stages should
+    * stay AQE-managed.
+    *
+    * Width = max(defaultParallelism, spark.sql.shuffle.partitions):
+    * defaultParallelism alone is captured at PLAN-BUILD time, and on a
+    * cluster with dynamic allocation (executors not yet up) it can be
+    * a tiny number that AQE is then FORBIDDEN to widen — the inverse
+    * of the single-core coalesce problem this exists to fix. The
+    * shuffle-partitions floor is the user's own statement of intended
+    * width and is allocation-independent; locally the two agree (32),
+    * so the bench envelope is unchanged. */
+  def byKey(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val width = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    df.repartition(width, col(key))
+  }
 }

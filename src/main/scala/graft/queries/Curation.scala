@@ -599,15 +599,15 @@ object Curation extends QueryModule {
         element_at(KllFunctions.kllQuantiles(
           KllFunctions.kllSketchAgg(col("n_chars").cast("double")),
           Seq(0.5)), 1).as("p50k"))
-      // exact NDV payloads: column-pruned distinct pipelines (lang and
-      // source scans read one dictionary-encoded column; fp's is the
-      // only corpus-mass shuffle, and it carries 32 bytes/row)
-      val nl = docs.select(col("lang")).distinct()
-        .agg(count(lit(1)).cast("long").as("n_langs"))
-      val ns = docs.select(col("source")).distinct()
-        .agg(count(lit(1)).cast("long").as("n_sources"))
-      val nf = docs.select(col("fp")).distinct()
-        .agg(count(lit(1)).cast("long").as("n_unique_fp"))
+      // exact NDV payloads: column-pruned countDistinct pipelines (lang
+      // and source scans read one dictionary-encoded column; fp's is
+      // the only corpus-mass shuffle, and it carries 32 bytes/row).
+      // countDistinct, not distinct().count(): the DuckDB oracle's
+      // count(DISTINCT ...) excludes NULLs, and a NULL lang/source in a
+      // regenerated fixture must not count as a distinct value.
+      val nl = docs.agg(countDistinct(col("lang")).cast("long").as("n_langs"))
+      val ns = docs.agg(countDistinct(col("source")).cast("long").as("n_sources"))
+      val nf = docs.agg(countDistinct(col("fp")).cast("long").as("n_unique_fp"))
       // rank-audit the KLL median: one extra n_chars-only scan against
       // the broadcast single-row estimate
       val ranks = docs.select(col("n_chars"))
@@ -663,9 +663,12 @@ object Curation extends QueryModule {
         hll_sketch_agg(col("lang"), lit(12)).as("h_lang"),
         hll_sketch_agg(col("fp"), lit(12)).as("h_fp"),
         KllFunctions.kllSketchAgg(col("n_chars").cast("double")).as("k_chars"))
-      // the merge: sums + hll_union + kll_merge — no corpus rescan
+      // the merge: sums + hll_union + kll_merge — no corpus rescan.
+      // n_shards counts NON-NULL shard keys (count(col), not count(*)):
+      // the oracle's count(DISTINCT source) excludes NULLs, so a NULL
+      // source group must not count as a shard.
       val merged = shards.agg(
-        count(lit(1)).cast("long").as("n_shards"),
+        count(col("source")).cast("long").as("n_shards"),
         sum(col("sh_docs")).cast("long").as("n_docs"),
         sum(col("sh_chars")).cast("long").as("total_chars"),
         sum(col("sh_toks")).cast("long").as("total_tokens"),
@@ -674,11 +677,10 @@ object Curation extends QueryModule {
         hll_sketch_estimate(hll_union_agg(col("h_fp"), lit(false))).as("e_fp"),
         element_at(KllFunctions.kllQuantiles(
           KllFunctions.kllMergeAgg(col("k_chars")), Seq(0.5)), 1).as("p50m"))
-      // exact arms (verification only — production ships without them)
-      val nl = docs.select(col("lang")).distinct()
-        .agg(count(lit(1)).cast("long").as("n_langs"))
-      val nf = docs.select(col("fp")).distinct()
-        .agg(count(lit(1)).cast("long").as("n_unique_fp"))
+      // exact arms (verification only — production ships without them).
+      // countDistinct matches the oracle's NULL-excluding semantics.
+      val nl = docs.agg(countDistinct(col("lang")).cast("long").as("n_langs"))
+      val nf = docs.agg(countDistinct(col("fp")).cast("long").as("n_unique_fp"))
       val ranks = docs.select(col("n_chars"))
         .crossJoin(broadcast(merged.select(col("p50m"), col("n_docs").as("nn"))))
         .agg(

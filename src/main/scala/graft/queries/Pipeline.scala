@@ -741,6 +741,50 @@ object Pipeline extends QueryModule {
         .orderBy(col("probe_id"))
     }),
 
+    // Recall-targeted autotune at the HIERARCHICAL tier — ann_eval_tuned
+    // for the two-level quantizer: autoNprobeTwoLevel walks the
+    // (nprobeCells, nprobeLeaves) doubling ladder (LINEAR scan — the
+    // joint ladder is not provably monotone, see the operator doc) to
+    // the leftmost step whose mean recall@10 vs the exact top-10
+    // reaches 0.9, then reports per-probe recall AT the tuned knobs
+    // plus the knobs themselves. The DuckDB oracle replays the ladder:
+    // recall at EVERY step (the same VALUES table twoLevelLadder
+    // generates), leftmost step reaching target, per-probe stats there.
+    "ann_eval_twolevel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val ((cells, leaves), rec) = SimilaritySearch.autoNprobeTwoLevel(
+        probes, "probe_id", emb, "vec_id", "embedding",
+        k = 10, coarseK = 4, subK = 4, targetRecall = 0.9)
+      val ivf = SimilaritySearch.topKCosineIvfTwoLevel(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 10, coarseK = 4, subK = 4,
+          nprobeCells = cells, nprobeLeaves = leaves)
+        .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
+      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(pb))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("erk", row_number().over(w))
+        .filter(col("erk") <= 10)
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(
+          sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          (sum(when(col("ark").isNotNull, 1L).otherwise(0L)).cast("double") /
+            lit(10.0)).as("recall_at_10"))
+        .withColumn("nprobe_cells", lit(cells.toLong))
+        .withColumn("nprobe_leaves", lit(leaves.toLong))
+        .withColumn("mean_recall", lit(rec) + lit(0.0))
+        .withColumn("target_met", lit(rec >= 0.9))
+        .orderBy(col("probe_id"))
+    }),
+
     // Embedding-cosine near-dup pairs via bucketed sign-LSH + exact
     // rerank. The corpus has no natural near-identical vectors (max
     // pairwise cos ~0.51), so the query plants them deterministically: a
@@ -829,12 +873,19 @@ object Pipeline extends QueryModule {
     // scaled-embedding verbatim copies, ids in [20, 40) get
     // scaled-embedding copies whose text is deterministically
     // token-shuffled (sorted by md5(token) — an oracle-replayable
-    // "paraphrase"). Candidate pairs from the banded sign-LSH path
-    // (identical directions collide in every table — deterministic
-    // for the cos~1 regime this query targets), exact-cosine rerank,
-    // fingerprints joined back by id. The DuckDB oracle uses exact
-    // all-pairs ground truth, so the hash gate also proves the LSH
-    // candidates are lossless here.
+    // "paraphrase"). Candidate pairs from the COUNT-DRIVEN front door
+    // (nearDupPairsAuto): at this corpus size it dispatches to the
+    // banded sign-LSH path (identical directions collide in every
+    // table — deterministic for the cos~1 regime this query targets);
+    // past the deriveTwoLevel threshold (~1M vectors) the pair source
+    // becomes the leaf-bounded two-level join, whose candidate mass
+    // stays linear where the fixed 16-bit buckets go quadratic
+    // (AnnSpec pins pair-set equality across both tiers on this
+    // planting). Exact-cosine rerank, fingerprints joined back by id.
+    // The DuckDB oracle uses exact all-pairs ground truth, so the hash
+    // gate also proves the dispatched candidates are lossless here —
+    // AnnSpec asserts the LSH-vs-exact candidate equality separately
+    // with a fixture-drift-pointing message.
     "paraphrase_dedup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -850,7 +901,7 @@ object Pipeline extends QueryModule {
             t => struct(md5(t).as("k"), t.as("t")))), sc => sc("t")), " ").as("text"))
       val corpus = base.unionByName(verbatim).unionByName(para)
       val fps = corpus.select(col("vec_id"), md5(col("text")).as("fp"))
-      SimilaritySearch.nearDupPairsLsh(
+      SimilaritySearch.nearDupPairsAuto(
           corpus.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", threshold = 0.99)
         .join(fps.select(col("vec_id").as("i"), col("fp").as("_fi")), "i")
@@ -2216,6 +2267,79 @@ object Pipeline extends QueryModule {
            mrt.mr >= 0.9 AS target_met
          FROM j CROSS JOIN mrt
          GROUP BY j.probe_id, mrt.np, mrt.mr
+         ORDER BY j.probe_id""",
+    // Replays the two-level autotune end to end: nested training
+    // (lloydCentsSql + twoLevelSql), probe cell ranks, the SAME
+    // (cells, leaves) ladder twoLevelLadder generates (spliced as a
+    // VALUES table), recall at every step, leftmost step reaching 0.9,
+    // per-probe stats at that step.
+    "ann_eval_twolevel" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         ${lloydCentsSql(2, 4)},
+         ${twoLevelSql(2, 4)},
+         pall AS (
+           SELECT vec_id AS probe_id, v AS pv, cent_id AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) crk
+           FROM tlc WHERE vec_id < 5),
+         lad AS (SELECT * FROM (VALUES ${
+        graft.operators.SimilaritySearch.twoLevelLadder(4, 4).zipWithIndex
+          .map { case ((c, l), t) => s"($t, $c, $l)" }.mkString(", ")
+      }) t(t, cells, leaves)),
+         plx AS (
+           SELECT lad.t, lad.leaves, p.probe_id, p.pv, l.leaf_id,
+             round(list_dot_product(p.pv, l.cv) /
+                   (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(l.cv, l.cv))), 6) lcs
+           FROM lad JOIN pall p ON p.crk <= lad.cells
+           JOIN lv2 l ON p.cell = l.cell),
+         pleaf AS (SELECT t, probe_id, pv, leaf_id FROM (
+                     SELECT *, row_number() OVER (PARTITION BY t, probe_id
+                                                  ORDER BY lcs DESC, leaf_id) lrk
+                     FROM plx) WHERE lrk <= leaves),
+         cand AS (
+           SELECT pl.t, pl.probe_id, a.vec_id,
+             round(list_dot_product(a.v, pl.pv) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(pl.pv, pl.pv))), 6) cos
+           FROM pleaf pl JOIN tl_assigned a ON pl.leaf_id = a.leaf_id
+           WHERE a.vec_id <> pl.probe_id),
+         ivfp AS (SELECT t, probe_id, vec_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY t, probe_id
+                                                 ORDER BY cos DESC, vec_id) rk
+                    FROM cand) WHERE rk <= 10),
+         p2 AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         xc AS (SELECT probe_id, e.vec_id,
+                  round(list_dot_product(e.v, pv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv, pv))), 6) cos
+                FROM e CROSS JOIN p2 WHERE e.vec_id <> probe_id),
+         ex10 AS (SELECT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, vec_id) erk
+                    FROM xc) WHERE erk <= 10),
+         recp AS (SELECT lad.t, lad.cells, lad.leaves,
+                    (SELECT count(*) FROM ivfp i
+                     JOIN ex10 x ON i.probe_id = x.probe_id AND i.vec_id = x.vec_id
+                     WHERE i.t = lad.t)::DOUBLE / (10.0 * 5) AS mr
+                  FROM lad),
+         tuned AS (SELECT coalesce(min(t), ${
+        graft.operators.SimilaritySearch.twoLevelLadder(4, 4).size - 1
+      }) AS tt FROM recp WHERE mr >= 0.9),
+         mrt AS (SELECT recp.cells, recp.leaves, recp.mr
+                 FROM recp JOIN tuned ON recp.t = tuned.tt),
+         j AS (SELECT x.probe_id,
+                 CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM ex10 x LEFT JOIN
+                 (SELECT probe_id, vec_id FROM ivfp JOIN tuned ON ivfp.t = tuned.tt) i
+                 ON x.probe_id = i.probe_id AND x.vec_id = i.vec_id)
+         SELECT j.probe_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           sum(hit)::DOUBLE / 10.0 AS recall_at_10,
+           CAST(mrt.cells AS BIGINT) AS nprobe_cells,
+           CAST(mrt.leaves AS BIGINT) AS nprobe_leaves,
+           mrt.mr + 0.0 AS mean_recall,
+           mrt.mr >= 0.9 AS target_met
+         FROM j CROSS JOIN mrt
+         GROUP BY j.probe_id, mrt.cells, mrt.leaves, mrt.mr
          ORDER BY j.probe_id""",
     "ann_ivf_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

@@ -86,9 +86,19 @@ object TwoLevelScale {
     }
 
     if (!skipFlat) {
+      // the dead arm of the round-13 measurement is now a REFUSED arm:
+      // the explicit-nlist scratch guard predicts the N·nlist sort mass
+      // and fails fast before the ENOSPC death it used to produce
       time("flat assign (nlist = 4096)") {
-        SimilaritySearch.assignClusters(corpus, "vec_id", "embedding", 4096)
-          .write.format("noop").mode("overwrite").save()
+        try {
+          SimilaritySearch.assignClusters(corpus, "vec_id", "embedding", 4096)
+            .write.format("noop").mode("overwrite").save()
+          println("[twolevel-scale] flat arm COMPLETED (fits scratch budget)")
+        } catch {
+          case e: IllegalStateException =>
+            println(s"[twolevel-scale] flat arm REFUSED (by design, JVM " +
+              s"alive): ${e.getMessage}")
+        }
       }
     }
     spark.stop()

@@ -580,4 +580,155 @@ class AnnSpec extends SparkSpecBase {
       s"1B rows -> ($cBig,$sBig)")
     assert(FlatAssignRowBudget == 1000000000L)
   }
+
+  test("explicit-nlist flat assignment REFUSES when the predicted sort mass exceeds scratch") {
+    import graft.operators.Dedup
+    val df = clustered.cache()
+    // ~200 vectors x nlist=64 x 24 B >> a mocked 1 KiB budget
+    Dedup.scratchBytesOverride = Some(1L << 10)
+    try {
+      Seq(
+        () => SimilaritySearch.assignClusters(df, "vec_id", "embedding", 64),
+        () => SimilaritySearch.semanticDedup(df, "vec_id", "embedding",
+          nlist = 64, threshold = 0.999),
+        () => { SimilaritySearch.buildSemanticIndex(df, "vec_id", "embedding",
+          nlist = 64, threshold = 0.999); df },
+        () => SimilaritySearch.topKCosineIvf(
+          df.limit(3).select(col("vec_id").as("probe_id"), col("embedding")),
+          "probe_id", df, "vec_id", "embedding", k = 3, nlist = 64, nprobe = 4)
+      ).foreach { arm =>
+        val e = intercept[IllegalStateException](arm().collect())
+        assert(e.getMessage.contains("REFUSED"), e.getMessage)
+        assert(e.getMessage.contains("TwoLevel"), // names the reroute
+          e.getMessage)
+      }
+      // the fold regime (nlist <= 32) materializes no candidate rows —
+      // never counts, never refuses
+      assert(SimilaritySearch.assignClusters(df, "vec_id", "embedding", 16)
+        .count() == df.count())
+      // and the AUTO front door keeps dispatching itself, never throws
+      // (small corpus -> fold-regime flat; large corpus -> two-level)
+      assert(SimilaritySearch.semanticDedup(df, "vec_id", "embedding")
+        .count() == df.count())
+    } finally Dedup.scratchBytesOverride = None
+  }
+
+  test("nearDupPairs: LSH and two-level pair sources emit the SAME pair set on planted twins") {
+    // the paraphrase-triage regime: exact-direction twins (cos ~ 1)
+    // must be caught by BOTH candidate sources — sign-LSH (identical
+    // directions collide in every table) and the leaf join (identical
+    // directions share the argmax at both quantizer levels) — and the
+    // 0.999 threshold excludes the fixture's natural cluster-mates
+    // (cos ~ 0.987), so the emitted set is exactly the planted pairs.
+    val df = clustered.cache()
+    val twins = df.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 90000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01)).as("embedding"))
+    val corpus = df.unionByName(twins).cache()
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 90000)).toSet
+    val lsh = pairSet(SimilaritySearch.nearDupPairsLsh(
+      corpus, "vec_id", "embedding", threshold = 0.999))
+    val two = pairSet(SimilaritySearch.nearDupPairsTwoLevel(
+      corpus, "vec_id", "embedding", threshold = 0.999, coarseK = 4, subK = 4))
+    assert(lsh == expected, s"LSH pair set ${lsh.size}")
+    assert(two == expected, s"two-level pair set ${two.size}")
+    // the front door below the dispatch threshold IS the LSH path
+    val auto = pairSet(SimilaritySearch.nearDupPairsAuto(
+      corpus, "vec_id", "embedding", threshold = 0.999))
+    assert(auto == lsh)
+  }
+
+  test("paraphrase_dedup's dispatched pair source is lossless vs exact all-pairs (fixture-drift canary)") {
+    // The registered query's hash gate encodes a data-dependent
+    // losslessness assumption: every cos >= 0.99 pair must surface
+    // from the dispatched candidate source. This spec asserts that
+    // equality directly so a break points at FIXTURE DRIFT (a
+    // naturally near-parallel pair missing both 16-bit hash tables
+    // after a testdata regeneration), not at a dedup regression.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def scaledEmb = transform(col("embedding"),
+      x => (x.cast("double") * lit(1.01)).cast("float")).as("embedding")
+    val verbatim = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), scaledEmb)
+    val para = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select((col("vec_id") + 20000).as("vec_id"), scaledEmb)
+    val corpus = emb.unionByName(verbatim).unionByName(para).cache()
+    val dispatched = SimilaritySearch.nearDupPairsAuto(
+        corpus, "vec_id", "embedding", threshold = 0.99)
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = corpus.select(col("vec_id").as("i"),
+      expr("transform(embedding, x -> cast(x as double))").as("va"))
+    val b = corpus.select(col("vec_id").as("j"),
+      expr("transform(embedding, x -> cast(x as double))").as("vb"))
+    val exact = a.join(b, col("i") < col("j"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= 0.99)
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dispatched == exact,
+      s"candidate source lost ${(exact -- dispatched).size} / gained " +
+        s"${(dispatched -- exact).size} pairs vs exact all-pairs — if this " +
+        "fires after a testdata regeneration it is FIXTURE DRIFT (a natural " +
+        "near-parallel pair missed both sign-LSH tables), not a dedup " +
+        "regression: re-plant or reroute the pair source, don't debug the join")
+  }
+
+  test("twoLevelLadder: doubling leaves, tracking cells, terminal is the full scan") {
+    import SimilaritySearch.twoLevelLadder
+    assert(twoLevelLadder(4, 4) == Seq((1, 1), (1, 2), (2, 4), (4, 8), (4, 16)))
+    Seq((4, 4), (16, 16), (64, 128), (2, 8)).foreach { case (c, s) =>
+      val l = twoLevelLadder(c, s)
+      assert(l.last == (c, c * s), s"($c,$s) terminal ${l.last}")
+      assert(l.map(_._2) == l.indices.map(1 << _), s"($c,$s) leaves not doubling")
+      l.foreach { case (cc, lv) =>
+        assert(cc >= 1 && cc <= c, s"($c,$s) cells $cc off range")
+        assert((cc & (cc - 1)) == 0, s"($c,$s) cells $cc not a power of two")
+      }
+      // cells are monotone non-decreasing along the ladder
+      assert(l.map(_._1) == l.map(_._1).sorted)
+    }
+  }
+
+  test("autoNprobeTwoLevel meets the target and reports the search plan's real recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val ((cells, leaves), rec) = SimilaritySearch.autoNprobeTwoLevel(
+      probes, "probe_id", emb, "vec_id", "embedding",
+      k = 10, coarseK = 4, subK = 4, targetRecall = 0.9)
+    val ladder = SimilaritySearch.twoLevelLadder(4, 4)
+    assert(ladder.contains((cells, leaves)), s"($cells,$leaves) off the ladder")
+    assert(rec >= 0.9, s"tuned recall $rec below target")
+    // leftmost: every EARLIER ladder step must miss the target, and the
+    // reported recall must equal the registered search plan's recall at
+    // the tuned knobs (the oracle replays exactly this)
+    def recallAt(c: Int, l: Int): Double = {
+      val ivf = SimilaritySearch.topKCosineIvfTwoLevel(probes, "probe_id",
+          emb, "vec_id", "embedding", k = 10, coarseK = 4, subK = 4,
+          nprobeCells = c, nprobeLeaves = l)
+        .select(col("probe_id"), col("vec_id"))
+      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(pb))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("pvec")), 6).as("cos"))
+        .withColumn("erk", row_number().over(w))
+        .filter(col("erk") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left_semi").count().toDouble / 50.0
+    }
+    ladder.takeWhile(_ != ((cells, leaves))).foreach { case (c, l) =>
+      assert(recallAt(c, l) < 0.9, s"earlier step ($c,$l) already meets the target")
+    }
+    assert(math.abs(recallAt(cells, leaves) - rec) < 1e-12)
+    // terminal sanity: the full scan is recall 1.0 (the walk always ends)
+    assert(recallAt(4, 16) == 1.0)
+  }
 }
