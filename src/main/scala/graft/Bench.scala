@@ -93,8 +93,17 @@ object Bench {
       // a defensible center. Everything else keeps the configured
       // iteration count (the full surface is 244 queries; +2 runs
       // everywhere would cost minutes to fix a 3-query problem).
+      // median_groups and text_clean joined the rule in round 14: the
+      // r13 significance gate flagged both as regressed on untouched
+      // code, and the round-14 cross-tree JVM-interleaved A/B (r12
+      // tree f3c0b17 vs current, same testdata) showed BOTH trees
+      // inside the same wide envelope (median_groups [1.33, 2.21] —
+      // a 1.65x in-run swing) — environment drift their median-of-3
+      // sampling could not reject.
+      val NoisyRows = Set("median_groups", "text_clean")
       val qIters =
-        if (name.startsWith("media_")) math.max(iters, 5) else iters
+        if (name.startsWith("media_") || NoisyRows(name)) math.max(iters, 5)
+        else iters
       val times = (1 to qIters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

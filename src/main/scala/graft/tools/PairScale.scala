@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * The corpus is CLUSTERED on purpose (real embedding corpora are):
   * `nClusters` deterministic base directions, each vector = its
   * cluster's direction + small per-vector noise (cos to cluster-mates
-  * ~0.9 — far below the 0.99 pair threshold, so the OUTPUT stays
-  * tiny), plus `nTwins` planted exact-direction twins (the only true
-  * pairs). Clustered mass is what collapses fixed 16-bit sign-LSH
+  * ~0.92), plus `nTwins` planted exact-direction twins (the only true
+  * pairs). The pair threshold is 0.999: at 0.99 the fixture's ~5e9
+  * intra-cluster pair mass puts a handful of natural tail pairs over
+  * the line (measured: 4 at 1M), and at the 0.99 BOUNDARY sign-LSH is
+  * probabilistically lossy (miss-both-tables ~27% per boundary pair)
+  * while the leaf join is not — 0.999 is the regime where both
+  * sources are deterministically lossless, so planted-set equality is
+  * an exact contract. Clustered mass is what collapses fixed 16-bit sign-LSH
   * buckets: cluster-mates agree on most hyperplane signs, so whole
   * clusters pile into a handful of buckets and the candidate
   * (i, j) set — which the LSH path MATERIALIZES (distinct + two
@@ -88,7 +93,7 @@ object PairScale {
       time("auto front door (dispatches two-level at this N)") {
         checkPairs("auto",
           SimilaritySearch.nearDupPairsAuto(corpus, "vec_id", "embedding",
-            threshold = 0.99))
+            threshold = 0.999))
       }
     }
     if (!skipLsh) {
@@ -98,7 +103,7 @@ object PairScale {
       time("fixed-bucket sign-LSH (the pre-round-14 pair source)") {
         try checkPairs("lsh",
           SimilaritySearch.nearDupPairsLsh(corpus, "vec_id", "embedding",
-            threshold = 0.99))
+            threshold = 0.999))
         catch {
           case e: Throwable =>
             println(s"[pair-scale] lsh arm DIED/declined: ${e.getMessage}")
