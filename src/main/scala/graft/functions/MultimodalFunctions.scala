@@ -20,6 +20,19 @@ import org.apache.spark.sql.types._
   */
 object MultimodalFunctions {
 
+  // ImageIO defaults to DISK-backed stream caches: every read()/write()
+  // wraps the stream in a FileCacheImageInput/OutputStream that CREATES
+  // AND DELETES a temp file under java.io.tmpdir — per image. At sf
+  // scales that is invisible; at the 100× sweep (2M docs × 5 bench
+  // iterations of the media family) the whole machine went
+  // syscall-bound: a thread-stack sample showed 18 of 32 executor
+  // threads inside File.delete and 13 inside UnixNativeDispatcher.open
+  // (SCALING.md r14 §5). Our payloads are byte arrays already in
+  // memory, so memory-backed caches are strictly better at any scale.
+  // Class-load-time, once per JVM (executors load this object before
+  // any decode lambda runs).
+  private val _memCachedImageIo: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Magic-byte MIME sniffing over the first bytes of a binary column
     * (JPEG/PNG/GIF/RIFF-WAV/PDF; everything else is octet-stream). */
   def sniffMime(bin: Column): Column = {
@@ -52,6 +65,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       // per-partition init would go here (decoder handles, model load)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
@@ -77,6 +94,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val meta: Seq[Any] =
@@ -107,6 +128,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         Row.fromSeq(r.toSeq ++ parseWav(bytes))
@@ -132,6 +157,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         Row.fromSeq(r.toSeq ++ pcmFeatures(r.getAs[Array[Byte]](binIdx)))
       }
@@ -205,6 +234,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
@@ -294,6 +327,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val out: Any =
@@ -331,6 +368,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val out: Any =
@@ -381,6 +422,10 @@ object MultimodalFunctions {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
+      // per-partition, executor-side: see _memCachedImageIo — the
+      // closure may deserialize on an executor JVM that never touched
+      // this object, so the no-disk-cache switch is re-asserted here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val out: Any =
