@@ -180,6 +180,27 @@ object Training extends QueryModule {
         .orderBy(col("feature"), col("l_returnflag"), col("bucket"))
     }),
 
+    // The bucketizer's count-driven FRONT DOOR (round-14 verdict item
+    // #5's escalation, applied where the dispatch is sound): value-
+    // threshold decile buckets whose cut points come from exact
+    // percentile below Bucketize.ExactQuantileRowBudget (the
+    // oracle-replayable arm — this query at sf scales) and from the
+    // mergeable KLL sketch above it (the 100× sweep's 18M/60M-row
+    // fixtures — no global sort anywhere). Both arms share ONE
+    // bucketing rule; the ntile contract (feature_buckets) is
+    // deliberately NOT dispatched to — equal-count tie-splitting is a
+    // different ANSWER, and answers must not change with corpus size.
+    // The method column records the dispatch (route-tag provenance).
+    "feature_buckets_auto" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def forF(c: String) = graft.operators.Bucketize.byQuantiles(
+          li.select(col("l_returnflag"), col(c)), "l_returnflag", c)
+        .select(lit(c).as("feature"), col("l_returnflag"), col("bucket"),
+          col("n"), col("lo"), col("hi"), col("method"))
+      forF("l_quantity").unionByName(forF("l_extendedprice"))
+        .orderBy(col("feature"), col("l_returnflag"), col("bucket"))
+    }),
+
     // Smoothed target encoding (the high-cardinality categorical
     // encoder): each part brand's mean extended price shrunk toward
     // the global mean with pseudo-count m=50 — enc = (sum + m*mu) /
@@ -749,6 +770,32 @@ object Training extends QueryModule {
             TRUE AS bound_ok, TRUE AS assign_ok
           FROM u CROSS JOIN generate_series(1, 10) b(bucket)
           ORDER BY 1, 2, 3""",
+    // feature_buckets_auto: at oracle scales the dispatch picks the
+    // EXACT percentile arm (lineitem << ExactQuantileRowBudget), so
+    // the replay is quantile_cont cut points + the same value-
+    // threshold range lookup; method is the constant 'exact' here.
+    "feature_buckets_auto" ->
+      """WITH f AS (SELECT 'l_quantity' AS feature, l_returnflag,
+                      CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                    UNION ALL
+                    SELECT 'l_extendedprice', l_returnflag,
+                      CAST(l_extendedprice AS DOUBLE) FROM lineitem),
+          b AS (SELECT feature, l_returnflag,
+                  quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+                FROM f GROUP BY 1, 2),
+          a AS (SELECT f.feature, f.l_returnflag,
+                  CAST(len(list_filter(b.bnds, x -> f.v > x)) + 1 AS INTEGER) AS bucket,
+                  b.bnds
+                FROM f JOIN b ON f.feature = b.feature
+                             AND f.l_returnflag = b.l_returnflag),
+          g AS (SELECT feature, l_returnflag, bucket,
+                  CAST(count(*) AS BIGINT) AS n, any_value(bnds) AS bnds
+                FROM a GROUP BY 1, 2, 3)
+          SELECT feature, l_returnflag, bucket, n,
+            round(CASE WHEN bucket > 1 THEN bnds[bucket - 1] END, 2) + 0.0 AS lo,
+            round(CASE WHEN bucket < 10 THEN bnds[bucket] END, 2) + 0.0 AS hi,
+            'exact' AS method
+          FROM g ORDER BY feature, l_returnflag, bucket""",
     "target_encode" ->
       """WITH j AS (SELECT p_brand, l_extendedprice AS y
                     FROM lineitem JOIN part ON l_partkey = p_partkey),

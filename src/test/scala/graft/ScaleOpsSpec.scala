@@ -270,4 +270,45 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(nAfter >= 3 && nAfter <= 5, s"nAfter=$nAfter")
     assert(spark.read.parquet(s"$base/out").count() == 20000)
   }
+
+  test("Bucketize.byQuantiles: count-driven exactness dispatch, ONE bucketing rule on both arms") {
+    import graft.operators.Bucketize
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), r.getString(5))).toSet
+    val exact = rows(Bucketize.byQuantiles(li, "l_returnflag", "l_quantity",
+      method = "exact"))
+    // small corpus: the auto front door must BE the exact arm, rows included
+    val auto = rows(Bucketize.byQuantiles(li, "l_returnflag", "l_quantity"))
+    assert(auto == exact)
+    assert(auto.forall(_._6 == "exact"))
+    // a 1-row budget forces the sketch arm through the SAME front door
+    val kll = Bucketize.byQuantiles(li, "l_returnflag", "l_quantity",
+      rowBudget = 1L)
+    val kllRows = rows(kll)
+    assert(kllRows.forall(_._6 == "kll"))
+    // one bucketing rule: per-group totals identical across arms, and
+    // every kll cut point sits within the published rank envelope
+    // (observed rank of cut k within n*k/10 ± (2eps*n + 2))
+    def totals(s: Set[(String, Int, Long, Option[Any], Option[Any], String)]) =
+      s.groupBy(_._1).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    assert(totals(kllRows) == totals(exact))
+    import org.apache.spark.sql.graft.KllFunctions
+    val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
+    val nPer = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cumulative counts below bucket k's upper cut == observed rank
+    kllRows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = nPer(g)
+      val tol = math.ceil(2 * eps * n) + 2
+      val cum = rs.toSeq.sortBy(_._2).scanLeft(0L)(_ + _._3).tail
+      rs.toSeq.sortBy(_._2).zip(cum).filter(_._1._2 < 10).foreach {
+        case ((_, k, _, _, _, _), c) =>
+          assert(math.abs(c - n.toDouble * k / 10) <= tol,
+            s"group $g cut $k: rank $c vs ${n.toDouble * k / 10} ± $tol")
+      }
+    }
+  }
 }
