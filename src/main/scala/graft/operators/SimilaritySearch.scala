@@ -115,37 +115,82 @@ object SimilaritySearch {
       threshold)
   }
 
-  /** Count-driven front door for embedding near-dup PAIR generation —
-    * the dispatch [[semanticDedup]]'s AutoNlist runs, applied to the
-    * pair face: below the [[deriveTwoLevel]] threshold the banded
-    * sign-LSH path ([[nearDupPairsLsh]]); above it the leaf-bounded
-    * two-level join ([[nearDupPairsTwoLevel]]) at the derived
-    * (coarseK, subK).
+  /** EXACT sign-LSH candidate mass: Σ over (table, bucket) of
+    * cnt·(cnt−1)/2 — precisely the pair rows the bucket self-join in
+    * [[nearDupPairsLsh]] would materialize (before the i<j distinct,
+    * which halves nothing across tables). One corpus scan + one tiny
+    * aggregate (≤ tables·2^bits groups), so measuring the plan costs a
+    * scan, not the plan. */
+  private[graft] def lshCandidateMass(emb: DataFrame, idCol: String,
+      vecCol: String, bits: Int = 16, tables: Int = 2): Long = {
+    val dim = dimOf(emb, vecCol)
+    (0 until tables).map { t =>
+      emb.select(lit(t).as("tbl"),
+        signLshBucket(col(vecCol), signLshPlanes(bits, dim, seed = 42L + t)).as("bk"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("tbl"), col("bk")).count()
+      // integral end to end (Column `/` would go double); the doubled
+      // sum cnt·(cnt−1) is even, so the driver-side halving is exact
+      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+      .first().getLong(0) / 2
+  }
+
+  /** Candidate-row budget for the sign-LSH pair route: 2e7 keeps the
+    * materialized candidate set (distinct + two vector re-joins) under
+    * ~a minute of join work. Calibrated from PairScale: 4.5e7
+    * candidates at 200k CLUSTERED vectors took 182 s — already 2× the
+    * two-level arm's cost on 5× the data — while the random-bucket
+    * regime at sf scales sits orders of magnitude below this line
+    * (~2k vectors → ~130 random collisions). */
+  val LshCandidateRowBudget: Long = 20000000L
+
+  /** The route [[nearDupPairsAuto]] picks for a measured candidate
+    * mass — a pure function so the dispatch rule is spec-pinnable. */
+  private[graft] def pairSourceRoute(mass: Long,
+      budget: Long = LshCandidateRowBudget): String =
+    if (mass <= budget) "lsh" else "two-level"
+
+  /** MEASURED-dispatch front door for embedding near-dup PAIR
+    * generation: compute the EXACT candidate mass the sign-LSH route
+    * would materialize ([[lshCandidateMass]]) and dispatch on it —
+    * below [[LshCandidateRowBudget]] the banded sign-LSH path
+    * ([[nearDupPairsLsh]]); above it the leaf-bounded two-level join
+    * ([[nearDupPairsTwoLevel]]) at the [[deriveTwoLevel]] shape.
     *
-    * Why the LSH path cannot carry the large regime: its fixed 16-bit
-    * buckets put ~tables·N²/2^16 RANDOM collisions in the candidate
-    * set — quadratic in the corpus — and on real (clustered, not
-    * random) embedding corpora whole clusters share sign patterns, so
-    * buckets collapse far sooner than the random bound; worse, the
-    * candidate (i, j) rows are MATERIALIZED (distinct + two joins back
-    * to the vectors), so the shuffle carries the pair mass itself.
-    * The leaf join's shuffle carries only the corpus (N fat rows,
-    * linear), with leaf populations pinned by TargetClusterSize —
-    * measured at 1M clustered vectors in PairScale (SCALING.md §7).
-    * Both sources feed the same exact-cosine filter, so the emitted
-    * pair set is identical in the near-dup regime (AnnSpec pins
-    * set equality on the planted fixture at both tiers). */
+    * Measured, not guessed, because a corpus COUNT cannot see
+    * clustering: the fixed 16-bit buckets hold ~tables·N²/2^16 RANDOM
+    * collisions (quadratic in the corpus — the count rule would catch
+    * that), but on real (clustered) embedding corpora whole clusters
+    * share sign patterns and buckets collapse far sooner — PairScale
+    * measured the LSH route at 182 s on 200k clustered vectors, a
+    * corpus the count rule waves through. The histogram dispatch
+    * subsumes the count rule (random mass alone crosses the budget
+    * near ~800k vectors) and catches the skew the count cannot.
+    *
+    * Why the LSH path cannot carry a large candidate mass: its
+    * (i, j) rows are MATERIALIZED (distinct + two joins back to the
+    * vectors), so the shuffle carries the pair mass itself; the leaf
+    * join's shuffle carries only the corpus (N fat rows, linear),
+    * with leaf populations pinned by TargetClusterSize — measured at
+    * 1M clustered vectors in PairScale (SCALING.md r14 §1). Both
+    * sources feed the same exact-cosine filter, so the emitted pair
+    * set is identical in the near-dup regime (AnnSpec pins set
+    * equality on the planted fixture at both tiers). */
   def nearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double = 0.99): DataFrame = {
-    val n = emb.count()
-    deriveTwoLevel(n) match {
-      case Some((c, s)) =>
+                       threshold: Double = 0.99,
+                       candidateBudget: Long = LshCandidateRowBudget): DataFrame = {
+    val mass = lshCandidateMass(emb, idCol, vecCol)
+    pairSourceRoute(mass, candidateBudget) match {
+      case "two-level" =>
+        val n = emb.count()
+        val (c, s) = twoLevelShape(n)
         System.err.println(s"[graft-ann] nearDupPairsAuto: TWO-LEVEL pair " +
-          s"source coarseK=$c subK=$s (${c * s} leaves) for $n vectors")
+          s"source coarseK=$c subK=$s (${c * s} leaves) — measured LSH " +
+          s"candidate mass $mass > $LshCandidateRowBudget for $n vectors")
         nearDupPairsTwoLevel(emb, idCol, vecCol, threshold, c, s)
-      case None =>
+      case _ =>
         System.err.println(s"[graft-ann] nearDupPairsAuto: sign-LSH pair " +
-          s"source for $n vectors (below the two-level dispatch)")
+          s"source (measured candidate mass $mass within budget)")
         nearDupPairsLsh(emb, idCol, vecCol, threshold)
     }
   }
@@ -565,13 +610,23 @@ object SimilaritySearch {
     // rows at all — the budget only governs the exploded formulation
     if (raw <= MaxAutoNlist &&
         (flatNlist <= ArgmaxFoldMaxCentroids || flatRows <= FlatAssignRowBudget)) None
-    else {
-      var c = 16L
-      while (c * 2 * c * 2 <= raw) c *= 2
-      var s = c
-      while (c * s < raw) s *= 2
-      Some((c.toInt, s.toInt))
-    }
+    else Some(twoLevelShape(n, targetClusterSize))
+  }
+
+  /** The (coarseK, subK) factorization [[deriveTwoLevel]]'s Some branch
+    * uses, exposed on its own for callers whose DISPATCH rule is not
+    * the count (the pair source dispatches on measured LSH candidate
+    * mass — a skewed 200k corpus can need the tier long before the
+    * count rule would fire). Same contract: both powers of two,
+    * coarseK² <= raw (16 floor), coarseK·subK >= raw. */
+  private[graft] def twoLevelShape(n: Long,
+      targetClusterSize: Long = TargetClusterSize): (Int, Int) = {
+    val raw = math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
+    var c = 16L
+    while (c * 2 * c * 2 <= raw) c *= 2
+    var s = c
+    while (c * s < raw) s *= 2
+    (c.toInt, s.toInt)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

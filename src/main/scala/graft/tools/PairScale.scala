@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * leaf-keyed join's iterator without ever being materialized.
   *
   * Usage: runMain graft.tools.PairScale <nVecs> [skip-lsh|lsh-only]
-  *   - times nearDupPairsAuto (dispatches two-level past ~1M vectors)
+  *   - times nearDupPairsAuto (MEASURED dispatch: exact LSH candidate
+  *     mass from the bucket histogram vs LshCandidateRowBudget — on
+  *     this clustered fixture it routes two-level from ~100k vectors,
+  *     long before the count rule would)
   *   - times nearDupPairsLsh unless `skip-lsh` (`lsh-only` runs JUST
   *     that arm — it is expected to grind/refuse at 1M clustered
   *     vectors, which is the point being measured)
@@ -90,7 +93,7 @@ object PairScale {
     }
 
     if (!lshOnly) {
-      time("auto front door (dispatches two-level at this N)") {
+      time("auto front door (measured-mass dispatch)") {
         checkPairs("auto",
           SimilaritySearch.nearDupPairsAuto(corpus, "vec_id", "embedding",
             threshold = 0.999))

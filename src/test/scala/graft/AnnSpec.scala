@@ -634,10 +634,37 @@ class AnnSpec extends SparkSpecBase {
       corpus, "vec_id", "embedding", threshold = 0.999, coarseK = 4, subK = 4))
     assert(lsh == expected, s"LSH pair set ${lsh.size}")
     assert(two == expected, s"two-level pair set ${two.size}")
-    // the front door below the dispatch threshold IS the LSH path
+    // the front door within the candidate budget IS the LSH path
     val auto = pairSet(SimilaritySearch.nearDupPairsAuto(
       corpus, "vec_id", "embedding", threshold = 0.999))
     assert(auto == lsh)
+    // ... and a 1-row budget forces the TWO-LEVEL route through the
+    // SAME front door, emitting the same planted set
+    val forced = pairSet(SimilaritySearch.nearDupPairsAuto(
+      corpus, "vec_id", "embedding", threshold = 0.999, candidateBudget = 1L))
+    assert(forced == expected)
+  }
+
+  test("pair-source dispatch: exact candidate mass, spec-pinned route rule") {
+    import SimilaritySearch.{lshCandidateMass, pairSourceRoute, twoLevelShape,
+      LshCandidateRowBudget}
+    // 8 identical vectors share every bucket in both tables: mass is
+    // exactly 2 * C(8,2); growing the group to 10 raises it to 2 * C(10,2)
+    val v = (0 until dim).map(i => math.sin(i + 1.0))
+    def identical(n: Int) =
+      (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    assert(lshCandidateMass(identical(8), "vec_id", "embedding") == 56L)
+    assert(lshCandidateMass(identical(10), "vec_id", "embedding") == 90L)
+    // the route rule is leftmost-cheap: lsh within budget, two-level past
+    assert(pairSourceRoute(0L) == "lsh")
+    assert(pairSourceRoute(LshCandidateRowBudget) == "lsh")
+    assert(pairSourceRoute(LshCandidateRowBudget + 1) == "two-level")
+    // the forced-tier shape matches deriveTwoLevel's Some branch where
+    // both exist, and factors sanely below the count threshold
+    assert(SimilaritySearch.deriveTwoLevel(5000000L)
+      .contains(twoLevelShape(5000000L)))
+    val (c, s) = twoLevelShape(200100L)
+    assert((c & (c - 1)) == 0 && (s & (s - 1)) == 0 && c.toLong * s >= 196L)
   }
 
   test("paraphrase_dedup's dispatched pair source is lossless vs exact all-pairs (fixture-drift canary)") {

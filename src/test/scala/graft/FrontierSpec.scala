@@ -153,6 +153,49 @@ class FrontierSpec extends SparkSpecBase {
     }
   }
 
+  test("datasheet NDV fields exclude NULLs (the oracle's count(DISTINCT) contract) on a NULL-bearing fixture") {
+    // The round-13 ADVICE scenario: a regenerated fixture with NULL
+    // lang/source rows. The DuckDB oracle's count(DISTINCT ...)
+    // excludes NULLs, so every exact NDV arm (countDistinct) and the
+    // merged card's n_shards (count(col), not count(*)) must too —
+    // and the three datasheet forms must still agree with each other.
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nulldocs").toString
+    val nullLang = src.limit(3)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+      .withColumn("lang", lit(null).cast("string"))
+    val nullSource = src.limit(1)
+      .withColumn("doc_id", col("doc_id") + 910000L)
+      .withColumn("source", lit(null).cast("string"))
+    src.unionByName(nullLang).unionByName(nullSource)
+      .write.parquet(s"$tmp/documents.parquet")
+    val nBase = src.count()
+    val langsNonNull = src.agg(countDistinct(col("lang"))).collect().head.getLong(0)
+    val sourcesNonNull = src.agg(countDistinct(col("source"))).collect().head.getLong(0)
+    val exact = SparkEntry.queries("corpus_datasheet")(spark, tmp).collect().head
+    val merged = SparkEntry.queries("corpus_datasheet_merged")(spark, tmp).collect().head
+    val sketch = SparkEntry.queries("corpus_datasheet_sketch")(spark, tmp).collect().head
+    // all docs counted, NULL keys never counted as distinct values
+    assert(merged.getAs[Long]("n_docs") == nBase + 4)
+    Seq(exact, merged, sketch).foreach { r =>
+      assert(r.getAs[Long]("n_langs") == langsNonNull, "n_langs must exclude NULL")
+    }
+    Seq(exact, sketch).foreach { r =>
+      assert(r.getAs[Long]("n_sources") == sourcesNonNull, "n_sources must exclude NULL")
+    }
+    // the NULL-source group must not count as a shard
+    assert(merged.getAs[Long]("n_shards") == sourcesNonNull)
+    // and the merged card still equals the exact card on shared fields
+    Seq("n_docs", "n_langs", "total_chars", "total_tokens").foreach { f =>
+      assert(merged.getAs[Long](f) == exact.getAs[Long](f), f)
+    }
+    assert(merged.getAs[Long]("n_unique_fp") == exact.getAs[Long]("n_unique_fp"))
+    Seq("lang_ndv_ok", "fp_ndv_ok", "kll_p50_ok").foreach { f =>
+      assert(merged.getAs[Boolean](f), f)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("quality_calibration: bin identities and monotone mean prediction") {
     val out = SparkEntry.queries("quality_calibration")(spark, dir)
       .orderBy(col("bucket")).collect().toSeq
