@@ -31,6 +31,17 @@ object MultimodalFunctions {
   // memory, so memory-backed caches are strictly better at any scale.
   // Class-load-time, once per JVM (executors load this object before
   // any decode lambda runs).
+  //
+  // USER-FACING CAVEAT: setUseCache is a PROCESS-GLOBAL JVM switch,
+  // re-asserted per partition below — co-resident user code doing its
+  // own ImageIO work in the same executors inherits memory-backed
+  // stream caches too. That only matters for decoding images too large
+  // for heap from disk/network streams (the disk cache exists to bound
+  // heap); this engine's payloads are in-memory byte arrays. A user
+  // who needs disk-backed caches in a shared executor JVM should set
+  // setUseCache(true) immediately before their own reads — the engine
+  // re-asserts false whenever one of its media helpers runs a
+  // partition, so a one-time opt-in elsewhere does not stick.
   private val _memCachedImageIo: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** Magic-byte MIME sniffing over the first bytes of a binary column

@@ -53,7 +53,13 @@ object Bucketize {
     * rounded to 2 dp. `method` ∈ {exact, kll} per the dispatch;
     * passing `method = "exact"` or `"kll"` pins an arm (the oracle
     * anchors pin exact; a caller with a known-huge corpus skips the
-    * count). */
+    * count).
+    *
+    * NULL `valCol` rows are EXCLUDED — from the cut points AND from
+    * the bucket counts (one filter, both arms). Without the filter the
+    * aggregates already ignored NULLs but a NULL value compared false
+    * against every cut and silently inflated bucket 1; a row with no
+    * value has no quantile, so it gets no bucket. */
   def byQuantiles(df: DataFrame, grpCol: String, valCol: String,
                   nBuckets: Int = 10, method: String = AutoMethod,
                   rowBudget: Long = ExactQuantileRowBudget): DataFrame = {
@@ -68,6 +74,7 @@ object Bucketize {
     val cuts = (1 until nBuckets).map(_.toDouble / nBuckets)
     val vals = df.select(col(grpCol).as("_grp"),
       col(valCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
     val bnds = eff match {
       case "exact" =>
         vals.groupBy(col("_grp")).agg(

@@ -120,19 +120,24 @@ object SimilaritySearch {
     * [[nearDupPairsLsh]] would materialize (before the i<j distinct,
     * which halves nothing across tables). One corpus scan + one tiny
     * aggregate (≤ tables·2^bits groups), so measuring the plan costs a
-    * scan, not the plan. */
+    * scan, not the plan. Returns (mass, n): the corpus count rides the
+    * SAME histogram (Σ cnt over table 0), so routing — which needs n
+    * only on the two-level branch, for [[twoLevelShape]] — costs
+    * exactly one scan, never a second `count()` pass. */
   private[graft] def lshCandidateMass(emb: DataFrame, idCol: String,
-      vecCol: String, bits: Int = 16, tables: Int = 2): Long = {
+      vecCol: String, bits: Int = 16, tables: Int = 2): (Long, Long) = {
     val dim = dimOf(emb, vecCol)
-    (0 until tables).map { t =>
+    val r = (0 until tables).map { t =>
       emb.select(lit(t).as("tbl"),
         signLshBucket(col(vecCol), signLshPlanes(bits, dim, seed = 42L + t)).as("bk"))
     }.reduce(_ unionByName _)
       .groupBy(col("tbl"), col("bk")).count()
       // integral end to end (Column `/` would go double); the doubled
       // sum cnt·(cnt−1) is even, so the driver-side halving is exact
-      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
-      .first().getLong(0) / 2
+      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)),
+        coalesce(sum(when(col("tbl") === 0, col("count"))), lit(0L)))
+      .first()
+    (r.getLong(0) / 2, r.getLong(1))
   }
 
   /** Candidate-row budget for the sign-LSH pair route: 2e7 keeps the
@@ -178,20 +183,22 @@ object SimilaritySearch {
     * equality on the planted fixture at both tiers). */
   def nearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.99,
-                       candidateBudget: Long = LshCandidateRowBudget): DataFrame = {
-    val mass = lshCandidateMass(emb, idCol, vecCol)
+                       candidateBudget: Long = LshCandidateRowBudget,
+                       bits: Int = 16, tables: Int = 2): DataFrame = {
+    // bits/tables thread to BOTH the measurement and the lsh route, so
+    // the measured plan is the executed plan by construction
+    val (mass, n) = lshCandidateMass(emb, idCol, vecCol, bits, tables)
     pairSourceRoute(mass, candidateBudget) match {
       case "two-level" =>
-        val n = emb.count()
         val (c, s) = twoLevelShape(n)
         System.err.println(s"[graft-ann] nearDupPairsAuto: TWO-LEVEL pair " +
           s"source coarseK=$c subK=$s (${c * s} leaves) — measured LSH " +
-          s"candidate mass $mass > $LshCandidateRowBudget for $n vectors")
+          s"candidate mass $mass > $candidateBudget for $n vectors")
         nearDupPairsTwoLevel(emb, idCol, vecCol, threshold, c, s)
       case _ =>
         System.err.println(s"[graft-ann] nearDupPairsAuto: sign-LSH pair " +
-          s"source (measured candidate mass $mass within budget)")
-        nearDupPairsLsh(emb, idCol, vecCol, threshold)
+          s"source (measured candidate mass $mass within budget $candidateBudget)")
+        nearDupPairsLsh(emb, idCol, vecCol, threshold, bits, tables)
     }
   }
 
@@ -375,15 +382,27 @@ object SimilaritySearch {
     * brute-force top-k reaches `targetRecall` on the probe set.
     * Returns ((nprobeCells, nprobeLeaves), the mean recall achieved).
     *
-    * LINEAR ladder walk, not binary search: recall is NOT guaranteed
+    * LINEAR ladder pick, not binary search: recall is NOT guaranteed
     * monotone across the joint ladder — widening the cell set can
     * re-rank WHICH leaves the probe visits (the top-nprobeLeaves among
     * more cells' leaves is not a superset of the pick among fewer), so
-    * the flat tier's monotonicity argument does not carry over. The
-    * ladder has log2(coarseK·subK)+1 steps, and the expensive state
-    * (codebook, corpus leaf assignment, exact arm) is built once and
-    * reused by every evaluation — each step re-ranks only the
-    * sample-sized probe set's candidate lists. */
+    * the flat tier's monotonicity argument does not carry over.
+    *
+    * ONE corpus pass for the WHOLE ladder (the round-14 walk re-ranked
+    * leaves and re-joined the corpus per step — up to
+    * log2(coarseK·subK)+1 corpus-keyed joins): every ladder step's leaf
+    * pick is derived from the probe×leaf frame (sample-sized — ranked
+    * once per step on the driver-safe small side), the (probe, corpus)
+    * cosine frame is scored ONCE (it is exactly the exact arm's frame,
+    * tagged with each corpus row's leaf), and per-step recall@k falls
+    * out of one step-tagged window + one groupBy. The ladder is
+    * EVALUATED, not searched — same answer as the walk by
+    * construction, since each step's recall is computed from the same
+    * rounded cosines, ranks and tie-breaks the walk used.
+    *
+    * For probe choice at scale, [[sampleProbes]] is the documented
+    * default: a deterministic md5-ordered sample, so a 100 TB user
+    * never hand-picks probe ids. */
   def autoNprobeTwoLevel(probes: DataFrame, probeIdCol: String,
                          corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, coarseK: Int, subK: Int,
@@ -392,67 +411,81 @@ object SimilaritySearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
-    val assigned = assignLeaves(corpus, idCol, vecCol, cb)
-      .select(col("_vid").as("_cid"), col("_leaf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusD = corpus.select(col(idCol).as("_cid"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("_cv"))
     val probeD = probes.select(col(probeIdCol).as("_pid"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("_pv"))
-    // probe -> ALL coarse cells ranked once; each ladder step filters
-    // its crk <= cells prefix (probe side is sample-sized: driver-safe)
+    val nProbes = probeD.count()
+    require(nProbes > 0, "autoNprobeTwoLevel: empty probe set")
+    val ladder = twoLevelLadder(coarseK, subK)
+    // probe×leaf frame: EVERY leaf scored per probe, tagged with its
+    // parent cell's rank — sample-sized (nProbes × coarseK·subK), so
+    // ranking it once per ladder step costs nothing corpus-shaped
     val wc = Window.partitionBy(col("_pid")).orderBy(col("_ccos").desc, col("_ccell"))
-    val probeCellsAll = probeD.crossJoin(broadcast(cb.coarse.toDF("_ccell", "_ccv")))
+    val probeLeafAll = probeD.crossJoin(broadcast(cb.coarse.toDF("_ccell", "_ccv")))
       .select(col("_pid"), col("_pv"), col("_ccell"),
         round(cosine(col("_pv"), col("_ccv")), 6).as("_ccos"))
       .withColumn("_crk", row_number().over(wc))
+      .select(col("_pid"), col("_pv"), col("_ccell").as("_cell"), col("_crk"))
+      .join(broadcast(cb.leaves.toDF("_cell", "_leaf", "_lv")), Seq("_cell"))
+      .select(col("_pid"), col("_crk"), col("_leaf"),
+        round(cosine(col("_pv"), col("_lv")), 6).as("_lcos"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // exact arm: brute-force top-k per probe (built once)
-    val we = Window.partitionBy(col("_pid")).orderBy(col("_ecos").desc, col("_cid"))
-    val exact = corpusD
-      .crossJoin(broadcast(probeD.select(col("_pid"), col("_pv").as("_pv0"))))
-      .filter(col("_cid") =!= col("_pid"))
-      .select(col("_pid"), col("_cid"),
-        round(cosine(col("_cv"), col("_pv0")), 6).as("_ecos"))
-      .withColumn("_erk", row_number().over(we))
-      .filter(col("_erk") <= k)
-      .select(col("_pid"), col("_cid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nProbes = probeD.count()
-    require(nProbes > 0, "autoNprobeTwoLevel: empty probe set")
-    def recallAt(cells: Int, leaves: Int): Double = {
-      val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
-      val probeLeaves = probeCellsAll.filter(col("_crk") <= cells)
-        .select(col("_pid"), col("_pv"), col("_ccell").as("_cell"))
-        .join(broadcast(cb.leaves.toDF("_cell", "_leaf", "_lv")), Seq("_cell"))
-        .select(col("_pid"), col("_pv"), col("_leaf"),
-          round(cosine(col("_pv"), col("_lv")), 6).as("_lcos"))
+    // each step's leaf pick: rank by leaf cosine WITHIN the step's cell
+    // prefix (the walk's exact rule), union all steps into one tiny
+    // broadcastable (step, probe, leaf) frame
+    val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
+    val stepLeaves = ladder.zipWithIndex.map { case ((cells, leaves), i) =>
+      probeLeafAll.filter(col("_crk") <= cells)
         .withColumn("_lrk", row_number().over(wl)).filter(col("_lrk") <= leaves)
-        .select(col("_pid"), col("_pv"), col("_leaf"))
-      val wi = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
-      val ivf = assigned.join(broadcast(probeLeaves), Seq("_leaf"))
-        .filter(col("_pid") =!= col("_cid"))
-        .join(corpusD, Seq("_cid"))
-        .select(col("_pid"), col("_cid"),
-          round(cosine(col("_cv"), col("_pv")), 6).as("_icos"))
-        .withColumn("_irk", row_number().over(wi))
-        .filter(col("_irk") <= k)
-        .select(col("_pid"), col("_cid"))
-      exact.join(ivf, Seq("_pid", "_cid"), "left_semi").count().toDouble /
-        (k * nProbes)
-    }
-    val ladder = twoLevelLadder(coarseK, subK)
-    var res: Option[((Int, Int), Double)] = None
-    for ((cells, leaves) <- ladder if res.isEmpty) {
-      val r = recallAt(cells, leaves)
-      if (r >= targetRecall) res = Some(((cells, leaves), r))
-    }
-    val out = res.getOrElse {
-      val (c, l) = ladder.last
-      ((c, l), recallAt(c, l))
-    }
-    assigned.unpersist(); probeCellsAll.unpersist(); exact.unpersist()
-    out
+        .select(lit(i).as("_step"), col("_pid"), col("_leaf"))
+    }.reduce(_ unionByName _)
+    // the ONE corpus-side pass: every (probe, corpus row) cosine —
+    // exactly the exact arm's frame — tagged with the row's leaf
+    val scored = corpusD
+      .join(assignLeaves(corpus, idCol, vecCol, cb)
+        .select(col("_vid").as("_cid"), col("_leaf")), Seq("_cid"))
+      .crossJoin(broadcast(probeD))
+      .filter(col("_cid") =!= col("_pid"))
+      .select(col("_pid"), col("_cid"), col("_leaf"),
+        round(cosine(col("_cv"), col("_pv")), 6).as("_icos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val we = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
+    val exact = scored
+      .withColumn("_erk", row_number().over(we)).filter(col("_erk") <= k)
+      .select(col("_pid"), col("_cid"))
+    // per-step IVF top-k and recall in one shot: visited candidates per
+    // step via the broadcast leaf-pick join, ranked within (step,
+    // probe), hits counted per step
+    val wi = Window.partitionBy(col("_step"), col("_pid"))
+      .orderBy(col("_icos").desc, col("_cid"))
+    val hitsPerStep = scored.join(broadcast(stepLeaves), Seq("_pid", "_leaf"))
+      .withColumn("_irk", row_number().over(wi)).filter(col("_irk") <= k)
+      .select(col("_step"), col("_pid"), col("_cid"))
+      .join(exact, Seq("_pid", "_cid"), "left_semi")
+      .groupBy(col("_step")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    probeLeafAll.unpersist(); scored.unpersist()
+    def recall(i: Int): Double =
+      hitsPerStep.getOrElse(i, 0L).toDouble / (k * nProbes)
+    val picked = ladder.indices.find(recall(_) >= targetRecall)
+      .getOrElse(ladder.size - 1)
+    (ladder(picked), recall(picked))
+  }
+
+  /** Deterministic probe sample for the recall autotuners: the `n`
+    * corpus rows with the smallest md5(id) — the
+    * [[Sampling.hashSample]] discipline as a fixed-size pick, executed
+    * as a distributed top-n (TakeOrdered — no global sort, no shuffle
+    * of the corpus), so a production caller never hand-selects probe
+    * ids and two runs over the same corpus tune on the same probes.
+    * Returns (idCol, vecCol). */
+  def sampleProbes(corpus: DataFrame, idCol: String, vecCol: String,
+                   n: Int = 64): DataFrame = {
+    require(n >= 1, "sampleProbes: n >= 1")
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(n)
   }
 
   /** The deterministic IVF coarse quantizer on its own: every vector
@@ -1003,18 +1036,29 @@ object SimilaritySearch {
   }
 
   /** Persist a [[SemanticIndex]] (the writePqIndex discipline): kept
-    * vectors as-is (their column names travel with them), the
-    * codebook as (cent_id, cv) rows, the two-level structure — when
-    * present — as its own (cell, leaf_id, cv) table, and a one-row
-    * meta table carrying builtN. This is what makes the streaming
-    * [[graft.streaming.StreamOps.semanticDedupSink]] RESTARTABLE
-    * without retraining: a restarted driver reads the frozen store
-    * instead of re-running Lloyd on the corpus (whose verdicts a
-    * retrain could silently change). */
+    * vectors PARTITIONED BY cluster group ([[clusterGroup]] — the
+    * layout that lets an increment-driven comparison read
+    * partition-prune the store to the clusters it can possibly match),
+    * the codebook as (cent_id, cv) rows, the two-level structure —
+    * when present — as its own (cell, leaf_id, cv) table, and a
+    * one-row meta table carrying builtN. This is what makes the
+    * streaming [[graft.streaming.StreamOps.semanticDedupSink]]
+    * RESTARTABLE without retraining: a restarted driver reads the
+    * frozen store instead of re-running Lloyd on the corpus (whose
+    * verdicts a retrain could silently change). */
   def writeSemanticIndex(index: SemanticIndex, dir: String): Unit = {
     val spark = index.kept.sparkSession
     import spark.implicits._
-    index.kept.write.mode("overwrite").parquet(s"$dir/kept")
+    index.kept
+      .withColumn("cluster_grp", clusterGroup(col("cluster_id")))
+      // co-locate each group before the partitioned write: ONE file
+      // per group directory instead of (write tasks × groups) shards.
+      // SemanticStoreGroups is therefore the file-granularity knob —
+      // a store too big at store/64 per file wants more groups, not
+      // a different layout.
+      .repartition(SemanticStoreGroups, col("cluster_grp"))
+      .write.partitionBy("cluster_grp")
+      .mode("overwrite").parquet(s"$dir/kept")
     index.cents.toDF("cent_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
     index.twoLevel.foreach { cb =>
@@ -1031,7 +1075,12 @@ object SimilaritySearch {
     * id (argmax ties break on the id itself, so Seq order never
     * affects verdicts); `kept` stays a lazy parquet read — at
     * production scale the kept store is corpus-sized and must never
-    * transit the driver. */
+    * transit the driver. The `cluster_grp` partition column rides
+    * along so downstream group filters ([[pruneKeptToGroups]])
+    * partition-prune the scan; consumers that join the store select
+    * their columns explicitly, so the extra column is inert. Stores
+    * written before the partitioned layout read fine — the pruner
+    * falls back to computing the group. */
   def readSemanticIndex(spark: org.apache.spark.sql.SparkSession,
                         dir: String): SemanticIndex = {
     val meta = spark.read.parquet(s"$dir/meta").collect().head
@@ -1050,38 +1099,109 @@ object SimilaritySearch {
       spark.read.parquet(s"$dir/kept"), builtN, two)
   }
 
+  /** Cluster GROUPS the persisted kept store is bucketed into
+    * ([[writeSemanticIndex]] partitions `kept` by
+    * `cluster_grp = pmod(hash(cluster_id), SemanticStoreGroups)`).
+    * A group, not raw cluster_id, because a scale-sized codebook has
+    * thousands of leaves — one directory per leaf shatters the store
+    * into tiny files, while 64 groups keep shards size-targeted AND
+    * give an increment-driven read everything it needs: the comparison
+    * join only ever matches an increment's own clusters, so filtering
+    * the scan to the increment's GROUPS (a superset of its clusters)
+    * changes nothing and partition-prunes the store read. */
+  val SemanticStoreGroups: Int = 64
+
+  /** The store's bucketing rule — one definition, used by the writer,
+    * the pruner, and the streaming sink's shard layout. */
+  def clusterGroup(clusterId: Column): Column =
+    pmod(hash(clusterId), lit(SemanticStoreGroups))
+
+  /** Byte budget for broadcasting the INCREMENT side of the store
+    * comparison join: under it, the kept store — the big side — is
+    * never shuffled (broadcast-hash, store streams through in place);
+    * over it, the join falls back to the shuffle plan. 128 MiB keeps
+    * the broadcast well under executor/driver headroom at any
+    * realistic dimensionality (~240k rows at d=64 via
+    * [[fatAssignBytesPerRow]]). */
+  val BroadcastIncByteBudget: Long = 128L << 20
+
+  /** Prune a kept store to the cluster groups an increment touches.
+    * Persisted stores carry the `cluster_grp` partition column — the
+    * filter partition-prunes the parquet scan (and pushes through the
+    * streaming sink's store∪shards union into every scan). In-memory
+    * stores fall back to computing the group per row: no pruned I/O,
+    * but the comparison join's input still shrinks to the touched
+    * groups. */
+  private[graft] def pruneKeptToGroups(kept: DataFrame,
+                                       groups: Seq[Int]): DataFrame =
+    if (kept.columns.contains("cluster_grp"))
+      kept.filter(col("cluster_grp").isin(groups: _*))
+    else kept.filter(clusterGroup(col("cluster_id")).isin(groups: _*))
+
+  /** The frozen-codebook assignment [[semanticDedupAgainstIndex]] keys
+    * its joins with, exposed so callers (the streaming sink, store
+    * tools) can reuse the exact rule: two-level stores route the
+    * increment through coarse cell + leaf, flat stores through the
+    * flat argmax — never retrained. Returns (idCol, cluster_id). */
+  def assignWithIndex(inc: DataFrame, idCol: String, vecCol: String,
+                      index: SemanticIndex): DataFrame = index.twoLevel match {
+    case Some(cb) =>
+      assignLeaves(inc, idCol, vecCol, cb)
+        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"))
+    case None =>
+      withBestCent(
+          inc.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
+          "_mid", "_mv", index.cents)
+        .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
+  }
+
   /** Incremental semantic dedup against a FROZEN index: assign each
     * increment vector with the stored centroids (never retrained — the
     * encodePq discipline, so verdicts are stable as the store grows),
     * then drop it if it matches a stored kept vector in its cluster at
     * cos >= threshold, or a LOWER-id increment member (the batch drop
-    * rule applied intra-increment). Work is increment-sized: the
-    * stored vectors are touched only through the cluster-keyed join.
+    * rule applied intra-increment). Work is increment-sized — enforced
+    * by plan shape, not hope: one increment-sized aggregate measures
+    * the increment's cluster-group footprint and row count, the store
+    * read is pruned to those groups ([[pruneKeptToGroups]] —
+    * partition-pruned on persisted stores), and when the increment
+    * fits [[BroadcastIncByteBudget]] it is BROADCAST into both
+    * comparison joins, so the store is never shuffled (it streams
+    * through a broadcast-hash join in place). Verdicts are identical
+    * on every route: pruned-away groups cannot match (the join keys on
+    * cluster_id), and broadcast changes the plan, not the pairs.
     * Returns (idCol, cluster_id, is_dropped). */
   def semanticDedupAgainstIndex(inc: DataFrame, idCol: String, vecCol: String,
                                 index: SemanticIndex,
                                 threshold: Double = 0.99): DataFrame = {
-    // assignment follows the index's tier: two-level stores route the
-    // increment through coarse cell + leaf (same frozen codebook the
-    // store was keyed with), flat stores through the flat argmax
-    val assigned = index.twoLevel match {
-      case Some(cb) =>
-        assignLeaves(inc, idCol, vecCol, cb)
-          .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"))
-      case None =>
-        withBestCent(
-            inc.select(col(idCol).as("_mid"), col(vecCol).as("_mv")),
-            "_mid", "_mv", index.cents)
-          .select(col("_mid").as(idCol), (-col("_best")("negid")).as("cluster_id"))
-    }
-    val av = inc.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val assigned = assignWithIndex(inc, idCol, vecCol, index)
+    // one increment-sized pass: group footprint AND row count (the
+    // broadcast dispatch measures, never guesses)
+    val gc = assigned.groupBy(clusterGroup(col("cluster_id")).as("_g"))
+      .count().collect()
+    val groups = gc.map(_.getInt(0)).toSeq
+    val nInc = gc.map(_.getLong(1)).sum
+    val bcast =
+      nInc * fatAssignBytesPerRow(dimOf(inc, vecCol)) <= BroadcastIncByteBudget
+    semanticVerdicts(inc, idCol, vecCol, assigned,
+      pruneKeptToGroups(index.kept, groups), threshold, bcast)
+  }
+
+  /** [[semanticDedupAgainstIndex]]'s core on a precomputed assignment
+    * and an (already pruned) kept store. `broadcastInc` puts the
+    * increment on the build side of both comparison joins. */
+  private[graft] def semanticVerdicts(inc: DataFrame, idCol: String,
+      vecCol: String, assigned: DataFrame, kept: DataFrame,
+      threshold: Double, broadcastInc: Boolean): DataFrame = {
+    val av0 = inc.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val av = if (broadcastInc) broadcast(av0) else av0
     val vsStore = av.as("a")
-      .join(index.kept.select(col("cluster_id"),
+      .join(kept.select(col("cluster_id"),
           col(idCol).as("_sid"), col(vecCol).as("_sv")),
         Seq("cluster_id"))
       .filter(cosine(col(vecCol), col("_sv")) >= threshold)
       .select(col(idCol))
-    val intra = av.as("a")
+    val intra = av0.as("a")
       .join(av.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

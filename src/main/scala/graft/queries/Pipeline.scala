@@ -873,15 +873,18 @@ object Pipeline extends QueryModule {
     // scaled-embedding verbatim copies, ids in [20, 40) get
     // scaled-embedding copies whose text is deterministically
     // token-shuffled (sorted by md5(token) — an oracle-replayable
-    // "paraphrase"). Candidate pairs from the COUNT-DRIVEN front door
-    // (nearDupPairsAuto): at this corpus size it dispatches to the
-    // banded sign-LSH path (identical directions collide in every
-    // table — deterministic for the cos~1 regime this query targets);
-    // past the deriveTwoLevel threshold (~1M vectors) the pair source
-    // becomes the leaf-bounded two-level join, whose candidate mass
-    // stays linear where the fixed 16-bit buckets go quadratic
-    // (AnnSpec pins pair-set equality across both tiers on this
-    // planting). Exact-cosine rerank, fingerprints joined back by id.
+    // "paraphrase"). Candidate pairs from the MEASURED-dispatch front
+    // door (nearDupPairsAuto): one routing scan computes the exact
+    // sign-LSH candidate mass (and the corpus count, off the same
+    // histogram); this corpus measures far under LshCandidateRowBudget,
+    // so the banded sign-LSH path runs (identical directions collide in
+    // every table — deterministic for the cos~1 regime this query
+    // targets). Past the budget — ~800k vectors in the random-bucket
+    // regime, much earlier on clustered corpora, where fixed 16-bit
+    // buckets collapse — the pair source becomes the leaf-bounded
+    // two-level join, whose candidate mass stays linear (AnnSpec pins
+    // pair-set equality across both tiers on this planting).
+    // Exact-cosine rerank, fingerprints joined back by id.
     // The DuckDB oracle uses exact all-pairs ground truth, so the hash
     // gate also proves the dispatched candidates are lossless here —
     // AnnSpec asserts the LSH-vs-exact candidate equality separately

@@ -488,9 +488,9 @@ object StreamOps {
     * landed — silently, because verdicts stay VALID, just slower and
     * coarser. The sink therefore counts what it lands and logs a loud
     * staleness warning once cumulative new rows exceed builtN (the
-    * corpus has doubled): rebuild the index from store + shards (one
-    * buildSemanticIndex over the union — the compactSignatureStore
-    * discipline) and restart the sink on the fresh index. */
+    * corpus has doubled): run [[compactSemanticStore]] — one operator
+    * that rebuilds the index from store + landed shards through the
+    * AUTO front door — and restart the sink on the fresh index. */
   /** True iff `dir` already holds at least one `batch=*` shard —
     * checked through the Hadoop FileSystem API (NOT java.io.File) so
     * prior-shard detection works on HDFS/S3 exactly as it does
@@ -509,30 +509,60 @@ object StreamOps {
                         idCol: String, vecCol: String,
                         threshold: Double = 0.99,
                         crossBatch: Boolean = false) = {
+    import graft.operators.SimilaritySearch
     // once-per-run latch only; the landed COUNT is derived from the
     // store itself each batch (below), never from driver memory
     val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // A kept store whose plan is a COMPUTATION (an in-memory
+    // buildSemanticIndex result: Lloyd assignment + pair joins) would
+    // RE-EXECUTE that whole build under every micro-batch's comparison
+    // join — persist it once for the sink's lifetime (it is the
+    // sink's standing comparison set; MEMORY_AND_DISK spills, never
+    // recomputes). A parquet-backed store (readSemanticIndex) stays a
+    // lazy scan: per-batch re-reading IS the plan there, because the
+    // scan partition-prunes to the batch's cluster groups.
+    val keptIsScan = index.kept.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty
+    val keptStable =
+      if (keptIsScan) index.kept
+      else index.kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both union sides carry the bucketing column, so the group filter
+    // semanticDedupAgainstIndex applies pushes through the union into
+    // every scan (partition-pruning the parquet sides)
+    val keptCols = Seq(col(idCol), col("cluster_id"), col(vecCol), col("cluster_grp"))
+    val keptG =
+      (if (keptStable.columns.contains("cluster_grp")) keptStable
+       else keptStable.withColumn("cluster_grp",
+         SimilaritySearch.clusterGroup(col("cluster_id"))))
+        .select(keptCols: _*)
     newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hasPrior = hasBatchShards(spark, outDir)
-        val cmp =
-          if (!crossBatch || !hasPrior) index
+        val cmpKept =
+          if (!crossBatch || !hasPrior) keptG
           else {
             // prior keepers join the comparison set; the current
             // batch's own shard is excluded so a replay is idempotent
             val prior = spark.read.option("basePath", outDir).parquet(outDir)
               .filter(col("batch") =!= batchId)
-              .select(col(idCol), col("cluster_id"), col(vecCol))
-            index.copy(kept = index.kept.unionByName(prior))
+              .select(keptCols: _*)
+            keptG.unionByName(prior)
           }
-        val verdicts = graft.operators.SimilaritySearch
-          .semanticDedupAgainstIndex(batch, idCol, vecCol, cmp, threshold)
+        val verdicts = SimilaritySearch.semanticDedupAgainstIndex(
+          batch, idCol, vecCol, index.copy(kept = cmpKept), threshold)
         batch.join(verdicts.filter(!col("is_dropped"))
             .select(col(idCol), col("cluster_id")), Seq(idCol))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          // shards share the store's bucketed layout: the next batch's
+          // group filter partition-prunes landed keepers too
+          .withColumn("cluster_grp",
+            SimilaritySearch.clusterGroup(col("cluster_id")))
+          .write.partitionBy("cluster_grp")
+          .mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // Staleness is measured against the STORE, not a driver
         // counter: an in-memory total resets on sink restart and
         // double-counts replayed batches, so the "corpus has doubled"
@@ -546,10 +576,53 @@ object StreamOps {
             warned.compareAndSet(false, true))
           System.err.println(s"[graft-stream] semanticDedupSink: $total rows " +
             s"landed past an index built at ${index.builtN} — the corpus has " +
-            "doubled; rebuild the SemanticIndex from store + landed shards and " +
-            "restart the sink (codebook is stale, per-cluster pair work is growing)")
+            "doubled; run compactSemanticStore (index + landed shards -> fresh " +
+            "index) and restart the sink on it (codebook is stale, per-cluster " +
+            "pair work is growing)")
       }
       .start()
+  }
+
+  /** Semantic-store lifecycle: the REBUILD the staleness warning above
+    * prescribes, packaged — the [[compactFrontierStore]] /
+    * [[graft.operators.Dedup.compactSignatureStore]] discipline
+    * applied to the third store. Unions the frozen index's kept
+    * vectors with every `batch=*` shard the sink landed under
+    * `storeDir`, re-derives the codebook through
+    * [[graft.operators.SimilaritySearch.buildSemanticIndex]]'s AUTO
+    * front door (two-level when the grown corpus wants it) and
+    * re-drops near-dups under the NEW codebook — pairs that the stale
+    * codebook kept apart can now co-cluster and collapse, which is
+    * exactly what a retrain is FOR — then writes the fresh index at
+    * `outIndexDir` (kept partitioned by cluster group,
+    * [[graft.operators.SimilaritySearch.SemanticStoreGroups]] files —
+    * the group count is the file-granularity knob at scale) and
+    * returns it READ BACK from disk, so `kept` is the
+    * partition-prunable parquet layout.
+    *
+    * Restart the sink on the returned index with a FRESH `outDir` and
+    * checkpoint: every previously landed keeper that survived the
+    * retrain is now IN the index, so the new store starts empty and a
+    * re-sent duplicate is dropped against the compacted kept set
+    * (StreamingSpec pins this restart behavior, and that the compacted
+    * index equals a fresh buildSemanticIndex over the union). */
+  def compactSemanticStore(spark: SparkSession, indexDir: String,
+                           storeDir: String, outIndexDir: String,
+                           idCol: String, vecCol: String,
+                           threshold: Double = 0.99)
+      : graft.operators.SimilaritySearch.SemanticIndex = {
+    import graft.operators.SimilaritySearch
+    val old = SimilaritySearch.readSemanticIndex(spark, indexDir)
+    val base = old.kept.select(col(idCol), col(vecCol))
+    val corpus =
+      if (!hasBatchShards(spark, storeDir)) base
+      else base.unionByName(
+        spark.read.option("basePath", storeDir).parquet(storeDir)
+          .select(col(idCol), col(vecCol)))
+    val fresh = SimilaritySearch.buildSemanticIndex(corpus, idCol, vecCol,
+      threshold = threshold)
+    SimilaritySearch.writeSemanticIndex(fresh, outIndexDir)
+    SimilaritySearch.readSemanticIndex(spark, outIndexDir)
   }
 
   /** Streaming retrieval sink — the online face of

@@ -56,14 +56,25 @@ object SemanticSinkScale {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[semsink-scale] corpus n=${corpus.count()} dim=$dim")
 
+    val tmp0 = java.nio.file.Files.createTempDirectory("graft_semsink_idx").toString
     val t0 = System.nanoTime()
-    val index = SimilaritySearch.buildSemanticIndex(corpus, "vec_id", "embedding")
+    val built = SimilaritySearch.buildSemanticIndex(corpus, "vec_id", "embedding")
     println(f"[semsink-scale] index built in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      s"(two-level=${index.twoLevel.nonEmpty}, builtN=${index.builtN}, " +
-      s"leaves=${index.cents.size})")
-    require(index.twoLevel.nonEmpty,
+      s"(two-level=${built.twoLevel.nonEmpty}, builtN=${built.builtN}, " +
+      s"leaves=${built.cents.size})")
+    require(built.twoLevel.nonEmpty,
       s"AutoNlist did not dispatch two-level at $nCorpus vectors — " +
         "raise nCorpus past the FlatAssignRowBudget threshold (~1M)")
+    // the PRODUCTION store shape: freeze to parquet and drive the sink
+    // (and the one-shot parity arm) from the read-back index, so the
+    // kept store is the group-partitioned layout the per-batch
+    // comparison read partition-prunes — measuring the in-memory DAG
+    // instead would re-execute the whole build per micro-batch
+    val tw = System.nanoTime()
+    SimilaritySearch.writeSemanticIndex(built, tmp0)
+    val index = SimilaritySearch.readSemanticIndex(spark, tmp0)
+    println(f"[semsink-scale] index frozen to parquet in " +
+      f"${(System.nanoTime() - tw) / 1e9}%.1f s (group-partitioned kept)")
 
     // increment vector by id class:
     //   id%4==0 -> scaled twin of corpus vec (id div 4) % nCorpus  [drop vs store]
@@ -139,6 +150,7 @@ object SemanticSinkScale {
     require(nKept == expKept,
       s"kept count $nKept != expected $expKept — a verdict class leaked")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp0))
     spark.stop()
   }
 }

@@ -511,6 +511,20 @@ class AnnSpec extends SparkSpecBase {
       assert(back.cents.toSet == idx.cents.toSet)
       assert(back.twoLevel.map(_.leaves.toSet) == idx.twoLevel.map(_.leaves.toSet))
       assert(verdicts(back) == verdicts(idx))
+      // the persisted kept store is bucketed by cluster group (the
+      // partition-prunable layout), the bucketing matches clusterGroup,
+      // and pruning to a group set keeps exactly that set's rows
+      assert(back.kept.columns.contains("cluster_grp"))
+      assert(back.kept.filter(col("cluster_grp") =!=
+        SimilaritySearch.clusterGroup(col("cluster_id"))).count() == 0)
+      val grps = back.kept
+        .select(SimilaritySearch.clusterGroup(col("cluster_id")).as("g"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val some = grps.take(1)
+      val pruned = SimilaritySearch.pruneKeptToGroups(back.kept, some)
+      assert(pruned.count() ==
+        back.kept.filter(SimilaritySearch.clusterGroup(col("cluster_id"))
+          .isin(some: _*)).count())
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
@@ -649,12 +663,14 @@ class AnnSpec extends SparkSpecBase {
     import SimilaritySearch.{lshCandidateMass, pairSourceRoute, twoLevelShape,
       LshCandidateRowBudget}
     // 8 identical vectors share every bucket in both tables: mass is
-    // exactly 2 * C(8,2); growing the group to 10 raises it to 2 * C(10,2)
+    // exactly 2 * C(8,2); growing the group to 10 raises it to 2 * C(10,2).
+    // The corpus count n rides the SAME histogram (Σ cnt over table 0) —
+    // the routing pass is ONE scan, never a mass scan plus a count scan.
     val v = (0 until dim).map(i => math.sin(i + 1.0))
     def identical(n: Int) =
       (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
-    assert(lshCandidateMass(identical(8), "vec_id", "embedding") == 56L)
-    assert(lshCandidateMass(identical(10), "vec_id", "embedding") == 90L)
+    assert(lshCandidateMass(identical(8), "vec_id", "embedding") == ((56L, 8L)))
+    assert(lshCandidateMass(identical(10), "vec_id", "embedding") == ((90L, 10L)))
     // the route rule is leftmost-cheap: lsh within budget, two-level past
     assert(pairSourceRoute(0L) == "lsh")
     assert(pairSourceRoute(LshCandidateRowBudget) == "lsh")
@@ -757,5 +773,31 @@ class AnnSpec extends SparkSpecBase {
     assert(math.abs(recallAt(cells, leaves) - rec) < 1e-12)
     // terminal sanity: the full scan is recall 1.0 (the walk always ends)
     assert(recallAt(4, 16) == 1.0)
+  }
+
+  test("sampleProbes: deterministic md5 pick, drives the autotune to target") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val s1 = ids(SimilaritySearch.sampleProbes(emb, "vec_id", "embedding", n = 8))
+    val s2 = ids(SimilaritySearch.sampleProbes(emb, "vec_id", "embedding", n = 8))
+    assert(s1 == s2 && s1.size == 8, s"sample not deterministic: $s1 vs $s2")
+    // the n smallest md5(id) — verified against a driver-side replay
+    val expect = emb.select(col("vec_id")).collect().map(_.getLong(0))
+      .sortBy(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .take(8).toSet
+    assert(s1 == expect)
+    // the documented production path: sampled probes tune the two-level
+    // ladder to the target without anyone hand-picking probe ids
+    val probes = SimilaritySearch.sampleProbes(emb, "vec_id", "embedding", n = 8)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val ((cells, leaves), rec) = SimilaritySearch.autoNprobeTwoLevel(
+      probes, "probe_id", emb, "vec_id", "embedding",
+      k = 10, coarseK = 4, subK = 4, targetRecall = 0.9)
+    assert(SimilaritySearch.twoLevelLadder(4, 4).contains((cells, leaves)))
+    assert(rec >= 0.9, s"sampled autotune recall $rec below target")
   }
 }

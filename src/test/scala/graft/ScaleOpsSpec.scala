@@ -311,4 +311,20 @@ class ScaleOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("Bucketize.byQuantiles: NULL values get no bucket (both arms)") {
+    import graft.operators.Bucketize
+    import spark.implicits._
+    // 20 valued rows + 5 NULLs per group: the NULLs must not inflate
+    // bucket 1 (they used to — NULL compares false against every cut)
+    val df = (Seq.tabulate(20)(i => ("g", Some(i.toDouble))) ++
+        Seq.fill(5)(("g", Option.empty[Double])))
+      .toDF("grp", "v")
+    for (m <- Seq("exact", "kll")) {
+      val out = Bucketize.byQuantiles(df, "grp", "v", nBuckets = 4, method = m)
+        .collect()
+      assert(out.map(_.getLong(2)).sum == 20L,
+        s"$m arm counted NULL rows: ${out.mkString(";")}")
+    }
+  }
 }

@@ -954,4 +954,73 @@ class StreamingSpec extends SparkSpecBase {
     } finally System.setErr(origErr)
     q.stop()
   }
+
+  test("compactSemanticStore: rebuilt == fresh build over store+shards; sink restarts clean on it") {
+    import graft.operators.SimilaritySearch
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 48L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val idxDir = java.nio.file.Files.createTempDirectory("semc-idx").toString
+    SimilaritySearch.writeSemanticIndex(
+      SimilaritySearch.buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 4),
+      idxDir)
+    val index = SimilaritySearch.readSemanticIndex(spark, idxDir)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("semc-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semc-ck").toString
+    val q = StreamOps.semanticDedupSink(
+      ms.toDF().toDF("vec_id", "embedding"), index, out, ck,
+      "vec_id", "embedding", crossBatch = true)
+    val fresh1 = vec(); val fresh2 = vec(); val fresh3 = vec()
+    val c0 = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    try {
+      ms.addData(200L -> fresh1, 201L -> fresh2)
+      q.processAllAvailable()
+      // 301 is a copy of a stored vector: landed shards hold 300 only
+      ms.addData(300L -> fresh3, 301L -> c0(5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val outIdx = java.nio.file.Files.createTempDirectory("semc-idx2").toString
+    val compacted = StreamOps.compactSemanticStore(spark, idxDir, out, outIdx,
+      "vec_id", "embedding")
+    // == a fresh buildSemanticIndex over kept ∪ landed keepers, exactly
+    val union = index.kept.select(col("vec_id"), col("embedding"))
+      .unionByName(spark.read.option("basePath", out).parquet(out)
+        .select(col("vec_id"), col("embedding")))
+    val fresh = SimilaritySearch.buildSemanticIndex(union, "vec_id", "embedding")
+    assert(compacted.builtN == fresh.builtN)
+    assert(compacted.cents.toSet == fresh.cents.toSet)
+    def keptSet(i: SimilaritySearch.SemanticIndex) = i.kept
+      .select(col("vec_id"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptSet(compacted) == keptSet(fresh))
+    // verdict parity on a held-out increment: a twin of a landed keeper
+    // (droppable ONLY if the compaction folded the shards in) + novel
+    val inc = Seq(500L -> fresh3, 501L -> vec()).toDF("vec_id", "embedding")
+    def verdicts(i: SimilaritySearch.SemanticIndex) = SimilaritySearch
+      .semanticDedupAgainstIndex(inc, "vec_id", "embedding", i)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(verdicts(compacted) == verdicts(fresh))
+    assert(verdicts(compacted) == Set(500L -> true, 501L -> false))
+    // the restart contract: fresh outDir + checkpoint on the compacted
+    // index — a re-sent copy of a previously landed keeper is dropped
+    // against the compacted kept set even with an EMPTY new store
+    val ms2 = MemoryStream[(Long, Seq[Double])]
+    val out2 = java.nio.file.Files.createTempDirectory("semc-out2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("semc-ck2").toString
+    val q2 = StreamOps.semanticDedupSink(
+      ms2.toDF().toDF("vec_id", "embedding"), compacted, out2, ck2,
+      "vec_id", "embedding", crossBatch = true)
+    try {
+      ms2.addData(600L -> fresh1, 601L -> vec())
+      q2.processAllAvailable()
+      val kept = spark.read.parquet(s"$out2/batch=0")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(601L), kept.toString)
+    } finally q2.stop()
+    Seq(idxDir, out, ck, outIdx, out2, ck2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
 }
