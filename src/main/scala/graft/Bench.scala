@@ -100,7 +100,13 @@ object Bench {
       // inside the same wide envelope (median_groups [1.33, 2.21] —
       // a 1.65x in-run swing) — environment drift their median-of-3
       // sampling could not reject.
-      val NoisyRows = Set("median_groups", "text_clean")
+      // curation_pipeline_v3 joined in round 15: the one flag that
+      // survived r14's quiet re-run, then resolved by the same
+      // cross-tree A/B (r13 tree 7.0 s vs current 6.0-6.4 s on the
+      // round-15 machine — the old tree cannot reproduce its own
+      // 3.92 s, and the current tree is the FASTER arm; SCALING.md
+      // r15 §2).
+      val NoisyRows = Set("median_groups", "text_clean", "curation_pipeline_v3")
       val qIters =
         if (name.startsWith("media_") || NoisyRows(name)) math.max(iters, 5)
         else iters

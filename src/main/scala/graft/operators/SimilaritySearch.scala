@@ -392,13 +392,16 @@ object SimilaritySearch {
     * leaves and re-joined the corpus per step — up to
     * log2(coarseK·subK)+1 corpus-keyed joins): every ladder step's leaf
     * pick is derived from the probe×leaf frame (sample-sized — ranked
-    * once per step on the driver-safe small side), the (probe, corpus)
-    * cosine frame is scored ONCE (it is exactly the exact arm's frame,
-    * tagged with each corpus row's leaf), and per-step recall@k falls
-    * out of one step-tagged window + one groupBy. The ladder is
-    * EVALUATED, not searched — same answer as the walk by
-    * construction, since each step's recall is computed from the same
-    * rounded cosines, ranks and tie-breaks the walk used.
+    * once per step on the driver-safe small side), and the (probe,
+    * corpus) cosine frame is scored ONCE and PERSISTED (it is exactly
+    * the exact arm's frame, tagged with each corpus row's leaf). The
+    * walk still early-stops step by step — each step's recall is a
+    * broadcast leaf-pick join + top-k window over the PERSISTED frame
+    * (an in-memory scan, no corpus re-join, no cosine recompute), so a
+    * corpus that tunes at step 1 never pays the deep steps' ranking,
+    * and a corpus that walks deep pays cosines exactly once. Same
+    * answer as the round-14 walk by construction: each step's recall
+    * is computed from the same rounded cosines, ranks and tie-breaks.
     *
     * For probe choice at scale, [[sampleProbes]] is the documented
     * default: a deterministic md5-ordered sample, so a 100 TB user
@@ -406,11 +409,19 @@ object SimilaritySearch {
   def autoNprobeTwoLevel(probes: DataFrame, probeIdCol: String,
                          corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, coarseK: Int, subK: Int,
-                         targetRecall: Double = 0.9): ((Int, Int), Double) = {
+                         targetRecall: Double = 0.9,
+                         codebook: Option[TwoLevelCodebook] = None)
+      : ((Int, Int), Double) = {
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    // training is deterministic, so a caller that also SEARCHES with
+    // the tuned knobs trains once and passes the codebook to both
+    // (the ann_eval_twolevel shape: tune + search share one training)
+    val cb = codebook.getOrElse(
+      trainTwoLevel(corpus, idCol, vecCol, coarseK, subK))
+    require(cb.coarse.size <= coarseK && cb.leaves.size <= coarseK * subK,
+      "autoNprobeTwoLevel: codebook shape exceeds (coarseK, subK)")
     val corpusD = corpus.select(col(idCol).as("_cid"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("_cv"))
     val probeD = probes.select(col(probeIdCol).as("_pid"),
@@ -431,15 +442,6 @@ object SimilaritySearch {
       .select(col("_pid"), col("_crk"), col("_leaf"),
         round(cosine(col("_pv"), col("_lv")), 6).as("_lcos"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each step's leaf pick: rank by leaf cosine WITHIN the step's cell
-    // prefix (the walk's exact rule), union all steps into one tiny
-    // broadcastable (step, probe, leaf) frame
-    val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
-    val stepLeaves = ladder.zipWithIndex.map { case ((cells, leaves), i) =>
-      probeLeafAll.filter(col("_crk") <= cells)
-        .withColumn("_lrk", row_number().over(wl)).filter(col("_lrk") <= leaves)
-        .select(lit(i).as("_step"), col("_pid"), col("_leaf"))
-    }.reduce(_ unionByName _)
     // the ONE corpus-side pass: every (probe, corpus row) cosine —
     // exactly the exact arm's frame — tagged with the row's leaf
     val scored = corpusD
@@ -454,23 +456,35 @@ object SimilaritySearch {
     val exact = scored
       .withColumn("_erk", row_number().over(we)).filter(col("_erk") <= k)
       .select(col("_pid"), col("_cid"))
-    // per-step IVF top-k and recall in one shot: visited candidates per
-    // step via the broadcast leaf-pick join, ranked within (step,
-    // probe), hits counted per step
-    val wi = Window.partitionBy(col("_step"), col("_pid"))
-      .orderBy(col("_icos").desc, col("_cid"))
-    val hitsPerStep = scored.join(broadcast(stepLeaves), Seq("_pid", "_leaf"))
-      .withColumn("_irk", row_number().over(wi)).filter(col("_irk") <= k)
-      .select(col("_step"), col("_pid"), col("_cid"))
-      .join(exact, Seq("_pid", "_cid"), "left_semi")
-      .groupBy(col("_step")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    probeLeafAll.unpersist(); scored.unpersist()
-    def recall(i: Int): Double =
-      hitsPerStep.getOrElse(i, 0L).toDouble / (k * nProbes)
-    val picked = ladder.indices.find(recall(_) >= targetRecall)
-      .getOrElse(ladder.size - 1)
-    (ladder(picked), recall(picked))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
+    val wi = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
+    def recallAt(cells: Int, leaves: Int): Double = {
+      // leaf pick: rank by leaf cosine WITHIN the step's cell prefix
+      // (the walk's exact rule) — sample-sized, broadcast
+      val stepLeaves = probeLeafAll.filter(col("_crk") <= cells)
+        .withColumn("_lrk", row_number().over(wl)).filter(col("_lrk") <= leaves)
+        .select(col("_pid"), col("_leaf"))
+      val ivf = scored.join(broadcast(stepLeaves), Seq("_pid", "_leaf"))
+        .withColumn("_irk", row_number().over(wi)).filter(col("_irk") <= k)
+        .select(col("_pid"), col("_cid"))
+      exact.join(ivf, Seq("_pid", "_cid"), "left_semi").count().toDouble /
+        (k * nProbes)
+    }
+    var res: Option[((Int, Int), Double)] = None
+    for ((cells, leaves) <- ladder if res.isEmpty) {
+      val ts = System.nanoTime()
+      val r = recallAt(cells, leaves)
+      System.err.println(f"[graft-ann] autoNprobeTwoLevel: step " +
+        f"($cells,$leaves) recall@$k=$r%.3f in ${(System.nanoTime() - ts) / 1e9}%.1f s")
+      if (r >= targetRecall) res = Some(((cells, leaves), r))
+    }
+    val out = res.getOrElse {
+      val (c, l) = ladder.last
+      ((c, l), recallAt(c, l))
+    }
+    probeLeafAll.unpersist(); scored.unpersist(); exact.unpersist()
+    out
   }
 
   /** Deterministic probe sample for the recall autotuners: the `n`
@@ -903,11 +917,15 @@ object SimilaritySearch {
                             corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, coarseK: Int = 4, subK: Int = 4,
                             nprobeCells: Int = 2,
-                            nprobeLeaves: Int = 4): DataFrame = {
+                            nprobeLeaves: Int = 4,
+                            codebook: Option[TwoLevelCodebook] = None): DataFrame = {
     require(nprobeCells <= coarseK, "topKCosineIvfTwoLevel: nprobeCells <= coarseK")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
+    // deterministic training: a caller that already trained (the
+    // autotune + search pair) passes the codebook and skips the rerun
+    val cb = codebook.getOrElse(
+      trainTwoLevel(corpus, idCol, vecCol, coarseK, subK))
     val assigned = assignLeaves(corpus, idCol, vecCol, cb)
       .select(col("_vid").as("_cid"), col("_leaf"))
     val probeD = probes.select(col(probeIdCol).as("_pid"),

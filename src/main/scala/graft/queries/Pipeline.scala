@@ -755,12 +755,15 @@ object Pipeline extends QueryModule {
       val emb = Tables(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding"))
+      // train ONCE: tuning and the tuned search share the deterministic
+      // codebook (the oracle replays the single training)
+      val cb = SimilaritySearch.trainTwoLevel(emb, "vec_id", "embedding", 4, 4)
       val ((cells, leaves), rec) = SimilaritySearch.autoNprobeTwoLevel(
         probes, "probe_id", emb, "vec_id", "embedding",
-        k = 10, coarseK = 4, subK = 4, targetRecall = 0.9)
+        k = 10, coarseK = 4, subK = 4, targetRecall = 0.9, codebook = Some(cb))
       val ivf = SimilaritySearch.topKCosineIvfTwoLevel(probes, "probe_id",
           emb, "vec_id", "embedding", k = 10, coarseK = 4, subK = 4,
-          nprobeCells = cells, nprobeLeaves = leaves)
+          nprobeCells = cells, nprobeLeaves = leaves, codebook = Some(cb))
         .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
       val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
       val w = Window.partitionBy(col("probe_id"))

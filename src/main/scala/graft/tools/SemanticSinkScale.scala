@@ -30,17 +30,30 @@ import org.apache.spark.sql.functions._
   * (semanticDedupAgainstIndex over all increments as one batch) —
   * exceptAll both ways, zero rows.
   *
-  * Usage: runMain graft.tools.SemanticSinkScale <nCorpus> <rowsPerBatch> <batches>
-  * (e.g. 1000000 20000 10).
+  * Usage: runMain graft.tools.SemanticSinkScale <nCorpus> <rowsPerBatch> <batches> [narrow]
+  * (e.g. 1000000 20000 10). `narrow` switches the increments to mild
+  * perturbations of one base direction — the bursty near-topic traffic
+  * shape whose cluster-group footprint is a handful of the store's 64
+  * groups, so the group-pruned comparison read shows per-batch cost
+  * tracking the FOOTPRINT, not the store size (run the same
+  * rowsPerBatch with and without the flag and compare p50).
   */
 object SemanticSinkScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: SemanticSinkScale <nCorpus> <rowsPerBatch> <batches>")
+    require(args.length == 3 || args.length == 4,
+      "usage: SemanticSinkScale <nCorpus> <rowsPerBatch> <batches> [narrow]")
     val (nCorpus, rowsPerBatch, batches) =
       (args(0).toLong, args(1).toInt, args(2).toInt)
-    require(rowsPerBatch % 4 == 0, "rowsPerBatch must be divisible by 4 " +
-      "(the cross-batch pair seeds assume class alignment)")
+    // narrow mode: every increment is a mild perturbation of ONE base
+    // direction, so the whole batch lands in a handful of leaves — the
+    // bursty near-topic traffic shape. This is the footprint-scaling
+    // measurement: the group-pruned store read should make per-batch
+    // cost track the batch's CLUSTER FOOTPRINT (~1/64 of the store),
+    // not the store size, where the uniform mix (footprint = all 64
+    // groups) pays the full pruned-scan floor.
+    val narrow = args.length == 4 && args(3) == "narrow"
+    require(narrow || rowsPerBatch % 4 == 0, "rowsPerBatch must be divisible " +
+      "by 4 (the cross-batch pair seeds assume class alignment)")
     val dim = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, None).getOrCreate()
@@ -82,7 +95,19 @@ object SemanticSinkScale {
     //   id%4==3 -> twin of the PREVIOUS batch's class-1 novel row  [drop vs landed]
     //              (batch 0 has no previous batch: novel, keep)
     def incVec(idExpr: String) =
-      expr(s"""transform(sequence(0, ${dim - 1}), i -> cast(
+      if (narrow)
+        // base direction (salt 777, id-independent) + 0.3 × per-row
+        // noise: pairwise cos concentrates near 0.92 — ~7σ below the
+        // 0.99 threshold, so the batch is chain-free (every row keeps;
+        // the stream/one-shot parity rule is exact without dedup
+        // chains through dropped rows) — while every row still routes
+        // into the base direction's few leaves
+        expr(s"""transform(sequence(0, ${dim - 1}), i -> cast(
+          ((xxhash64(777L, i) % 1000000) / 500000.0 - 1.0)
+          + 0.3 * ((xxhash64($idExpr, i, 55L) % 1000000) / 500000.0 - 1.0)
+          as float))""")
+      else
+        expr(s"""transform(sequence(0, ${dim - 1}), i -> cast(
         CASE WHEN $idExpr % 4 = 0
                THEN ((xxhash64(($idExpr div 4) % $nCorpus, i) % 1000000) / 500000.0 - 1.0) * 1.01
              WHEN $idExpr % 4 = 3 AND $idExpr >= $rowsPerBatch
@@ -142,13 +167,29 @@ object SemanticSinkScale {
 
     // verdict-class accounting (loud, human-checkable)
     val total = rowsPerBatch.toLong * batches
-    val expTwinDrops = total / 4          // class 0
-    val expCrossDrops = (batches - 1).toLong * (rowsPerBatch / 4) // class 3, b>=1
-    val expKept = total - expTwinDrops - expCrossDrops
-    println(s"[semsink-scale] expected kept=$expKept " +
-      s"(twin-drops=$expTwinDrops cross-batch-drops=$expCrossDrops) got=$nKept")
-    require(nKept == expKept,
-      s"kept count $nKept != expected $expKept — a verdict class leaked")
+    if (narrow) {
+      // chain-free by construction: every narrow row keeps, and the
+      // point of the mode is the FOOTPRINT — how many of the store's
+      // cluster groups the batches actually touched (the group-pruned
+      // comparison read scales with this, not the store)
+      require(nKept == total,
+        s"narrow mode expected all $total rows kept, got $nKept — " +
+          "the perturbation spread drifted into the dup threshold")
+      val grps = SimilaritySearch
+        .assignWithIndex(allInc, "vec_id", "embedding", index)
+        .select(SimilaritySearch.clusterGroup(col("cluster_id")).as("g"))
+        .distinct().count()
+      println(s"[semsink-scale] narrow-mode cluster-group footprint: " +
+        s"$grps of ${SimilaritySearch.SemanticStoreGroups} groups")
+    } else {
+      val expTwinDrops = total / 4          // class 0
+      val expCrossDrops = (batches - 1).toLong * (rowsPerBatch / 4) // class 3, b>=1
+      val expKept = total - expTwinDrops - expCrossDrops
+      println(s"[semsink-scale] expected kept=$expKept " +
+        s"(twin-drops=$expTwinDrops cross-batch-drops=$expCrossDrops) got=$nKept")
+      require(nKept == expKept,
+        s"kept count $nKept != expected $expKept — a verdict class leaked")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp0))
     spark.stop()
