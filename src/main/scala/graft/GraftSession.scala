@@ -56,6 +56,7 @@ object GraftSession {
     * sessions with no single home directory). */
   def builder(master: String, shufflePartitions: Int,
               dataDir: Option[String]): SparkSession.Builder = {
+    quietBoundedWindowWarnings()
     val initial = dataDir.map { d =>
       val bytes = dirBytes(d)
       val derived = math.min(maxInitialPartitions(shufflePartitions),
@@ -86,6 +87,22 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
   }
+
+  /** The engine's deliberately-unpartitioned windows (limit-100 rank
+    * prefixes, decile cuts over group-level frames — each plan-audited
+    * BOUNDED per the Ranks.scala doctrine) fire WindowExec's
+    * "No Partition Defined" warning on every task. Round 15's driver
+    * bench tail was THOUSANDS of those lines — the rc=124 timeout
+    * diagnosis was buried under them — and the warning carries no
+    * information here, so the window-exec logger runs at ERROR.
+    * Per-logger levels survive sparkContext.setLogLevel (which moves
+    * the ROOT logger only). Best-effort: a classpath without log4j2
+    * just keeps the warnings. */
+  private def quietBoundedWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
   /** Total bytes under `dir` (driver-side walk; 0 if unreadable —
     * sizing degrades to the floor, never fails the session). */

@@ -267,11 +267,17 @@ object SimilaritySearch {
     */
   def topKCosineIvf(probes: DataFrame, probeIdCol: String,
                     corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                    k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    centroids: Option[DataFrame] = None): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvf: nprobe must be <= nlist")
     guardFlatExplicit(corpus, nlist, "topKCosineIvf",
       fatAssignBytesPerRow(dimOf(corpus, vecCol)))
-    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+    // training is deterministic, so a caller that also TUNES (the
+    // ann_eval_tuned shape: autoNprobe + the tuned search) trains once
+    // and passes the codebook to both — the round-15 ann_eval_twolevel
+    // discipline at the flat tier
+    val cents = centroids.getOrElse(
+      lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters))
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
     val probeLists = bestLists(probes, cents, probeIdCol, vecCol, nprobe)
@@ -284,6 +290,15 @@ object SimilaritySearch {
         Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rk") <= k)
   }
+
+  /** The flat IVF codebook on its own — the train-once face of
+    * [[topKCosineIvf]] / [[autoNprobe]] (the public [[trainTwoLevel]]
+    * contract at the flat tier): deterministic hash-seeded k-means,
+    * [[LloydIters]] rounds, so a caller that tunes AND searches trains
+    * once and passes the same codebook to both. */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16): DataFrame =
+    lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
 
   /** Recall-targeted nprobe autotuning — the accept/reject knob a
     * pipeline turns before trusting an IVF index: the smallest nprobe
@@ -309,11 +324,13 @@ object SimilaritySearch {
   def autoNprobe(probes: DataFrame, probeIdCol: String,
                  corpus: DataFrame, idCol: String, vecCol: String,
                  k: Int, nlist: Int = 16,
-                 targetRecall: Double = 0.9): (Int, Double) = {
+                 targetRecall: Double = 0.9,
+                 centroids: Option[DataFrame] = None): (Int, Double) = {
     import org.apache.spark.storage.StorageLevel
     guardFlatExplicit(corpus, nlist, "autoNprobe",
       fatAssignBytesPerRow(dimOf(corpus, vecCol)))
-    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+    val cents = centroids.getOrElse(
+      lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters))
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -415,6 +432,20 @@ object SimilaritySearch {
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
     import spark.implicits._
+    val corpusD = corpus.select(col(idCol).as("_cid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_cv"))
+    val probeD = probes.select(col(probeIdCol).as("_pid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_pv"))
+    val nProbes = probeD.count()
+    require(nProbes > 0, "autoNprobeTwoLevel: empty probe set")
+    // The one-pass ladder's ground truth is a probes × corpus cosine
+    // frame persisted to MEMORY_AND_DISK — inherent to exact-recall
+    // tuning, and the ONE corpus-sized materialization in the ANN
+    // family, so it gets the same loud scratch refusal every other
+    // corpus-sized spill surface has. Rows are known BEFORE anything
+    // expensive runs (nProbes × n), so the refusal also precedes the
+    // training a fresh-codebook caller would otherwise pay for nothing.
+    refuseForScoredScratch(spark, nProbes, corpus.count())
     // training is deterministic, so a caller that also SEARCHES with
     // the tuned knobs trains once and passes the codebook to both
     // (the ann_eval_twolevel shape: tune + search share one training)
@@ -422,12 +453,6 @@ object SimilaritySearch {
       trainTwoLevel(corpus, idCol, vecCol, coarseK, subK))
     require(cb.coarse.size <= coarseK && cb.leaves.size <= coarseK * subK,
       "autoNprobeTwoLevel: codebook shape exceeds (coarseK, subK)")
-    val corpusD = corpus.select(col(idCol).as("_cid"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("_cv"))
-    val probeD = probes.select(col(probeIdCol).as("_pid"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("_pv"))
-    val nProbes = probeD.count()
-    require(nProbes > 0, "autoNprobeTwoLevel: empty probe set")
     val ladder = twoLevelLadder(coarseK, subK)
     // probe×leaf frame: EVERY leaf scored per probe, tagged with its
     // parent cell's rank — sample-sized (nProbes × coarseK·subK), so
@@ -614,6 +639,40 @@ object SimilaritySearch {
           "(assignment mass N·(coarseK+subK), flat at every measured " +
           "decade) — or the AutoNlist front door, which dispatches " +
           "itself past this cliff.")
+    }
+  }
+
+  /** Bytes one row of [[autoNprobeTwoLevel]]'s persisted scored frame
+    * costs on scratch: the frame is SLIM by construction — (pid, cid,
+    * leaf, 6-dp cosine) projected before the persist — so the cost is
+    * ~32 B of payload + row overhead through the disk store and the
+    * exact arm's window sort over the same frame. 64 B carries the
+    * same ~2× overestimate margin the dedup constants do. */
+  val TwoLevelScoredBytesPerRow: Long = 64L
+
+  /** Loud fail-fast for [[autoNprobeTwoLevel]]'s probes × corpus
+    * ground-truth persist — the [[refuseForAssignScratch]] contract
+    * with the remedy this surface actually has: fewer probes. At the
+    * registered queries' 5 probes the frame is probe-bounded and
+    * trivial; at [[sampleProbes]]' documented n=64 on a 10⁹-row corpus
+    * it is a 6.4e10-row spill that every other path's guard would have
+    * refused. */
+  private[graft] def refuseForScoredScratch(
+      spark: org.apache.spark.sql.SparkSession,
+      nProbes: Long, nCorpus: Long): Unit = {
+    val mass = nProbes.toDouble * nCorpus
+    val budget = Dedup.usableScratchBytes(spark) * Dedup.MaxScratchFraction
+    if (mass > 0 && mass * TwoLevelScoredBytesPerRow > budget) {
+      val predicted = (mass * TwoLevelScoredBytesPerRow / (1L << 30)).toLong
+      throw new IllegalStateException(
+        f"[graft-ann] autoNprobeTwoLevel REFUSED: $nProbes probes × " +
+          f"$nCorpus corpus rows materialize a ~$mass%.3g-row exact-recall " +
+          f"frame (~$predicted GiB at $TwoLevelScoredBytesPerRow B/row) " +
+          s"against a ~${(budget / (1L << 30)).toLong} GiB scratch budget " +
+          "(half of free spark.local.dir). Running anyway would ENOSPC-die " +
+          "mid-persist. Tune on FEWER probes — sampleProbes(n) with a " +
+          "smaller n (recall estimates converge fast in the probe count) — " +
+          "or free scratch space.")
     }
   }
 
@@ -984,7 +1043,12 @@ object SimilaritySearch {
     * rescanning anything but the matching clusters. */
   case class SemanticIndex(cents: Seq[(Long, Seq[Double])], kept: DataFrame,
                            builtN: Long = -1L,
-                           twoLevel: Option[TwoLevelCodebook] = None)
+                           twoLevel: Option[TwoLevelCodebook] = None,
+                           // the kept layout's OWN bucket count: read
+                           // from the store meta, defaulted for
+                           // in-memory indexes; every group filter on
+                           // this index must use it, never the constant
+                           groups: Int = SemanticStoreGroups)
 
   /** Train centroids on the corpus, drop its internal near-dups, and
     * freeze (codebook, kept vectors) as the [[SemanticIndex]]. The
@@ -1067,14 +1131,23 @@ object SimilaritySearch {
   def writeSemanticIndex(index: SemanticIndex, dir: String): Unit = {
     val spark = index.kept.sparkSession
     import spark.implicits._
+    // group count derived from the STORE SIZE at write time (builtN
+    // bounds the kept count from above and is already known — no
+    // re-execution of the kept computation to count it); recorded in
+    // the meta table so readers prune with the layout's own count
+    val d = index.cents.headOption.map(_._2.size).getOrElse(0)
+    val grps = deriveStoreGroups(index.builtN, d)
     index.kept
-      .withColumn("cluster_grp", clusterGroup(col("cluster_id")))
+      .withColumn("cluster_grp", clusterGroup(col("cluster_id"), grps))
       // co-locate each group before the partitioned write: ONE file
-      // per group directory instead of (write tasks × groups) shards.
-      // SemanticStoreGroups is therefore the file-granularity knob —
-      // a store too big at store/64 per file wants more groups, not
-      // a different layout.
-      .repartition(SemanticStoreGroups, col("cluster_grp"))
+      // per group directory instead of (write tasks × groups) shards;
+      // then ORDER each group file by cluster_id, so parquet row-group
+      // min/max stats sub-prune a narrow increment's cluster_id IN
+      // filter below group granularity (the round-15 46-of-64-groups
+      // finding: group pruning alone is coarse for weakly-clustered
+      // traffic).
+      .repartition(grps, col("cluster_grp"))
+      .sortWithinPartitions(col("cluster_grp"), col("cluster_id"))
       .write.partitionBy("cluster_grp")
       .mode("overwrite").parquet(s"$dir/kept")
     index.cents.toDF("cent_id", "cv")
@@ -1085,7 +1158,8 @@ object SimilaritySearch {
       cb.leaves.toDF("cell", "leaf_id", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/leaves")
     }
-    Seq((index.builtN, index.twoLevel.nonEmpty)).toDF("built_n", "two_level")
+    Seq((index.builtN, index.twoLevel.nonEmpty, grps))
+      .toDF("built_n", "two_level", "groups")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -1101,8 +1175,16 @@ object SimilaritySearch {
     * falls back to computing the group. */
   def readSemanticIndex(spark: org.apache.spark.sql.SparkSession,
                         dir: String): SemanticIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val meta = metaDf.collect().head
     val (builtN, isTwoLevel) = (meta.getLong(0), meta.getBoolean(1))
+    // stores written before the size-derived layout carry no `groups`
+    // column; they were all bucketed at the 64 constant, so that IS
+    // their layout's count
+    val grps =
+      if (metaDf.columns.contains("groups"))
+        meta.getInt(meta.fieldIndex("groups"))
+      else SemanticStoreGroups
     def codebook(path: String): Seq[(Long, Seq[Double])] =
       spark.read.parquet(path).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double]))
@@ -1114,7 +1196,7 @@ object SimilaritySearch {
           r.getSeq[Double](2).toVector: Seq[Double]))
         .sortBy(l => (l._1, l._2)).toSeq))
     SemanticIndex(codebook(s"$dir/cents"),
-      spark.read.parquet(s"$dir/kept"), builtN, two)
+      spark.read.parquet(s"$dir/kept"), builtN, two, groups = grps)
   }
 
   /** Cluster GROUPS the persisted kept store is bucketed into
@@ -1129,10 +1211,52 @@ object SimilaritySearch {
     * changes nothing and partition-prunes the store read. */
   val SemanticStoreGroups: Int = 64
 
+  /** Group-count ceiling for [[deriveStoreGroups]]: one directory per
+    * group, so the knob is also a file-count knob — 4096 keeps a
+    * pathological store from shattering into tens of thousands of
+    * directories while still giving a ~280 GB kept store (10⁹ rows at
+    * d=64) ~68 MiB files. */
+  val MaxSemanticStoreGroups: Int = 4096
+
+  /** Per-file size target the group count derives toward: groups
+    * double until the estimated store bytes per group fall under this.
+    * 128 MiB matches the session's scan split size, so one group file
+    * is one scan task. */
+  val TargetStoreFileBytes: Long = 128L << 20
+
+  /** Derive the kept-store group count from the store's size instead
+    * of pinning the 64 constant (round-15 finding: 64 is right at 1M
+    * vectors and silently wrong past it — group pruning coarsens and
+    * per-file size grows unbounded). Estimated bytes/row = 4·d (float
+    * vector) + 24 (id, cluster_id, overhead); groups = the smallest
+    * power of two ≥ [[SemanticStoreGroups]] that lands files under
+    * [[TargetStoreFileBytes]], capped at [[MaxSemanticStoreGroups]].
+    * Small stores (every fixture) derive exactly the old 64, so
+    * existing layouts and oracle contracts are untouched. The WRITER
+    * derives; READERS take the count from the store's meta table —
+    * never this function — so bumping the constants can never
+    * mis-prune a store written before the bump. */
+  def deriveStoreGroups(nRows: Long, d: Int): Int = {
+    if (nRows <= 0 || d <= 0) SemanticStoreGroups
+    else {
+      val bytes = nRows * (4L * d + 24L)
+      var g = SemanticStoreGroups.toLong
+      while (g < MaxSemanticStoreGroups && bytes / g > TargetStoreFileBytes)
+        g *= 2
+      g.toInt
+    }
+  }
+
   /** The store's bucketing rule — one definition, used by the writer,
-    * the pruner, and the streaming sink's shard layout. */
+    * the pruner, and the streaming sink's shard layout. `groups` MUST
+    * be the layout's own count (an index's `groups` field / the meta
+    * table), not the constant, or the filter prunes wrong buckets. */
+  def clusterGroup(clusterId: Column, groups: Int): Column =
+    pmod(hash(clusterId), lit(groups))
+
+  /** [[clusterGroup]] at the default layout (in-memory indexes, tools). */
   def clusterGroup(clusterId: Column): Column =
-    pmod(hash(clusterId), lit(SemanticStoreGroups))
+    clusterGroup(clusterId, SemanticStoreGroups)
 
   /** Byte budget for broadcasting the INCREMENT side of the store
     * comparison join: under it, the kept store — the big side — is
@@ -1151,10 +1275,11 @@ object SimilaritySearch {
     * but the comparison join's input still shrinks to the touched
     * groups. */
   private[graft] def pruneKeptToGroups(kept: DataFrame,
-                                       groups: Seq[Int]): DataFrame =
+                                       groups: Seq[Int],
+                                       layoutGroups: Int = SemanticStoreGroups): DataFrame =
     if (kept.columns.contains("cluster_grp"))
       kept.filter(col("cluster_grp").isin(groups: _*))
-    else kept.filter(clusterGroup(col("cluster_id")).isin(groups: _*))
+    else kept.filter(clusterGroup(col("cluster_id"), layoutGroups).isin(groups: _*))
 
   /** The frozen-codebook assignment [[semanticDedupAgainstIndex]] keys
     * its joins with, exposed so callers (the streaming sink, store
@@ -1193,16 +1318,31 @@ object SimilaritySearch {
                                 index: SemanticIndex,
                                 threshold: Double = 0.99): DataFrame = {
     val assigned = assignWithIndex(inc, idCol, vecCol, index)
-    // one increment-sized pass: group footprint AND row count (the
-    // broadcast dispatch measures, never guesses)
-    val gc = assigned.groupBy(clusterGroup(col("cluster_id")).as("_g"))
+    // one increment-sized pass: CLUSTER footprint (and the group
+    // footprint it implies) and row count — the broadcast dispatch
+    // measures, never guesses. Collect is driver-safe by construction:
+    // distinct clusters ≤ the codebook size, and the codebook
+    // (index.cents) is already a driver-resident Seq.
+    val gc = assigned.groupBy(col("cluster_id"),
+        clusterGroup(col("cluster_id"), index.groups).as("_g"))
       .count().collect()
-    val groups = gc.map(_.getInt(0)).toSeq
-    val nInc = gc.map(_.getLong(1)).sum
-    val bcast =
+    val clusters = gc.map(_.getLong(0)).toSeq
+    val groups = gc.map(_.getInt(1)).distinct.toSeq
+    val nInc = gc.map(_.getLong(2)).sum
+    // nInc == 0 short-circuits dimOf (a .first() that would throw on an
+    // empty increment — a streaming replay/no-data micro-batch is a
+    // legitimate caller); an empty broadcast side is free either way
+    val bcast = nInc == 0L ||
       nInc * fatAssignBytesPerRow(dimOf(inc, vecCol)) <= BroadcastIncByteBudget
-    semanticVerdicts(inc, idCol, vecCol, assigned,
-      pruneKeptToGroups(index.kept, groups), threshold, bcast)
+    // two-stage store prune: the group filter partition-prunes the
+    // directory scan; the cluster_id IN filter then sub-prunes parquet
+    // ROW GROUPS inside each touched group file (the writer orders
+    // group files by cluster_id, so min/max stats are tight). Both are
+    // superset filters over the comparison join's own cluster_id key —
+    // verdicts are unchanged on every route.
+    val pruned = pruneKeptToGroups(index.kept, groups, index.groups)
+      .filter(col("cluster_id").isin(clusters: _*))
+    semanticVerdicts(inc, idCol, vecCol, assigned, pruned, threshold, bcast)
   }
 
   /** [[semanticDedupAgainstIndex]]'s core on a precomputed assignment

@@ -714,10 +714,17 @@ object Pipeline extends QueryModule {
       val emb = Tables(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding"))
+      // train ONCE: tuning and the tuned search share the deterministic
+      // codebook (the r15 ann_eval_twolevel discipline — the oracle
+      // replays a single training either way, so the result is
+      // bit-identical and the second Lloyd run was pure waste)
+      val cents = SimilaritySearch.trainIvf(emb, "vec_id", "embedding", nlist = 16)
       val (np, rec) = SimilaritySearch.autoNprobe(probes, "probe_id",
-        emb, "vec_id", "embedding", k = 10, nlist = 16, targetRecall = 0.9)
+        emb, "vec_id", "embedding", k = 10, nlist = 16, targetRecall = 0.9,
+        centroids = Some(cents))
       val ivf = SimilaritySearch.topKCosineIvf(probes, "probe_id",
-          emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = np)
+          emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = np,
+          centroids = Some(cents))
         .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
       val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
       val w = Window.partitionBy(col("probe_id"))

@@ -532,11 +532,26 @@ object StreamOps {
     // semanticDedupAgainstIndex applies pushes through the union into
     // every scan (partition-pruning the parquet sides)
     val keptCols = Seq(col(idCol), col("cluster_id"), col(vecCol), col("cluster_grp"))
+    // every group computation in this sink uses the INDEX's own layout
+    // count (store meta), so shards, prunes and the store agree even
+    // when the size-derived count is not the 64 default
     val keptG =
       (if (keptStable.columns.contains("cluster_grp")) keptStable
        else keptStable.withColumn("cluster_grp",
-         SimilaritySearch.clusterGroup(col("cluster_id"))))
+         SimilaritySearch.clusterGroup(col("cluster_id"), index.groups)))
         .select(keptCols: _*)
+    // Layout detection, ONCE at sink construction: shards landed by a
+    // pre-bucketing sink carry no cluster_grp partition column, and a
+    // MIXED dir (old flat shards + new cluster_grp=* shards) breaks
+    // parquet partition discovery for every later read — including the
+    // staleness count. So a sink restarted over an old store keeps
+    // WRITING the old flat layout (group values are computed on read
+    // instead — correct, just not partition-pruned), and the dir stays
+    // uniform for its lifetime. Fresh dirs get the bucketed layout.
+    val sparkOuter = newVecs.sparkSession
+    val oldLayoutStore = hasBatchShards(sparkOuter, outDir) &&
+      !sparkOuter.read.option("basePath", outDir).parquet(outDir)
+        .columns.contains("cluster_grp")
     newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -547,22 +562,36 @@ object StreamOps {
           if (!crossBatch || !hasPrior) keptG
           else {
             // prior keepers join the comparison set; the current
-            // batch's own shard is excluded so a replay is idempotent
-            val prior = spark.read.option("basePath", outDir).parquet(outDir)
-              .filter(col("batch") =!= batchId)
-              .select(keptCols: _*)
+            // batch's own shard is excluded so a replay is idempotent.
+            // On an old-layout store the group is computed, mirroring
+            // the keptG fallback (the dir stays uniformly flat — see
+            // oldLayoutStore above — so this branch is stable across
+            // the sink's whole lifetime, not just its first batch).
+            val priorRaw = spark.read.option("basePath", outDir)
+              .parquet(outDir).filter(col("batch") =!= batchId)
+            val prior =
+              (if (priorRaw.columns.contains("cluster_grp")) priorRaw
+               else priorRaw.withColumn("cluster_grp",
+                 SimilaritySearch.clusterGroup(col("cluster_id"), index.groups)))
+                .select(keptCols: _*)
             keptG.unionByName(prior)
           }
         val verdicts = SimilaritySearch.semanticDedupAgainstIndex(
           batch, idCol, vecCol, index.copy(kept = cmpKept), threshold)
-        batch.join(verdicts.filter(!col("is_dropped"))
-            .select(col(idCol), col("cluster_id")), Seq(idCol))
+        val keepers = batch.join(verdicts.filter(!col("is_dropped"))
+          .select(col(idCol), col("cluster_id")), Seq(idCol))
+        if (oldLayoutStore)
+          // keep the pre-bucketing store uniform: flat shards, no
+          // partition column (compactSemanticStore upgrades the layout)
+          keepers.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        else
           // shards share the store's bucketed layout: the next batch's
           // group filter partition-prunes landed keepers too
-          .withColumn("cluster_grp",
-            SimilaritySearch.clusterGroup(col("cluster_id")))
-          .write.partitionBy("cluster_grp")
-          .mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          keepers
+            .withColumn("cluster_grp",
+              SimilaritySearch.clusterGroup(col("cluster_id"), index.groups))
+            .write.partitionBy("cluster_grp")
+            .mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // Staleness is measured against the STORE, not a driver
         // counter: an in-memory total resets on sink restart and
         // double-counts replayed batches, so the "corpus has doubled"
@@ -580,7 +609,29 @@ object StreamOps {
             "index) and restart the sink on it (codebook is stale, per-cluster " +
             "pair work is growing)")
       }
-      .start()
+      .start() match {
+        case q =>
+          // the sink-lifetime persist above would otherwise outlive the
+          // query: stopping the stream left the cached kept store
+          // pinned for the app lifetime (and re-constructed sinks over
+          // in-memory indexes accumulated cached copies)
+          if (!keptIsScan) {
+            val spark = newVecs.sparkSession
+            val qid = q.id
+            spark.streams.addListener(
+              new org.apache.spark.sql.streaming.StreamingQueryListener {
+                import org.apache.spark.sql.streaming.StreamingQueryListener._
+                override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+                override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+                override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+                  if (e.id == qid) {
+                    keptStable.unpersist()
+                    spark.streams.removeListener(this)
+                  }
+              })
+          }
+          q
+      }
   }
 
   /** Semantic-store lifecycle: the REBUILD the staleness warning above

@@ -800,4 +800,123 @@ class AnnSpec extends SparkSpecBase {
     assert(SimilaritySearch.twoLevelLadder(4, 4).contains((cells, leaves)))
     assert(rec >= 0.9, s"sampled autotune recall $rec below target")
   }
+
+  test("semanticDedupAgainstIndex on an EMPTY increment returns an empty frame (no throw)") {
+    // the streaming sink calls this per micro-batch; a replay/no-data
+    // batch is empty and used to crash in dimOf's .first()
+    val df = clustered.cache()
+    val idx = SimilaritySearch.buildSemanticIndex(df, "vec_id", "embedding",
+      nlist = 8, threshold = 0.999)
+    val empty = df.filter(col("vec_id") < 0)
+      .select(col("vec_id"), col("embedding"))
+    val out = SimilaritySearch.semanticDedupAgainstIndex(
+      empty, "vec_id", "embedding", idx, threshold = 0.999)
+    assert(out.columns.toSeq == Seq("vec_id", "cluster_id", "is_dropped"))
+    assert(out.count() == 0L)
+  }
+
+  test("autoNprobeTwoLevel REFUSES when the probes × corpus ground-truth frame exceeds scratch") {
+    import graft.operators.Dedup
+    val df = clustered.cache()
+    val probes = df.filter(col("vec_id") < 1005)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    // ~5 probes × 200 corpus rows × 64 B >> a mocked 1 KiB budget
+    Dedup.scratchBytesOverride = Some(1L << 10)
+    try {
+      val e = intercept[IllegalStateException](
+        SimilaritySearch.autoNprobeTwoLevel(probes, "probe_id",
+          df, "vec_id", "embedding", k = 5, coarseK = 2, subK = 4))
+      assert(e.getMessage.contains("autoNprobeTwoLevel REFUSED"), e.getMessage)
+      assert(e.getMessage.contains("FEWER probes"), e.getMessage) // names the remedy
+    } finally Dedup.scratchBytesOverride = None
+    // and with a real budget the same call tunes normally
+    val ((c, l), rec) = SimilaritySearch.autoNprobeTwoLevel(probes, "probe_id",
+      df, "vec_id", "embedding", k = 5, coarseK = 2, subK = 4)
+    assert(SimilaritySearch.twoLevelLadder(2, 4).contains((c, l)) && rec > 0)
+  }
+
+  test("deriveStoreGroups: 64 floor at fixture scale, size-derived power of two past it, capped") {
+    import SimilaritySearch.{deriveStoreGroups, SemanticStoreGroups,
+      MaxSemanticStoreGroups, TargetStoreFileBytes}
+    // every fixture-scale store keeps the historical 64 layout
+    assert(deriveStoreGroups(0L, 64) == SemanticStoreGroups)
+    assert(deriveStoreGroups(-1L, 64) == SemanticStoreGroups)
+    assert(deriveStoreGroups(1000000L, 64) == SemanticStoreGroups)
+    // 100M rows at d=64 ≈ 28 GB → files under 128 MiB need 256 groups
+    assert(deriveStoreGroups(100000000L, 64) == 256)
+    // monotone in size, always a power of two, always in [64, cap]
+    var prev = 0
+    for (n <- Seq(1L, 1000000L, 30000000L, 100000000L, 1000000000L, 100000000000L)) {
+      val g = deriveStoreGroups(n, 64)
+      assert((g & (g - 1)) == 0 && g >= SemanticStoreGroups &&
+        g <= MaxSemanticStoreGroups, s"n=$n -> $g")
+      assert(g >= prev, s"not monotone at n=$n")
+      prev = g
+    }
+    assert(deriveStoreGroups(100000000000L, 64) == MaxSemanticStoreGroups)
+    // under the cap, the derived layout actually meets the file target
+    val n = 100000000L
+    assert(n * (4L * 64 + 24) / deriveStoreGroups(n, 64) <= TargetStoreFileBytes)
+  }
+
+  test("size-derived store layout: meta carries the group count; prune + verdicts use it") {
+    val df = clustered.cache()
+    val inc = df.filter(col("vec_id") < 1010)
+      .select((col("vec_id") + 70000).as("vec_id"), col("embedding"))
+    def verdicts(i: SimilaritySearch.SemanticIndex) = SimilaritySearch
+      .semanticDedupAgainstIndex(inc, "vec_id", "embedding", i, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val idx = SimilaritySearch.buildSemanticIndex(df, "vec_id", "embedding",
+      nlist = 8, threshold = 0.999)
+    // force the size-derived regime: a builtN past the 64-group band
+    // derives 256 groups at d=64 (the kept rows are the same tiny set —
+    // the layout knob is what's under test)
+    val big = idx.copy(builtN = 100000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx_big").toString
+    SimilaritySearch.writeSemanticIndex(big, dir)
+    val back = SimilaritySearch.readSemanticIndex(spark, dir)
+    assert(back.groups == 256, s"meta groups ${back.groups}")
+    // bucket values follow the LAYOUT's count, not the 64 constant
+    assert(back.kept.filter(col("cluster_grp") =!=
+      SimilaritySearch.clusterGroup(col("cluster_id"), back.groups)).count() == 0)
+    // verdicts are layout-independent (same kept set, different buckets)
+    assert(verdicts(back) == verdicts(idx))
+    // prune-set exactness under the derived layout
+    val grps = back.kept
+      .select(SimilaritySearch.clusterGroup(col("cluster_id"), back.groups).as("g"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val some = grps.take(1)
+    val pruned = SimilaritySearch.pruneKeptToGroups(back.kept, some, back.groups)
+    assert(pruned.count() == back.kept.filter(
+      SimilaritySearch.clusterGroup(col("cluster_id"), back.groups)
+        .isin(some: _*)).count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("pre-r16 store layout (no meta groups column) reads back at the 64 it was written with") {
+    import spark.implicits._
+    val df = clustered.cache()
+    val idx = SimilaritySearch.buildSemanticIndex(df, "vec_id", "embedding",
+      nlist = 8, threshold = 0.999)
+    // land the store EXACTLY as the r15 writer did: kept partitioned at
+    // the 64 constant, meta = (built_n, two_level) only
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx_old").toString
+    idx.kept
+      .withColumn("cluster_grp", SimilaritySearch.clusterGroup(col("cluster_id")))
+      .repartition(SimilaritySearch.SemanticStoreGroups, col("cluster_grp"))
+      .write.partitionBy("cluster_grp").mode("overwrite").parquet(s"$dir/kept")
+    idx.cents.toDF("cent_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+    Seq((idx.builtN, false)).toDF("built_n", "two_level")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val back = SimilaritySearch.readSemanticIndex(spark, dir)
+    assert(back.groups == SimilaritySearch.SemanticStoreGroups)
+    val inc = df.filter(col("vec_id") < 1010)
+      .select((col("vec_id") + 70000).as("vec_id"), col("embedding"))
+    def verdicts(i: SimilaritySearch.SemanticIndex) = SimilaritySearch
+      .semanticDedupAgainstIndex(inc, "vec_id", "embedding", i, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(verdicts(back) == verdicts(idx))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -914,6 +914,60 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("semanticDedupSink restarted over a pre-bucketing shard store keeps the flat layout and still compares") {
+    // Shards landed before round 15's bucketed layout carry no
+    // cluster_grp partition column. A restarted sink must (a) not throw
+    // reading them, (b) still catch cross-batch dups against them, and
+    // (c) keep WRITING the flat layout so the dir never goes mixed
+    // (mixed old/new depths break parquet partition discovery).
+    import graft.operators.SimilaritySearch
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 32L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val index = SimilaritySearch
+      .buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 4)
+    val out = java.nio.file.Files.createTempDirectory("semold-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semold-ck").toString
+    // land batch=7 exactly as the r14 sink did: flat files, no
+    // cluster_grp column, no partition subdirs
+    val fresh1 = vec()
+    val oldKeeper = Seq(210L -> fresh1).toDF("vec_id", "embedding")
+    oldKeeper
+      .join(SimilaritySearch.assignWithIndex(
+        oldKeeper, "vec_id", "embedding", index), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("embedding"))
+      .write.parquet(s"$out/batch=7")
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.semanticDedupSink(
+      ms.toDF().toDF("vec_id", "embedding"), index, out, ck,
+      "vec_id", "embedding", crossBatch = true)
+    try {
+      val novel = vec()
+      // 300 is a copy of the OLD shard's keeper: dropped only if the
+      // prior-shard read actually worked
+      ms.addData(300L -> fresh1, 301L -> novel)
+      q.processAllAvailable()
+      val kept0 = spark.read.parquet(s"$out/batch=0")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept0 == Set(301L), kept0.toString)
+      // the new shard kept the FLAT layout: no cluster_grp subdirs
+      val b0 = new java.io.File(s"$out/batch=0")
+      assert(!b0.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("cluster_grp=")),
+        b0.listFiles().map(_.getName).mkString(","))
+      // and the whole store still reads as ONE uniform layout
+      assert(spark.read.option("basePath", out).parquet(out).count() == 2L)
+      // next batch: a copy of the batch-0 keeper is caught too
+      ms.addData(400L -> novel)
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$out/batch=1")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept1.isEmpty, kept1.toString)
+    } finally q.stop()
+  }
+
   test("semanticDedupSink warns exactly once when streamed rows pass the index's training size") {
     // The retrain-cadence contract: the frozen codebook was sized for
     // builtN vectors (the auto-nlist derivation); once the stream has
