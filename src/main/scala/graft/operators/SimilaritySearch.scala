@@ -326,6 +326,25 @@ object SimilaritySearch {
                  k: Int, nlist: Int = 16,
                  targetRecall: Double = 0.9,
                  centroids: Option[DataFrame] = None): (Int, Double) = {
+    val (np, rec, _) = autoNprobeStats(probes, probeIdCol, corpus, idCol,
+      vecCol, k, nlist, targetRecall, centroids, collectStats = false)
+    (np, rec)
+  }
+
+  /** [[autoNprobe]] plus per-probe hit counts AT the tuned nprobe —
+    * the flat-tier twin of [[autoNprobeTwoLevelStats]]: one extra
+    * sample-sized job over the tuner's persisted assigned/exact frames
+    * replaces the eval query's full re-derivation of both arms (a
+    * second corpus-sized exact scan + a second IVF search per eval
+    * run). Zero-filled, one row per probe; empty when `collectStats`
+    * is false. */
+  private[graft] def autoNprobeStats(
+      probes: DataFrame, probeIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16,
+      targetRecall: Double = 0.9,
+      centroids: Option[DataFrame] = None,
+      collectStats: Boolean = true): (Int, Double, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     guardFlatExplicit(corpus, nlist, "autoNprobe",
       fatAssignBytesPerRow(dimOf(corpus, vecCol)))
@@ -349,20 +368,21 @@ object SimilaritySearch {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nProbes = pb.count()
     require(nProbes > 0, "autoNprobe: empty probe set")
-    def recallAt(p: Int): Double = {
+    def ivfAt(p: Int): DataFrame = {
       val probeLists = bestLists(pb, cents, "_pid0", "_pv0", p)
         .select(col("_mid").as("_pid"), col("_mv").as("_pv"), col("_list"))
       val wi = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
-      val ivf = assigned.join(broadcast(probeLists), "_list")
+      assigned.join(broadcast(probeLists), "_list")
         .filter(col("_pid") =!= col("_cid"))
         .select(col("_pid"), col("_cid"),
           round(cosine(col("_cv"), col("_pv")), 6).as("_icos"))
         .withColumn("_irk", row_number().over(wi))
         .filter(col("_irk") <= k)
         .select(col("_pid"), col("_cid"))
-      val hits = exact.join(ivf, Seq("_pid", "_cid"), "left_semi").count()
-      hits.toDouble / (k * nProbes)
     }
+    def recallAt(p: Int): Double =
+      exact.join(ivfAt(p), Seq("_pid", "_cid"), "left_semi").count()
+        .toDouble / (k * nProbes)
     val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toVector :+ nlist)
     // leftmost ladder value whose recall reaches the target
     val memo = scala.collection.mutable.Map.empty[Int, Double]
@@ -373,8 +393,15 @@ object SimilaritySearch {
       if (rec(mid) >= targetRecall) hi = mid else lo = mid + 1
     }
     val res = (ladder(lo), rec(lo))
+    val stats = if (!collectStats) Seq.empty[(Long, Long)] else {
+      val hits = exact.join(ivfAt(res._1), Seq("_pid", "_cid"), "left_semi")
+        .groupBy(col("_pid")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pb.select(col("_pid0")).collect().map(_.getLong(0)).toSeq.sorted
+        .map(pid => (pid, hits.getOrElse(pid, 0L)))
+    }
     assigned.unpersist(); exact.unpersist()
-    res
+    (res._1, res._2, stats)
   }
 
   /** The (nprobeCells, nprobeLeaves) doubling ladder the two-level
@@ -429,6 +456,32 @@ object SimilaritySearch {
                          targetRecall: Double = 0.9,
                          codebook: Option[TwoLevelCodebook] = None)
       : ((Int, Int), Double) = {
+    val (knobs, rec, _) = autoNprobeTwoLevelStats(probes, probeIdCol,
+      corpus, idCol, vecCol, k, coarseK, subK, targetRecall, codebook,
+      collectStats = false)
+    (knobs, rec)
+  }
+
+  /** [[autoNprobeTwoLevel]] plus the per-probe hit counts AT the tuned
+    * step, computed from the SAME persisted frames the walk ranked (one
+    * sample-sized job) and collected before the unpersists. The
+    * recall-eval queries build their probe-level report from this
+    * instead of re-deriving BOTH arms — the pre-r16 ann_eval_twolevel
+    * plan recomputed the probes × corpus exact arm and the tuned search
+    * from scratch after the tuner had just materialized the identical
+    * frames (rounded cosines, ranks, tie-breaks all pinned equal by the
+    * one-pass-ladder contract), which at production scale pays the
+    * corpus-sized exact scan twice per eval run. Third element: one
+    * (probe id, hits) row per probe, zero-filled — empty when
+    * `collectStats` is false (the plain tuning path skips the job). */
+  private[graft] def autoNprobeTwoLevelStats(
+      probes: DataFrame, probeIdCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, coarseK: Int, subK: Int,
+      targetRecall: Double = 0.9,
+      codebook: Option[TwoLevelCodebook] = None,
+      collectStats: Boolean = true)
+      : ((Int, Int), Double, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -484,18 +537,20 @@ object SimilaritySearch {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wl = Window.partitionBy(col("_pid")).orderBy(col("_lcos").desc, col("_leaf"))
     val wi = Window.partitionBy(col("_pid")).orderBy(col("_icos").desc, col("_cid"))
-    def recallAt(cells: Int, leaves: Int): Double = {
-      // leaf pick: rank by leaf cosine WITHIN the step's cell prefix
-      // (the walk's exact rule) — sample-sized, broadcast
+    // the step's approximate top-k, from the persisted frames: leaf
+    // pick ranked by leaf cosine WITHIN the step's cell prefix (the
+    // walk's exact rule) — sample-sized, broadcast
+    def ivfAt(cells: Int, leaves: Int): DataFrame = {
       val stepLeaves = probeLeafAll.filter(col("_crk") <= cells)
         .withColumn("_lrk", row_number().over(wl)).filter(col("_lrk") <= leaves)
         .select(col("_pid"), col("_leaf"))
-      val ivf = scored.join(broadcast(stepLeaves), Seq("_pid", "_leaf"))
+      scored.join(broadcast(stepLeaves), Seq("_pid", "_leaf"))
         .withColumn("_irk", row_number().over(wi)).filter(col("_irk") <= k)
         .select(col("_pid"), col("_cid"))
-      exact.join(ivf, Seq("_pid", "_cid"), "left_semi").count().toDouble /
-        (k * nProbes)
     }
+    def recallAt(cells: Int, leaves: Int): Double =
+      exact.join(ivfAt(cells, leaves), Seq("_pid", "_cid"), "left_semi")
+        .count().toDouble / (k * nProbes)
     var res: Option[((Int, Int), Double)] = None
     for ((cells, leaves) <- ladder if res.isEmpty) {
       val ts = System.nanoTime()
@@ -508,8 +563,16 @@ object SimilaritySearch {
       val (c, l) = ladder.last
       ((c, l), recallAt(c, l))
     }
+    val stats = if (!collectStats) Seq.empty[(Long, Long)] else {
+      val ((bc, bl), _) = out
+      val hits = exact.join(ivfAt(bc, bl), Seq("_pid", "_cid"), "left_semi")
+        .groupBy(col("_pid")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      probeD.select(col("_pid")).collect().map(_.getLong(0)).toSeq.sorted
+        .map(pid => (pid, hits.getOrElse(pid, 0L)))
+    }
     probeLeafAll.unpersist(); scored.unpersist(); exact.unpersist()
-    out
+    (out._1, out._2, stats)
   }
 
   /** Deterministic probe sample for the recall autotuners: the `n`

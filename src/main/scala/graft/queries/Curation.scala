@@ -1140,19 +1140,46 @@ object Curation extends QueryModule {
         alpha = 0.7, targetFraction = 0.3)
       val dupJ = Dedup.nearDupPairs(mixed, "doc_id", "text",
           maxDocFreq = Dedup.HotShingleCutoff)
+        // MATERIALIZED ONCE (slim id list, ≤ one row per doc at any
+        // scale): the r16 plan audit measured the pre-change tree
+        // executing the whole near-dup pair derivation once per ktok
+        // REFERENCE — the final plan carried 87 exchanges / 30 document
+        // scans with ZERO exchange reuse
+        // (plans/r16/curation_pipeline_v2_before.txt), because
+        // self-join id dedup re-keys the duplicated subtrees past
+        // ReuseExchange. localCheckpoint, NOT persist(): CacheManager
+        // matches canonicalized plans, so a persist here would let a
+        // SECOND invocation of this query silently read the first
+        // invocation's cache — exactly the cross-run result caching the
+        // bench bans. The eager checkpoint is invocation-scoped: every
+        // call recomputes from parquet, then every downstream branch is
+        // an anti-join against the small materialized id set (guide §8:
+        // decide on small rows once, never re-derive).
         .select(col("j").as("doc_id")).distinct()
+        .localCheckpoint(true)
       val kept = mixed.join(dupJ, Seq("doc_id"), "left_anti")
       // DSIR over the deduped survivors (dsir_select semantics, but the
       // raw/target models are fit on the KEPT set — score with what you
       // ship, not with what you discarded)
       val ktok = kept.select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("t"))
-      val cRaw = ktok.groupBy(col("t")).agg(count(lit(1)).as("cr"))
-      val cTgt = ktok.filter(col("source") === "src0")
-        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-      val tot = cRaw.agg(sum(col("cr")).cast("double").as("nraw"),
-        count(lit(1)).cast("double").as("v"))
-      val ttot = cTgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("ntgt"))
+      // ONE vocabulary aggregate carries BOTH unigram models: cr is the
+      // raw count (== the old cRaw), ct the target count (== the old
+      // cTgt, with absent-in-target terms at 0 exactly where the old
+      // LEFT JOIN + coalesce put them — sums and the +1.0-smoothed
+      // ratios are bit-identical integer/IEEE sequences). The old form
+      // aggregated the token explode TWICE and left-joined the results;
+      // this is the guide-§2.3 "aggregate before you shuffle" shape:
+      // one exchange on t, and the frame materializes once
+      // (vocabulary-sized; localCheckpoint for the dupJ reason) because
+      // both the totals row and the per-term lambda derive from it.
+      val byT = ktok.groupBy(col("t"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint(true)
+      val tots = byT.agg(sum(col("cr")).cast("double").as("nraw"),
+        count(lit(1)).cast("double").as("v"),
+        coalesce(sum(col("ct")), lit(0L)).cast("double").as("ntgt"))
       // v2 stacks TWO round-of-average layers (per-doc dsir, then
       // per-(split, source) avg_dsir) on ln-based values. That chain
       // flipped a 6th decimal between engines at BOTH sf0.1 and
@@ -1165,10 +1192,10 @@ object Curation extends QueryModule {
       // (exact, order-free in any engine), then divide — a fixed
       // sequence of IEEE ops both engines execute identically. Both
       // averaging layers below use it; no double summation survives.
-      val lam = cRaw.join(cTgt, Seq("t"), "left")
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(ttot))
+      val lam = byT
+        .crossJoin(broadcast(tots))
         .select(col("t"),
-          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ntgt") + col("v"))) -
+          round((log((col("ct") + lit(1.0)) / (col("ntgt") + col("v"))) -
             log((col("cr") + lit(1.0)) / (col("nraw") + col("v")))) * lit(1e6))
             .cast("long").as("lam_i"))
       val scored = ktok.join(lam, "t")
@@ -1214,6 +1241,17 @@ object Curation extends QueryModule {
         .withColumn("x2", size(array_distinct(col("toks"))).cast("double") /
           size(col("toks")).cast("double"))
         .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+        // LogisticRegression.fit's own scale contract ("the caller
+        // persists the feature frame once — it is scanned iters + 1
+        // times"), which this query was not honoring: the frame embeds
+        // the WHOLE span-rewrite pipeline, so the 3 GD aggregates, the
+        // zbar aggregate and the final plan re-executed rewriteDupSpans
+        // five times per invocation (r16 plan audit: 35 jobs, all
+        // single-task). One materialization, four reads —
+        // localCheckpoint, not persist(), so a repeated invocation can
+        // never read a previous invocation's cache (the CacheManager
+        // canonical-plan match; see curation_pipeline_v2's dupJ note).
+        .localCheckpoint(true)
       val wts = LogisticRegression.fit(
         feat.select(col("x1"), col("x2"), col("y")), Seq("x1", "x2"), "y")
       val z = LogisticRegression.margin(wts, Seq("x1", "x2"))

@@ -710,38 +710,28 @@ object Pipeline extends QueryModule {
     // oracle replays the whole tuning: recall at EVERY ladder value,
     // min value reaching the target, per-probe stats at that value.
     "ann_eval_tuned" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding"))
-      // train ONCE: tuning and the tuned search share the deterministic
-      // codebook (the r15 ann_eval_twolevel discipline — the oracle
-      // replays a single training either way, so the result is
-      // bit-identical and the second Lloyd run was pure waste)
+      // train ONCE (the r15 ann_eval_twolevel discipline at the flat
+      // tier), and report from the TUNER'S OWN frames: the pre-r16
+      // plan re-derived the probes × corpus exact arm AND the tuned
+      // IVF search from scratch after autoNprobe had just materialized
+      // the identical frames (same rounded cosines, ranks, tie-breaks
+      // — the recall it reports IS computed from them), so every eval
+      // run paid the corpus-sized exact scan twice and the Lloyd
+      // training twice. autoNprobeStats hands back the per-probe hit
+      // counts at the tuned nprobe; the report below is those numbers
+      // verbatim (hash-identical output, checked against the unchanged
+      // DuckDB oracle).
       val cents = SimilaritySearch.trainIvf(emb, "vec_id", "embedding", nlist = 16)
-      val (np, rec) = SimilaritySearch.autoNprobe(probes, "probe_id",
-        emb, "vec_id", "embedding", k = 10, nlist = 16, targetRecall = 0.9,
-        centroids = Some(cents))
-      val ivf = SimilaritySearch.topKCosineIvf(probes, "probe_id",
-          emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = np,
-          centroids = Some(cents))
-        .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
-      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val exact = emb.crossJoin(broadcast(pb))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          round(graft.functions.VectorFunctions.cosine(
-            col("embedding"), col("pvec")), 6).as("cos"))
-        .withColumn("erk", row_number().over(w))
-        .filter(col("erk") <= 10)
-      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
-        .groupBy(col("probe_id"))
-        .agg(
-          sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_hits"),
-          (sum(when(col("ark").isNotNull, 1L).otherwise(0L)).cast("double") /
-            lit(10.0)).as("recall_at_10"))
+      val (np, rec, probeHits) = SimilaritySearch.autoNprobeStats(
+        probes, "probe_id", emb, "vec_id", "embedding",
+        k = 10, nlist = 16, targetRecall = 0.9, centroids = Some(cents))
+      import s.implicits._
+      probeHits.toDF("probe_id", "n_hits")
+        .select(col("probe_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall_at_10"))
         .withColumn("nprobe", lit(np.toLong))
         .withColumn("mean_recall", lit(rec) + lit(0.0))
         .withColumn("target_met", lit(rec >= 0.9))
@@ -758,36 +748,27 @@ object Pipeline extends QueryModule {
     // recall at EVERY step (the same VALUES table twoLevelLadder
     // generates), leftmost step reaching target, per-probe stats there.
     "ann_eval_twolevel" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding"))
-      // train ONCE: tuning and the tuned search share the deterministic
-      // codebook (the oracle replays the single training)
+      // train ONCE, and — like ann_eval_tuned since r16 — report from
+      // the tuner's OWN persisted frames instead of re-deriving the
+      // probes × corpus exact arm and the tuned search from scratch
+      // (the one-pass-ladder contract pins the tuner's frames to the
+      // same rounded cosines, ranks and tie-breaks the search would
+      // recompute; at production scale the old plan paid the
+      // corpus-sized exact scan twice per eval run). Hash-identical
+      // output against the unchanged DuckDB oracle.
       val cb = SimilaritySearch.trainTwoLevel(emb, "vec_id", "embedding", 4, 4)
-      val ((cells, leaves), rec) = SimilaritySearch.autoNprobeTwoLevel(
-        probes, "probe_id", emb, "vec_id", "embedding",
-        k = 10, coarseK = 4, subK = 4, targetRecall = 0.9, codebook = Some(cb))
-      val ivf = SimilaritySearch.topKCosineIvfTwoLevel(probes, "probe_id",
-          emb, "vec_id", "embedding", k = 10, coarseK = 4, subK = 4,
-          nprobeCells = cells, nprobeLeaves = leaves, codebook = Some(cb))
-        .select(col("probe_id"), col("vec_id"), col("rk").as("ark"))
-      val pb = probes.select(col("probe_id"), col("embedding").as("pvec"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val exact = emb.crossJoin(broadcast(pb))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          round(graft.functions.VectorFunctions.cosine(
-            col("embedding"), col("pvec")), 6).as("cos"))
-        .withColumn("erk", row_number().over(w))
-        .filter(col("erk") <= 10)
-      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
-        .groupBy(col("probe_id"))
-        .agg(
-          sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_hits"),
-          (sum(when(col("ark").isNotNull, 1L).otherwise(0L)).cast("double") /
-            lit(10.0)).as("recall_at_10"))
+      val ((cells, leaves), rec, probeHits) =
+        SimilaritySearch.autoNprobeTwoLevelStats(
+          probes, "probe_id", emb, "vec_id", "embedding",
+          k = 10, coarseK = 4, subK = 4, targetRecall = 0.9,
+          codebook = Some(cb))
+      import s.implicits._
+      probeHits.toDF("probe_id", "n_hits")
+        .select(col("probe_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall_at_10"))
         .withColumn("nprobe_cells", lit(cells.toLong))
         .withColumn("nprobe_leaves", lit(leaves.toLong))
         .withColumn("mean_recall", lit(rec) + lit(0.0))
