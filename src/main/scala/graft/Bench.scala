@@ -25,6 +25,8 @@ object Bench {
     // start — see GraftSession); the env override still moves the floor
     val spark = GraftSession.builder(s"local[$cpus]", shuf, Some(sfDir)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AFTER setLogLevel on purpose — see GraftSession.quietBoundedWindowWarnings
+    GraftSession.quietBoundedWindowWarnings()
 
     // One untimed warmup at the smallest SF: absorbs session init, codegen
     // JIT and parquet-footer caching so per-query numbers measure the

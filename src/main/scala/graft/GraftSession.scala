@@ -95,13 +95,22 @@ object GraftSession {
     * bench tail was THOUSANDS of those lines — the rc=124 timeout
     * diagnosis was buried under them — and the warning carries no
     * information here, so the window-exec logger runs at ERROR.
-    * Per-logger levels survive sparkContext.setLogLevel (which moves
-    * the ROOT logger only). Best-effort: a classpath without log4j2
-    * just keeps the warnings. */
-  private def quietBoundedWindowWarnings(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    * Best-effort: a classpath without log4j2 just keeps the warnings.
+    *
+    * ORDERING IS LOAD-BEARING (the round-16 bench tail proved it): a
+    * builder-time call alone did NOT survive to the bench loop — Spark
+    * re-applies its default log4j2 configuration when the session's
+    * logging initializes, and `sparkContext.setLogLevel` resets levels
+    * again. So this is public, and every driver entry point calls it
+    * AFTER session creation + setLogLevel. Both the package and the
+    * concrete class logger are set (a package-level LoggerConfig only
+    * wins if no closer config exists). */
+  def quietBoundedWindowWarnings(): Unit =
+    try
+      for (name <- Seq("org.apache.spark.sql.execution.window",
+          "org.apache.spark.sql.execution.window.WindowExec"))
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          name, org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
   /** Total bytes under `dir` (driver-side walk; 0 if unreadable —

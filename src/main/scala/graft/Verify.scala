@@ -11,6 +11,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, Some(sfDir)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AFTER setLogLevel on purpose — see GraftSession.quietBoundedWindowWarnings
+    GraftSession.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -109,9 +109,13 @@ object SimilaritySearch {
                            threshold: Double = 0.99,
                            coarseK: Int = 16, subK: Int = 16): DataFrame = {
     val cb = trainTwoLevel(emb, idCol, vecCol, coarseK, subK)
+    // materialized once for the same reason as dedupWithAssignment's
+    // checkpoint: `av` references the assignment on BOTH sides of the
+    // pair self-join, and the leaf assignment is the expensive subtree
     pairsWithAssignment(emb, idCol, vecCol,
       assignLeaves(emb, idCol, vecCol, cb)
-        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
+        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"))
+        .localCheckpoint(true),
       threshold)
   }
 
@@ -885,10 +889,23 @@ object SimilaritySearch {
     * `assigned` = (idCol, cluster_id). */
   private def dedupWithAssignment(corpus: DataFrame, idCol: String,
       vecCol: String, assigned: DataFrame, threshold: Double): DataFrame = {
-    val dropped = pairsWithAssignment(corpus, idCol, vecCol, assigned, threshold)
+    // The assignment is referenced THREE times below (both sides of the
+    // pair self-join via `av`, plus the verdict join) — and for the
+    // two-level tier each reference re-ran the whole leaf assignment
+    // (broadcast leaf join + max-struct aggregate + payload re-join:
+    // the r16 plan audit counted it three times in one
+    // semantic_dedup_twolevel plan). Materialize the slim (id,
+    // cluster_id) frame ONCE — N 16-byte rows, linear and far smaller
+    // than the pair-stage shuffle that follows. localCheckpoint, not
+    // persist: CacheManager matches canonicalized plans, so a persist
+    // leaking into the RETURNED plan would let a second invocation
+    // silently read the first's cache (the banned cross-run caching);
+    // the eager checkpoint is invocation-scoped.
+    val a = assigned.localCheckpoint(true)
+    val dropped = pairsWithAssignment(corpus, idCol, vecCol, a, threshold)
       .select(col("j").as(idCol)).distinct()
       .withColumn("is_dropped", lit(true))
-    assigned.join(dropped, Seq(idCol), "left")
+    a.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"),
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
@@ -1380,7 +1397,17 @@ object SimilaritySearch {
   def semanticDedupAgainstIndex(inc: DataFrame, idCol: String, vecCol: String,
                                 index: SemanticIndex,
                                 threshold: Double = 0.99): DataFrame = {
-    val assigned = assignWithIndex(inc, idCol, vecCol, index)
+    // Materialize the increment assignment ONCE (slim id → cluster
+    // rows, increment-sized): the r16 plan audit counted the pre-change
+    // plan re-deriving it per reference — the footprint collect, both
+    // sides of the intra-increment self-join, the vs-store join and the
+    // verdict join each re-ran the assignment over the increment union
+    // (34 parquet scans in one semantic_dedup_store plan). Checkpoint
+    // before the footprint collect so even that first job reads the
+    // materialized frame. localCheckpoint, not persist — see
+    // dedupWithAssignment's note on the CacheManager cross-invocation
+    // leak.
+    val assigned = assignWithIndex(inc, idCol, vecCol, index).localCheckpoint(true)
     // one increment-sized pass: CLUSTER footprint (and the group
     // footprint it implies) and row count — the broadcast dispatch
     // measures, never guesses. Collect is driver-safe by construction:

@@ -43,4 +43,21 @@ object Spread {
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     df.repartition(width, col(key))
   }
+
+  /** [[byKey]], but ONLY when the input's scan parallelism is actually
+    * starved — fewer planned partitions than cores. The round-16 stage
+    * profile found the single-row-group fixture parquets feed
+    * per-row-expensive generators (lang_id's trigram explode,
+    * time_interpolate's pre-aggregate) as ONE task holding the whole
+    * row while 31 cores idle; at production scale the same scans plan
+    * thousands of splits and a forced repartition would be a pure
+    * corpus-sized shuffle tax. Deciding on the PLANNED partition count
+    * makes the spread scale-adaptive: it engages exactly when the scan
+    * cannot feed the cores (guide §2 — derive partitioning from the
+    * input, don't constant-tune it). rdd.getNumPartitions plans the
+    * physical scan but runs no job. */
+  def ifNarrow(df: DataFrame, key: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) byKey(df, key) else df
+  }
 }

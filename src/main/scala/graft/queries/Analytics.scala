@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, FuzzyJoin, Intervals, PageRank}
+import graft.operators.{ConnectedComponents, FuzzyJoin, Intervals, PageRank, Spread}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -304,12 +304,25 @@ object Analytics extends QueryModule {
     // windows (last-known-before, first-known-after) over ONE
     // (user, hour) sort/exchange; per-row state is O(1).
     "time_interpolate" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events").withColumn("h", date_trunc("hour", col("ts")))
-      val span = ev.groupBy(col("user_id")).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val grid = span.select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      // r16 stage profile: the pre-change plan aggregated the raw
+      // events TWICE (span and hourly, each a ~2 s SINGLE task on the
+      // single-row-group fixture scan — the query's two dominant
+      // stages). Now the hourly aggregate is the only events pass
+      // (spread across cores when the scan is starved, a no-op at
+      // scale) and the span derives from it — min/max of h per user is
+      // the same set either way, and at any scale hourly is strictly
+      // smaller than the raw events. Both hourly references share one
+      // identical exchange subtree, which AQE stage reuse materializes
+      // once.
+      val ev = Spread.ifNarrow(
+          Tables(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          "user_id")
+        .withColumn("h", date_trunc("hour", col("ts")))
       val hourly = ev.groupBy(col("user_id"), col("h"))
         .agg(round(sum(col("value")), 2).as("v"))
+      val span = hourly.groupBy(col("user_id")).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
       val sparse = grid.join(hourly, Seq("user_id", "h"), "left")
         .withColumn("hs", col("h").cast("long")) // epoch seconds, exact
       // O(n) last-known propagation in BOTH directions via incremental

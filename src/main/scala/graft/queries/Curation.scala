@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{ConnectedComponents, Dedup, Sampling, Triangles}
+import graft.operators.{ConnectedComponents, Dedup, Sampling, Spread, Triangles}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,14 +91,23 @@ object Curation extends QueryModule {
     // The classic gap-fill shape feature pipelines need before any
     // rolling computation.
     "time_densify" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      // ONE events pass (the time_interpolate r16 restructure): span
+      // derives from the hourly aggregate — min/max of h per user is
+      // the same set either way, hourly is strictly smaller than the
+      // raw events at any scale, and the two hourly references share
+      // one exchange subtree AQE materializes once. The spread engages
+      // only when the scan is partition-starved (fixture parquet); at
+      // production scale it is a no-op.
+      val ev = Spread.ifNarrow(
+          Tables(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          "user_id")
         .withColumn("h", date_trunc("hour", col("ts")))
-      val span = ev.groupBy(col("user_id"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      val span = hourly.groupBy(col("user_id"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       val grid = span.select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-      val hourly = ev.groupBy(col("user_id"), col("h"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       // sort on the raw timestamp (same total order as the formatted
       // string — yyyy-MM-dd... is lexicographically chronological — but
       // long comparisons instead of strings through the range sort)
@@ -114,14 +123,17 @@ object Curation extends QueryModule {
     // exist as zero rows, a ROWS frame IS a time frame — trailing-3h
     // mean/max per user without interval arithmetic in the window.
     "rolling_features" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      // ONE events pass — span from hourly; see time_densify's note
+      val ev = Spread.ifNarrow(
+          Tables(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+          "user_id")
         .withColumn("h", date_trunc("hour", col("ts")))
-      val span = ev.groupBy(col("user_id"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val span = hourly.groupBy(col("user_id"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       val grid = span.select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-      val hourly = ev.groupBy(col("user_id"), col("h"))
-        .agg(round(sum(col("value")), 2).as("v"))
       val dense = grid.join(hourly, Seq("user_id", "h"), "left")
         .select(col("user_id"), col("h"), coalesce(col("v"), lit(0.0)).as("v"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
@@ -599,6 +611,13 @@ object Curation extends QueryModule {
         element_at(KllFunctions.kllQuantiles(
           KllFunctions.kllSketchAgg(col("n_chars").cast("double")),
           Seq(0.5)), 1).as("p50k"))
+        // ONE row, but the subtree is the full corpus pass computing
+        // tokens() + the md5 fingerprint per document — and base is
+        // referenced twice (the rank-audit broadcast and the final
+        // select), so the pre-change plan ran that pass twice.
+        // Materialize the row once; localCheckpoint, not persist
+        // (cross-invocation cache leak).
+        .localCheckpoint(true)
       // exact NDV payloads: column-pruned countDistinct pipelines (lang
       // and source scans read one dictionary-encoded column; fp's is
       // the only corpus-mass shuffle, and it carries 32 bytes/row).
@@ -922,7 +941,15 @@ object Curation extends QueryModule {
     // argmax is a bounded window (<= n_languages rows per doc).
     "lang_id" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val tri = docs.select(col("doc_id"), col("lang"),
+      // r16 stage profile: the trigram Generate + partial aggregate ran
+      // as ONE 3 s task (single-row-group fixture parquet) with 31
+      // cores idle — the whole query's dominant stage. ifNarrow spreads
+      // the raw docs across cores only when the scan is actually
+      // starved; at production scale the scan plans thousands of
+      // splits and this is a no-op (no corpus shuffle tax).
+      val tri = Spread.ifNarrow(
+          docs.select(col("doc_id"), col("lang"), col("text")), "doc_id")
+        .select(col("doc_id"), col("lang"),
           explode(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
             .as("g"))
@@ -1419,6 +1446,12 @@ object Curation extends QueryModule {
           // quarter of the sketch-merge cost of the 10000 default
           percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
             lit(2000)).as("pq"))
+      // 3 rows, but the subtree carries the sketch aggregate plus both
+      // exact-NDV distinct pipelines — and prof is referenced twice
+      // (the broadcast rank-threshold side and the final join), so the
+      // pre-change plan ran all of it twice (r16 plan audit: 16
+      // exchanges / 7 scans). Materialize the 3 rows once;
+      // localCheckpoint, not persist (cross-invocation cache leak).
       val prof = sketches
         .join(broadcast(ndv("l_orderkey", "ndv_orders")), "l_returnflag")
         .join(broadcast(ndv("l_partkey", "ndv_parts")), "l_returnflag")
@@ -1426,6 +1459,7 @@ object Curation extends QueryModule {
           col("ao"), col("ap"),
           element_at(col("pq"), 1).as("p50v"),
           element_at(col("pq"), 2).as("p95v"))
+        .localCheckpoint(true)
       // Rank-audit the returned quantile values: count rows strictly
       // below / at-or-below each value per group. The threshold table is
       // a handful of rows — broadcast it; this is one extra scan and the

@@ -473,8 +473,16 @@ object Pipeline extends QueryModule {
           s"transform(split(text, ' '), (t, i) -> IF((i + 1) % $m = 0, 'zz$m', t))"),
           " ").as("text"))
       val u = Seq(4, 6, 10, 20, 40).map(mutate).foldLeft(base)(_ unionByName _)
+      // The exact pair list is the ground truth for BOTH result columns
+      // (n_true and the recall numerator), and the pre-change plan
+      // executed the whole inverted-index join twice — once per
+      // reference (r16 plan audit: 24 scans). Materialize the pair list
+      // once; it is the eval's OUTPUT-SIDE mass (true pairs), bounded
+      // far below the candidate stage that produces it.
+      // localCheckpoint, not persist (cross-invocation cache leak).
       val exact = Dedup.nearDupPairsExact(u, "doc_id", "text", n = 3, threshold = 0.05)
         .withColumn("bucket", floor(col("jac") * 10).cast("long"))
+        .localCheckpoint(true)
       val withSig = Dedup.shingleSets(u, "doc_id", "text", 3)
         .transform(Spread.byKey(_, "doc_id"))
         .withColumn("hs",
@@ -484,11 +492,16 @@ object Pipeline extends QueryModule {
         .transform(Spread.byKey(_, "doc_id"))
       // band key = the raw 4-value slice (not its hash): identical
       // candidate semantics, and the oracle joins on the same string
+      // materialized once: the self-join below references the band-key
+      // frame on both sides, and each reference re-ran the 64-hash
+      // MinHash signature computation over every document (slim 3-col
+      // rows, 16 per doc — linear)
       val bandKeys = withSig.select(col("doc_id"), posexplode_outer(expr(
           "transform(sequence(0, 15), b -> " +
             "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))))"))
           .as(Seq("p", "bk")))
         .filter(col("bk").isNotNull)
+        .localCheckpoint(true)
       val cand = bandKeys.as("a").join(bandKeys.as("b"),
           col("a.p") === col("b.p") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))

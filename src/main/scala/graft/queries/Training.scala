@@ -132,11 +132,20 @@ object Training extends QueryModule {
       val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
       val cuts = (1 to 9).map(_ / 10.0)
       def forFeature(c: String) = {
+        // 3 rows (one per return flag), but the subtree is a full
+        // lineitem scan carrying the EXACT percentile sort-aggregate —
+        // and the pre-change plan referenced it twice (the broadcast
+        // bnds side and perBucket), re-running that aggregate per
+        // feature (r16 stage profile: 4 of the query's heaviest stages
+        // were the two grp aggregates x2 references). Materialize the
+        // 3-row result once; localCheckpoint, not persist (CacheManager
+        // canonical-plan match = cross-invocation cache leak).
         val grp = li.groupBy(col("l_returnflag")).agg(
           count(lit(1)).as("n"),
           KllFunctions.kllQuantiles(
             KllFunctions.kllSketchAgg(col(c).cast("double")), cuts).as("bnds"),
           expr(s"percentile(CAST($c AS DOUBLE), array(${(1 to 10).map(i => i / 10.0).mkString(", ")}))").as("eq"))
+          .localCheckpoint(true)
         val withB = li.select(col("l_returnflag").as("rf"), col(c).cast("double").as("v"))
           .join(broadcast(grp.select(col("l_returnflag").as("rf"), col("bnds"))), Seq("rf"))
         // observed lt/le ranks of every cut: 18 codegen'd conditional

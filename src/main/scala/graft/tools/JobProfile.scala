@@ -24,11 +24,21 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicLong; val stages = new AtomicLong
     val tasks = new AtomicLong
+    // per-stage wall + name, for the "which stage eats the row" view
+    // (stage wall includes scheduling; executorRunTime sums task time)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Double, Int, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val si = e.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield (a - b) / 1e3).getOrElse(0.0)
+        val run = si.taskMetrics.executorRunTime / 1e3
+        stageLog.add((si.stageId, wall, run, si.numTasks,
+          si.name.split(" at ").lastOption.getOrElse(si.name)))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
     })
@@ -39,6 +49,7 @@ object JobProfile {
       val fn = graft.SparkEntry.queries(name)
       for (i <- 1 to iters) {
         graft.BenchMetrics.flush(spark)
+        stageLog.clear()
         val (j0, s0, t0) = (jobs.get(), stages.get(), tasks.get())
         val w0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -47,6 +58,13 @@ object JobProfile {
         println(f"[profile] $name iter=$i wall=$wall%.2fs " +
           s"jobs=${jobs.get() - j0} stages=${stages.get() - s0} " +
           s"tasks=${tasks.get() - t0}")
+        if (sys.env.get("GRAFT_PROFILE_STAGES").exists(_ == "1")) {
+          import scala.jdk.CollectionConverters._
+          for ((sid, sw, run, nt, nm) <-
+              stageLog.asScala.toSeq.sortBy(-_._2).take(8))
+            println(f"[stage] $name iter=$i id=$sid wall=$sw%.2fs " +
+              f"run=$run%.2fs tasks=$nt $nm")
+        }
       }
     }
     spark.stop()
