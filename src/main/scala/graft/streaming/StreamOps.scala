@@ -499,9 +499,27 @@ object StreamOps {
   private def hasBatchShards(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a batch=* DIRECTORY is not enough: a micro-batch that dropped
+    // EVERY row still creates its shard directory (dynamic-partition
+    // writes emit no data files for an empty frame, just the dir +
+    // _SUCCESS), and a parquet read over data-file-less shards throws
+    // UNABLE_TO_INFER_SCHEMA — measured live by CompactScale's restart
+    // phase (first batch = 20k re-sent twins, all correctly dropped,
+    // sink then crashed on its own staleness count). Require an actual
+    // data file inside some shard before anything reads the store.
     fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch="))
+      st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        hasDataFile(fs, st.getPath))
   }
+
+  /** True iff a non-empty `part-*` data file exists under `p`
+    * (recursive — bucketed shards nest one cluster_grp=* level). */
+  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(p).exists { st =>
+      if (st.isDirectory) hasDataFile(fs, st.getPath)
+      else st.getPath.getName.startsWith("part-") && st.getLen > 0
+    }
 
   def semanticDedupSink(newVecs: DataFrame,
                         index: graft.operators.SimilaritySearch.SemanticIndex,
@@ -599,8 +617,13 @@ object StreamOps {
         // never after a restart. Counting the landed shards is a
         // footer-level parquet count (zero columns read) and is exact
         // under replay because a replayed batch OVERWRITES its shard.
-        val total = spark.read.option("basePath", outDir)
-          .parquet(outDir).count()
+        // gated: after an all-dropped batch the store may hold shard
+        // dirs with NO data files, and an ungated read throws (the
+        // CompactScale restart finding — see hasBatchShards)
+        val total =
+          if (!hasBatchShards(spark, outDir)) 0L
+          else spark.read.option("basePath", outDir)
+            .parquet(outDir).count()
         if (index.builtN > 0 && total > index.builtN &&
             warned.compareAndSet(false, true))
           System.err.println(s"[graft-stream] semanticDedupSink: $total rows " +

@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object CompactScale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("restart-check")) return restartCheck(args)
     require(args.length == 3,
-      "usage: CompactScale <nCorpus> <rowsPerBatch> <batches>")
+      "usage: CompactScale <nCorpus> <rowsPerBatch> <batches> | " +
+        "CompactScale restart-check <compactedIndexDir> <landedStoreDir> <nTwins>")
     val (nCorpus, rowsPerBatch, batches) =
       (args(0).toLong, args(1).toInt, args(2).toInt)
     require(rowsPerBatch % 4 == 0, "rowsPerBatch must be divisible by 4")
@@ -125,15 +127,35 @@ object CompactScale {
 
     // phase 5: clean restart on the compacted store — re-sent twins of
     // landed keepers must ALL drop against the compacted kept set
+    runRestartPhase(spark, compacted, landed, rowsPerBatch, dim)
+
+    for (d <- Seq(tmp, idxDir, outDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    spark.stop()
+  }
+
+  /** Phase 5, also runnable standalone against a surviving compacted
+    * store (`restart-check <compactedIndexDir> <landedStoreDir>
+    * <nTwins>`) — the first full run's restart phase FAILED because the
+    * tool's twin formula hashed `src − nCorpus` where the landed
+    * vectors hash the ABSOLUTE id (xxhash64(src, i, 99)): the "twins"
+    * were genuinely novel directions and the sink CORRECTLY kept all
+    * 20000 of them. Tool bug, not a restart leak; fixed formula below. */
+  private def runRestartPhase(spark: org.apache.spark.sql.SparkSession,
+      compacted: SimilaritySearch.SemanticIndex,
+      landed: org.apache.spark.sql.DataFrame,
+      nTwins: Int, dim: Int): Unit = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
     val keepers = landed.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(rowsPerBatch).collect().map(_.getLong(0))
+      .limit(nTwins).collect().map(_.getLong(0))
+    // landed keepers are the novel class: vec[i] = (xxhash64(src, i, 99)
+    // % 1e6)/5e5 − 1 on the ABSOLUTE id; the twin scales that by 1.01
     val twinRows = spark.createDataset(keepers.toSeq).toDF("src")
       .select((col("src") + 100000000L).as("id"),
         expr(s"""transform(sequence(0, ${dim - 1}), i -> cast(
-          CASE WHEN (src - $nCorpus) % 4 = 0
-                 THEN ((xxhash64(((src - $nCorpus) div 4) % $nCorpus, i) % 1000000) / 500000.0 - 1.0) * 1.0201
-               ELSE ((xxhash64(src - $nCorpus, i, 99L) % 1000000) / 500000.0 - 1.0) * 1.01
-          END as float))""").as("v"))
+          ((xxhash64(src, i, 99L) % 1000000) / 500000.0 - 1.0) * 1.01
+          as float))""").as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     val tmp2 = java.nio.file.Files.createTempDirectory("graft_compact_restart").toString
     val ms2 = MemoryStream[(Long, Seq[Float])]
@@ -142,19 +164,31 @@ object CompactScale {
       threshold = 0.99, crossBatch = true)
     val t4 = System.nanoTime()
     ms2.addData(twinRows); q2.processAllAvailable(); q2.stop()
+    // an all-dropped batch leaves a shard dir with NO data files (the
+    // exact state the sink fix handles); read it as zero kept
     val reKept =
-      if (new java.io.File(s"$tmp2/store").list() == null ||
-          new java.io.File(s"$tmp2/store").list().isEmpty) 0L
-      else spark.read.option("basePath", s"$tmp2/store")
+      try spark.read.option("basePath", s"$tmp2/store")
         .parquet(s"$tmp2/store").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     println(f"[compact-scale] restart batch (${twinRows.size} re-sent twins) " +
       f"in ${(System.nanoTime() - t4) / 1e9}%.1f s -> $reKept kept (want 0)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
     require(reKept == 0L,
       s"$reKept re-sent twins survived the compacted store — restart leak")
     println("[compact-scale] clean-restart contract VERIFIED at volume")
+  }
 
-    for (d <- Seq(tmp, tmp2, idxDir, outDir))
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  private def restartCheck(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: CompactScale restart-check <compactedIndexDir> <landedStoreDir> <nTwins>")
+    val (outDir, storeDir, nTwins) = (args(1), args(2), args(3).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt, None).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
+    val compacted = SimilaritySearch.readSemanticIndex(spark, outDir)
+    val landed = spark.read.option("basePath", storeDir).parquet(storeDir)
+    runRestartPhase(spark, compacted, landed, nTwins, dim = 64)
     spark.stop()
   }
 }

@@ -914,6 +914,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("semanticDedupSink survives a FIRST batch that drops every row (empty shard, store stays readable)") {
+    // CompactScale's restart phase found this live at the 1M tier: an
+    // all-duplicate first batch writes its bucketed shard directory
+    // with NO data files (dynamic-partition write of an empty frame),
+    // and the sink's own staleness count — plus every later prior-shard
+    // read — then threw UNABLE_TO_INFER_SCHEMA on the data-file-less
+    // store. hasBatchShards now requires an actual part- file; this
+    // pins: (a) the all-dropped batch completes, (b) a later batch
+    // still lands keepers and catches dups, (c) the store reads back
+    // with exactly the later batch's keepers.
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(8)(rnd.nextGaussian())
+    val corpus = (0L until 32L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val index = graft.operators.SimilaritySearch
+      .buildSemanticIndex(corpus, "vec_id", "embedding", nlist = 4)
+    val c0 = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("semempty-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("semempty-ck").toString
+    val q = StreamOps.semanticDedupSink(
+      ms.toDF().toDF("vec_id", "embedding"), index, out, ck,
+      "vec_id", "embedding", crossBatch = true)
+    try {
+      // batch 0: every row a copy of a stored vector -> ALL dropped
+      ms.addData(400L -> c0(1L), 401L -> c0(2L), 402L -> c0(3L))
+      q.processAllAvailable() // pre-fix: crashed here (staleness count)
+      // batch 1: one novel keeper + one copy (still caught)
+      val fresh = vec()
+      ms.addData(500L -> fresh, 501L -> c0(4L))
+      q.processAllAvailable()
+      val kept = spark.read.option("basePath", out).parquet(out)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(500L), kept.toString)
+      // batch 2: a copy of the batch-1 keeper is caught ACROSS the
+      // empty shard (crossBatch read survives the data-file-less dir)
+      ms.addData(600L -> fresh)
+      q.processAllAvailable()
+      val all = spark.read.option("basePath", out).parquet(out)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(all == Set(500L), all.toString)
+    } finally q.stop()
+  }
+
   test("semanticDedupSink restarted over a pre-bucketing shard store keeps the flat layout and still compares") {
     // Shards landed before round 15's bucketed layout carry no
     // cluster_grp partition column. A restarted sink must (a) not throw
