@@ -87,12 +87,16 @@ object Bench {
       }.sorted
       ts(1)
     }
-    def probeCpu(): Double = timedMedian(() =>
+    def probeCpuOnce(): Double = {
+      val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, cpus.toInt)
         // % before the sum: 8M values bounded by 2^20 cannot overflow
         // the long accumulator under ANSI mode
         .select(sum(xxhash64(md5(org.apache.spark.sql.functions.col("id").cast("string"))) % 1048576L).as("h"))
-        .write.format("noop").mode("overwrite").save())
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeCpu(): Double = timedMedian(() => { probeCpuOnce(); () })
     def probeShuffle(): Double = timedMedian(() =>
       spark.range(0L, 20000000L, 1L, cpus.toInt)
         .repartition(2 * cpus.toInt, org.apache.spark.sql.functions.col("id"))
@@ -101,9 +105,21 @@ object Bench {
 
     BenchMetrics.flush(spark) // drain warmup+probe events before the first row
     metrics.snapshotAndReset()
+    // Intra-run probe TRACE (round 17, VERDICT r16 item 2): one cpu-probe
+    // run after every `probeEvery`-th query, keyed by the query that just
+    // finished. BENCH_r16's probes read 2.36 s first vs 44.65 s last — a
+    // 19x monotone collapse — and the two endpoint samples could not say
+    // WHERE it happened, so the slowest-40 map was unattributable. With
+    // the trace a stamped stall is localizable from the artifact alone.
+    // Single run per sample (the trace is context, not a gate); ~25
+    // samples x ~0.6 s on a quiet machine ≈ 15 s of a ~600 s run.
+    val probeEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_EVERY", "10").toInt
+    val probeTrace = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
       // The codec family's per-row JDK work (ImageIO, javax.sound) is
       // the bench's noisiest surface — media_pcm swung 2.5..5.5 s
       // across rounds on unchanged code with a 3.9..14.2 s in-round
@@ -149,6 +165,13 @@ object Bench {
         else t1 +: (2 to qIters).map(_ => timeOnce())
       BenchMetrics.flush(spark)
       val res = metrics.snapshotAndReset()
+      if (probeEvery > 0 && qIdx % probeEvery == probeEvery - 1) {
+        probeTrace += ((name, probeCpuOnce()))
+        // drain the probe's own listener events so they are not
+        // attributed to the NEXT query's resource counters
+        BenchMetrics.flush(spark)
+        metrics.snapshotAndReset()
+      }
       val sorted = times.sorted
       val median =
         if (sorted.exists(_ < 0)) -1.0
@@ -194,9 +217,43 @@ object Bench {
     val shufMeas = (shufFirst + shufLast) / 2.0
     val normCpu = if (cpuMeas > 0) total * RefCpuProbe / cpuMeas else total
     val normShuf = if (shufMeas > 0) total * RefShuffleProbe / shufMeas else total
-    val probeNorm = f"""{"cpu_ref":$RefCpuProbe%.3f,"shuffle_ref":$RefShuffleProbe%.3f,"value_cpu_norm":$normCpu%.3f,"value_shuffle_norm":$normShuf%.3f}"""
+    // Drift-aware normalization (round 17): the mean-of-endpoints
+    // correction above over-corrects early rows and under-corrects late
+    // ones under monotone drift (BENCH_r16: 2.36 s -> 44.65 s gave a
+    // 17.8 s "normalized total" nobody believed). Instead, interpolate
+    // the probe TRACE over run position and normalize each query by the
+    // probe context it actually ran in: sum(median_q * ref / probe(q)).
+    // Endpoint normalizations are emitted too so either bound is
+    // quotable on its own.
+    val traceIdx: Seq[(Double, Double)] = {
+      val nameToIdx = results.zipWithIndex
+        .map { case ((n, _, _, _, _, _), i) => (n, i.toDouble) }.toMap
+      ((-0.5, cpuFirst) +:
+        probeTrace.toSeq.map { case (n, v) => (nameToIdx(n), v) } :+
+        (results.size - 0.5, cpuLast)).map { case (i, v) => (i, v) }
+    }
+    def probeAt(i: Double): Double = {
+      val hiIdx = traceIdx.indexWhere(_._1 >= i)
+      if (hiIdx <= 0) traceIdx(if (hiIdx == 0) 0 else traceIdx.size - 1)._2
+      else {
+        val (x0, y0) = traceIdx(hiIdx - 1)
+        val (x1, y1) = traceIdx(hiIdx)
+        if (x1 == x0) y1 else y0 + (y1 - y0) * (i - x0) / (x1 - x0)
+      }
+    }
+    val normCpuDrift = results.zipWithIndex.map {
+      case ((_, m, _, _, _, _), i) =>
+        val p = probeAt(i.toDouble)
+        if (m > 0 && p > 0) m * RefCpuProbe / p else math.max(m, 0.0)
+    }.sum
+    val normCpuFirst = if (cpuFirst > 0) total * RefCpuProbe / cpuFirst else total
+    val normCpuLast = if (cpuLast > 0) total * RefCpuProbe / cpuLast else total
+    val probeNorm = f"""{"cpu_ref":$RefCpuProbe%.3f,"shuffle_ref":$RefShuffleProbe%.3f,"value_cpu_norm":$normCpu%.3f,"value_shuffle_norm":$normShuf%.3f,"value_cpu_norm_drift":$normCpuDrift%.3f,"value_cpu_norm_first":$normCpuFirst%.3f,"value_cpu_norm_last":$normCpuLast%.3f}"""
+    val probeTraceJson = probeTrace
+      .map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","fast_cutoff":$fastCutoff,"n_single_iter":$nSingle,"n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"resource":$resource,"probes":$probes,"probe_normalized":$probeNorm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"stat":"median","fast_cutoff":$fastCutoff,"n_single_iter":$nSingle,"n_queries":${results.size},"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},"queries":${jsonMap(medians)},"spread":$spread,"resource":$resource,"probes":$probes,"probe_trace":$probeTraceJson,"probe_normalized":$probeNorm,"sf":"$sfDir"}"""
     // a filtered local-iteration run must not clobber the committed
     // full-surface snapshot (it did once — a 2-query map replaced the
     // 194-query one mid-round)

@@ -108,15 +108,18 @@ object SimilaritySearch {
   def nearDupPairsTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.99,
                            coarseK: Int = 16, subK: Int = 16): DataFrame = {
-    val cb = trainTwoLevel(emb, idCol, vecCol, coarseK, subK)
     // materialized once for the same reason as dedupWithAssignment's
     // checkpoint: `av` references the assignment on BOTH sides of the
-    // pair self-join, and the leaf assignment is the expensive subtree
-    pairsWithAssignment(emb, idCol, vecCol,
-      assignLeaves(emb, idCol, vecCol, cb)
-        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"))
-        .localCheckpoint(true),
-      threshold)
+    // pair self-join, and the leaf assignment is the expensive subtree.
+    // withTwoLevelCells: the checkpoint derives from the TRAINING'S OWN
+    // cached cell assignment instead of re-running the coarse scan.
+    withTwoLevelCells(emb, idCol, vecCol, coarseK, subK) { (cb, cells) =>
+      pairsWithAssignment(emb, idCol, vecCol,
+        bestLeaf(cells, cb.leaves)
+          .select(col("_vid").as(idCol), col("_leaf").as("cluster_id"))
+          .localCheckpoint(true),
+        threshold)
+    }
   }
 
   /** EXACT sign-LSH candidate mass: Σ over (table, bucket) of
@@ -274,14 +277,15 @@ object SimilaritySearch {
                     k: Int, nlist: Int = 16, nprobe: Int = 4,
                     centroids: Option[DataFrame] = None): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvf: nprobe must be <= nlist")
+    val d = dimOf(corpus, vecCol)
     guardFlatExplicit(corpus, nlist, "topKCosineIvf",
-      fatAssignBytesPerRow(dimOf(corpus, vecCol)))
+      fatAssignBytesPerRow(d))
     // training is deterministic, so a caller that also TUNES (the
     // ann_eval_tuned shape: autoNprobe + the tuned search) trains once
     // and passes the codebook to both — the round-15 ann_eval_twolevel
     // discipline at the flat tier
     val cents = centroids.getOrElse(
-      lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters))
+      lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters, d))
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
     val probeLists = bestLists(probes, cents, probeIdCol, vecCol, nprobe)
@@ -350,10 +354,11 @@ object SimilaritySearch {
       centroids: Option[DataFrame] = None,
       collectStats: Boolean = true): (Int, Double, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
+    val d = dimOf(corpus, vecCol)
     guardFlatExplicit(corpus, nlist, "autoNprobe",
-      fatAssignBytesPerRow(dimOf(corpus, vecCol)))
+      fatAssignBytesPerRow(d))
     val cents = centroids.getOrElse(
-      lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters))
+      lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters, d))
     val assigned = bestLists(corpus, cents, idCol, vecCol, 1)
       .select(col("_mid").as("_cid"), col("_mv").as("_cv"), col("_list"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -943,12 +948,29 @@ object SimilaritySearch {
     * true duplicates does not depend on the tier. */
   def trainTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
                     coarseK: Int, subK: Int,
-                    iters: Int = LloydIters): TwoLevelCodebook = {
+                    iters: Int = LloydIters): TwoLevelCodebook =
+    withTwoLevelCells(corpus, idCol, vecCol, coarseK, subK, iters)((cb, _) => cb)
+
+  /** Loan-pattern face of [[trainTwoLevel]] (round 17): training
+    * materializes the coarse cell assignment (`cells`, persisted for
+    * the sub-Lloyd rounds) and every dedup/pair caller immediately
+    * needed that SAME assignment again — assignLeaves(corpus, cb)
+    * re-ran the full coarse argmax scan the training had just
+    * unpersisted. `f` runs while `cells` is still cached, so a caller
+    * that derives (and checkpoints) its leaf assignment inside `f`
+    * reads the cache instead of recomputing; the unpersist stays
+    * in-call (invocation-scoped — no cross-run cache leak). Plans that
+    * escape `f` lazily referencing `cells` stay CORRECT after the
+    * unpersist (the logical subtree just recomputes), so the contract
+    * change is purely a performance one. */
+  private[graft] def withTwoLevelCells[T](corpus: DataFrame, idCol: String,
+      vecCol: String, coarseK: Int, subK: Int, iters: Int = LloydIters)(
+      f: (TwoLevelCodebook, DataFrame) => T): T = {
     import org.apache.spark.storage.StorageLevel
     require(coarseK >= 1 && subK >= 1, "trainTwoLevel: coarseK and subK must be >= 1")
     val d = dimOf(corpus, vecCol)
     val coarse: Seq[(Long, Seq[Double])] =
-      lloydCentroids(corpus, idCol, vecCol, coarseK, iters)
+      lloydCentroids(corpus, idCol, vecCol, coarseK, iters, d)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val cells = cellAssign(corpus, idCol, vecCol, coarse)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -982,7 +1004,7 @@ object SimilaritySearch {
           (cell, lid, sums.getOrElse(lid, prev))
         }
       }
-      TwoLevelCodebook(coarse, leaves)
+      f(TwoLevelCodebook(coarse, leaves), cells)
     } finally { cells.unpersist(); () }
   }
 
@@ -1108,11 +1130,15 @@ object SimilaritySearch {
   def semanticDedupTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
                             coarseK: Int, subK: Int,
                             threshold: Double = 0.99): DataFrame = {
-    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
-    dedupWithAssignment(corpus, idCol, vecCol,
-      assignLeaves(corpus, idCol, vecCol, cb)
-        .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
-      threshold)
+    // dedupWithAssignment checkpoints the assignment eagerly, so inside
+    // the loan it reads the training's cached cells instead of re-running
+    // the coarse assignment scan (round 17)
+    withTwoLevelCells(corpus, idCol, vecCol, coarseK, subK) { (cb, cells) =>
+      dedupWithAssignment(corpus, idCol, vecCol,
+        bestLeaf(cells, cb.leaves)
+          .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
+        threshold)
+    }
   }
 
   /** Frozen semantic-dedup index: the trained centroid codebook plus
@@ -1185,14 +1211,16 @@ object SimilaritySearch {
                                  threshold: Double = 0.99,
                                  knownN: Long = -1L): SemanticIndex = {
     val n = if (knownN >= 0) knownN else corpus.count()
-    val cb = trainTwoLevel(corpus, idCol, vecCol, coarseK, subK)
-    val kept = dedupWithAssignment(corpus, idCol, vecCol,
-        assignLeaves(corpus, idCol, vecCol, cb)
-          .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
-        threshold)
-      .filter(!col("is_dropped"))
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col(idCol), col("cluster_id"), col(vecCol))
+    val (cb, kept) = withTwoLevelCells(corpus, idCol, vecCol, coarseK, subK) {
+      (cb, cells) =>
+        (cb, dedupWithAssignment(corpus, idCol, vecCol,
+            bestLeaf(cells, cb.leaves)
+              .select(col("_vid").as(idCol), col("_leaf").as("cluster_id")),
+            threshold)
+          .filter(!col("is_dropped"))
+          .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+          .select(col(idCol), col("cluster_id"), col(vecCol)))
+    }
     SemanticIndex(cb.leaves.map(l => (l._2, l._3)), kept, builtN = n,
       twoLevel = Some(cb))
   }
@@ -1481,10 +1509,13 @@ object SimilaritySearch {
     * divergence cannot accumulate. Empty clusters keep their previous
     * centroid; centroid ids stay the seed vector ids throughout. */
   private[graft] def lloydCentroids(corpus: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, iters: Int): DataFrame = {
+      vecCol: String, nlist: Int, iters: Int, dKnown: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val d = dimOf(corpus, vecCol)
+    // dKnown: callers that already ran dimOf (usually for a scratch
+    // guard) pass it through — the duplicate first() was one more
+    // sequential driver round trip per training (round 17, §2)
+    val d = if (dKnown > 0) dKnown else dimOf(corpus, vecCol)
     var cents: Seq[(Long, Seq[Double])] =
       hashCentroids(corpus, idCol, vecCol, nlist)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -1609,9 +1640,10 @@ object SimilaritySearch {
                           coarseK: Int = 12): DataFrame = {
     require(nprobe <= nlist, "topKCosineIvfRerank: nprobe must be <= nlist")
     require(coarseK >= k, "topKCosineIvfRerank: coarseK must be >= k")
+    val d = dimOf(corpus, vecCol)
     guardFlatExplicit(corpus, nlist, "topKCosineIvfRerank",
-      fatAssignBytesPerRow(dimOf(corpus, vecCol)))
-    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+      fatAssignBytesPerRow(d))
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters, d)
     // int8 reconstruction qv*qscale as a double array: the coarse store
     val recon = corpus.select(col(idCol).as("_mid"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("_fv"))
@@ -1708,17 +1740,14 @@ object SimilaritySearch {
     require(d % m == 0, s"buildPqIndex: dim $d must split into $m subspaces")
     guardFlatExplicit(corpus, nlist, "buildPqIndex", fatAssignBytesPerRow(d))
     val sub = d / m
-    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters)
+    val cents = lloydCentroids(corpus, idCol, vecCol, nlist, LloydIters, d)
     val corpusD = corpus.select(col(idCol).as("_id0"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("_v0"))
     // unit-normalized, 6-dp re-anchored working vectors
     val ncorp = corpusD
       .withColumn("_nrm", sqrt(dotd(col("_v0"), col("_v0"))))
       .select(col("_id0"), expr("transform(_v0, x -> round(x / _nrm, 6))").as("_nv"))
-    val cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
-      lloydL2(ncorp.select(col("_id0"),
-        slice(col("_nv"), s * sub + 1, sub).as("_sv")), "_id0", "_sv", ks, pqIters)
-    }
+    val cbs = lloydL2Multi(ncorp, "_id0", "_nv", m, sub, ks, pqIters)
     PqIndex(cents, cbs, encode(corpus, idCol, vecCol, cents, cbs, sub), m, sub)
   }
 
@@ -1846,6 +1875,63 @@ object SimilaritySearch {
       cents = cents.map { case (cid, prev) => (cid, sums.getOrElse(cid, prev)) }
     }
     cents.sortBy(_._1)
+  }
+
+  /** All m PQ subspace codebooks in ONE training ladder (round 17;
+    * r16 VERDICT item 4 — ann_ivf_pq ran 34 sequential driver round
+    * trips, the §2 driver-bound anti-pattern: m separate [[lloydL2]]
+    * calls each paid its own dimOf first(), seed collect and per-round
+    * moment collect, serializing the cluster on tiny jobs).
+    *
+    * Fusion is numerically EXACT, not approximate, because the m
+    * trainings share everything but the slice bounds:
+    *  - seeds: [[hashCentroids]] orders by md5(id) — vector-independent
+    *    — so all m subspaces seed from the SAME ks rows; one collect of
+    *    the full normalized vectors, sliced driver-side, reproduces
+    *    each per-subspace seed list element for element.
+    *  - rounds: each per-subspace round grouped the SAME corpus rows by
+    *    that subspace's argmin centroid and vecSumAgg-summed the slice.
+    *    Exploding m (space, cid, slice) structs per row and grouping by
+    *    (space, cid) feeds every (space, cid) group the identical value
+    *    multiset in the identical per-partition row order, so the
+    *    rounded means land on the same 6-dp grid (AnnSpec pins the
+    *    codebook equality against the unfused ladder; the oracle replay
+    *    pins it cross-engine).
+    * Driver round trips per Lloyd round: 1 instead of m; seed collects:
+    * 1 instead of m; dimOf scans: 0 (sub is passed). */
+  private[graft] def lloydL2Multi(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, sub: Int, ks: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val seedRows = hashCentroids(corpus, idCol, vecCol, ks)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    var cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+      seedRows.map { case (cid, v) =>
+        (cid, v.slice(s * sub, (s + 1) * sub)) }.toSeq
+    }
+    val vecs = corpus.select(col(idCol).as("_vid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("_vv"))
+    for (_ <- 1 to iters) {
+      val subStructs = array((0 until m).map { s =>
+        struct(lit(s).as("sp"),
+          argminCentL2(slice(col("_vv"), s * sub + 1, sub), cbs(s))("cid").as("cid"),
+          slice(col("_vv"), s * sub + 1, sub).as("sv"))
+      }: _*)
+      val sums = vecs
+        .select(explode(subStructs).as("_e"))
+        .select(col("_e.sp").as("_sp"), col("_e.cid").as("_cent_id"),
+          col("_e.sv").as("_sv"))
+        .groupBy(col("_sp"), col("_cent_id"))
+        .agg(org.apache.spark.sql.graft.GramianFunctions
+          .vecSumAgg(col("_sv"), sub).as("_s"))
+        .select(col("_sp"), col("_cent_id"),
+          expr(s"transform(slice(_s, 2, $sub), x -> round(x / _s[0], 6))").as("_nv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.map { case (cid, prev) => (cid, sums.getOrElse((s, cid), prev)) }
+      }
+    }
+    cbs.map(_.sortBy(_._1))
   }
 
   /** Squared L2 distance to a literal centroid, 6-dp rounded — the

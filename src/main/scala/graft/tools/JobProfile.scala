@@ -60,8 +60,9 @@ object JobProfile {
           s"tasks=${tasks.get() - t0}")
         if (sys.env.get("GRAFT_PROFILE_STAGES").exists(_ == "1")) {
           import scala.jdk.CollectionConverters._
+          val topN = sys.env.getOrElse("GRAFT_PROFILE_STAGES_TOP", "8").toInt
           for ((sid, sw, run, nt, nm) <-
-              stageLog.asScala.toSeq.sortBy(-_._2).take(8))
+              stageLog.asScala.toSeq.sortBy(-_._2).take(topN))
             println(f"[stage] $name iter=$i id=$sid wall=$sw%.2fs " +
               f"run=$run%.2fs tasks=$nt $nm")
         }

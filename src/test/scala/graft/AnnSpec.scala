@@ -186,6 +186,39 @@ class AnnSpec extends SparkSpecBase {
       "rk=1 hit must be the planted twin (cos = 1)")
   }
 
+  test("fused PQ subspace training == m independent lloydL2 ladders, bit for bit") {
+    // lloydL2Multi (round 17) replaces m sequential lloydL2 calls with
+    // one seed collect + one exploded moment aggregate per round. The
+    // fusion claims NUMERIC IDENTITY — same seeds, same per-group value
+    // multisets, same 6-dp rounded means — which this pins on the
+    // clustered fixture at buildPqIndex's exact working frame
+    // (unit-normalized, 6-dp re-anchored), over MULTIPLE rounds so a
+    // divergence would compound and surface.
+    val df = clustered.cache()
+    val (m, ks, iters) = (4, 8, 2)
+    val sub = dim / m
+    val corpusD = df.select(col("vec_id").as("_id0"),
+      expr("transform(embedding, x -> cast(x as double))").as("_v0"))
+    val ncorp = corpusD
+      .withColumn("_nrm", sqrt(org.apache.spark.sql.graft.NativeExpressions
+        .vecDot(col("_v0"), col("_v0"))))
+      .select(col("_id0"),
+        expr("transform(_v0, x -> round(x / _nrm, 6))").as("_nv"))
+    val fused = SimilaritySearch.lloydL2Multi(ncorp, "_id0", "_nv", m, sub, ks, iters)
+    val unfused = (0 until m).map { s =>
+      SimilaritySearch.lloydL2(ncorp.select(col("_id0"),
+        slice(col("_nv"), s * sub + 1, sub).as("_sv")), "_id0", "_sv", ks, iters)
+    }
+    assert(fused.size == m)
+    (0 until m).foreach { s =>
+      assert(fused(s).map(_._1) == unfused(s).map(_._1),
+        s"subspace $s centroid ids diverged")
+      fused(s).zip(unfused(s)).foreach { case ((cid, fv), (_, uv)) =>
+        assert(fv == uv, s"subspace $s cent $cid: fused $fv != unfused $uv")
+      }
+    }
+  }
+
   test("PQ index survives a parquet round-trip: search-from-store == direct") {
     val df = clustered.cache()
     val probes = df.filter(col("vec_id").isin(0L, 1000L, 2000L))
