@@ -595,32 +595,41 @@ object Curation extends QueryModule {
     // recurring-profiling face, where NDV mass dominates.
     "corpus_datasheet_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.graft.KllFunctions
+      // Round 17 (r16 VERDICT item 7): the 30x profile put ~90% of this
+      // row in ONE stage — the per-doc derivation (tokens() + the
+      // whitespace-collapse regex + md5) — and that derivation ran in
+      // TWO full corpus passes: the sketch aggregate below AND the
+      // exact-fp countDistinct pipeline (679 + ~300 task-seconds at
+      // 30x). Materialize the per-doc DERIVED frame once — five narrow
+      // columns, the token count instead of the token array, no text —
+      // and point every aggregate at it: the expensive per-row work
+      // runs exactly once, and what the aggregates scan afterwards is
+      // ~30 bytes/row (guide §2.3: aggregate small rows, derive heavy
+      // columns once). localCheckpoint, not persist (cross-invocation
+      // cache leak).
       val docs = Tables(s, dir, "documents")
         .select(col("lang"), col("source"), col("n_chars"),
-          tokens(col("text")).as("toks"),
+          size(tokens(col("text"))).as("ntoks"),
           md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .localCheckpoint(true)
       val eps = KllFunctions.normalizedRankError(KllFunctions.DefaultK)
       val base = docs.agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
-        sum(size(col("toks"))).cast("long").as("total_tokens"),
-        sum(when(size(col("toks")) >= 64, 1L).otherwise(0L)).as("n_ge"),
+        sum(col("ntoks")).cast("long").as("total_tokens"),
+        sum(when(col("ntoks") >= 64, 1L).otherwise(0L)).as("n_ge"),
         approx_count_distinct(col("lang"), 0.01).as("hl_lang"),
         approx_count_distinct(col("source"), 0.01).as("hl_source"),
         approx_count_distinct(col("fp"), 0.01).as("hl_fp"),
         element_at(KllFunctions.kllQuantiles(
           KllFunctions.kllSketchAgg(col("n_chars").cast("double")),
           Seq(0.5)), 1).as("p50k"))
-        // ONE row, but the subtree is the full corpus pass computing
-        // tokens() + the md5 fingerprint per document — and base is
-        // referenced twice (the rank-audit broadcast and the final
-        // select), so the pre-change plan ran that pass twice.
-        // Materialize the row once; localCheckpoint, not persist
-        // (cross-invocation cache leak).
+        // ONE row referenced twice (rank-audit broadcast + final
+        // select) — still materialized so the sketch pass runs once
         .localCheckpoint(true)
-      // exact NDV payloads: column-pruned countDistinct pipelines (lang
-      // and source scans read one dictionary-encoded column; fp's is
-      // the only corpus-mass shuffle, and it carries 32 bytes/row).
+      // exact NDV payloads: countDistinct pipelines over the SAME
+      // checkpointed derived frame (pre-r17 these re-derived fp from
+      // text — the second full corpus pass).
       // countDistinct, not distinct().count(): the DuckDB oracle's
       // count(DISTINCT ...) excludes NULLs, and a NULL lang/source in a
       // regenerated fixture must not count as a distinct value.

@@ -907,9 +907,24 @@ object Pipeline extends QueryModule {
           array_join(transform(array_sort(transform(split(col("text"), " "),
             t => struct(md5(t).as("k"), t.as("t")))), sc => sc("t")), " ").as("text"))
       val corpus = base.unionByName(verbatim).unionByName(para)
+      // Round 17 (r16 VERDICT item 7): the 30x profile's dominant
+      // stages re-ran the corpus SUBTREE — the embeddings⋈documents
+      // join, the union, and (worst) the para branch's per-doc
+      // md5-keyed word shuffle — once per reference: the LSH pair
+      // source scans its input ~4x (two bucket tables on both sides of
+      // the self-join + the i/j rerank joins) and the fp frame twice
+      // (i- and j-side textual_dup joins). Materialize the two SLIM
+      // projections once: embeddings (~80 MB at 30x) for the pair
+      // source, fingerprints (32 B/row) for the verdict joins — the
+      // heavy text column never leaves the derivation scan (guide
+      // §2.3/§8). localCheckpoint, not persist (cross-invocation cache
+      // leak).
+      val corpusEmb = corpus.select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
       val fps = corpus.select(col("vec_id"), md5(col("text")).as("fp"))
+        .localCheckpoint(true)
       SimilaritySearch.nearDupPairsAuto(
-          corpus.select(col("vec_id"), col("embedding")),
+          corpusEmb,
           "vec_id", "embedding", threshold = 0.99)
         .join(fps.select(col("vec_id").as("i"), col("fp").as("_fi")), "i")
         .join(fps.select(col("vec_id").as("j"), col("fp").as("_fj")), "j")
